@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark: D3Q19 single-fluid MLUPS on one chip (north star >= 1000).
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "MLUPS", "vs_baseline": N}
+
+Baseline: 1000 MLUPS (= 1 GLUPS/chip target from BASELINE.json; the
+reference's measured K20X full blue-phase loop was ~26 MLUPS).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ludwig_tpu.lb import LBConfig, initial_rest
+from ludwig_tpu.ops.fused import FusedPlan, make_fused_nstep, pad_state
+
+
+def main():
+    size = (256, 256, 256)
+    niter, inner = 3, 50
+    if "--small" in sys.argv:  # quick sanity mode
+        size, inner, niter = (64, 64, 64), 20, 2
+
+    cfg = LBConfig(size=size, nvel=19, eta_shear=0.1, eta_bulk=0.1,
+                   dtype="float32")
+    f = pad_state(initial_rest(cfg))
+    nstep = make_fused_nstep(cfg.model, cfg.collision_params(),
+                             FusedPlan(16, 32))
+
+    def fence(x):
+        # A scalar readback is the only reliable execution fence on every
+        # backend here (block_until_ready can return early over remote
+        # relays); its ~30 ms cost is amortised over `inner` steps.
+        return float(x[0, 1, 8, 0])
+
+    f = nstep(f, inner)  # compile + warm
+    fence(f)
+
+    best = float("inf")
+    for _ in range(niter):
+        t0 = time.perf_counter()
+        f = nstep(f, inner)
+        fence(f)
+        best = min(best, (time.perf_counter() - t0) / inner)
+
+    nsites = size[0] * size[1] * size[2]
+    mlups = nsites / best / 1e6
+    print(json.dumps({
+        "metric": "D3Q19 single-fluid 256^3 collide+stream",
+        "value": round(mlups, 1),
+        "unit": "MLUPS",
+        "vs_baseline": round(mlups / 1000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Fused Pallas collide+stream kernel vs the reference jnp path.
+
+Runs in Pallas interpret mode on CPU; the physics contract is exact
+agreement (same dtype, same unrolled arithmetic) with collide() followed
+by stream()."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ludwig_tpu.lattice import lb_model
+from ludwig_tpu.ops.collide import CollisionParams, RelaxationScheme, collide
+from ludwig_tpu.ops.fused import (FusedPlan, fused_step, make_fused_nstep,
+                                  pad_state, unpad_state)
+from ludwig_tpu.ops.stream import stream
+
+
+def _rand_f(model, shape, seed=0):
+    rng = np.random.default_rng(seed)
+    base = model.wv.reshape(-1, 1, 1, 1)
+    return jnp.asarray(
+        base * (1.0 + 0.05 * rng.standard_normal((model.nvel,) + shape)),
+        jnp.float32)
+
+
+def _ref_step(f, params):
+    f_post, _, _ = collide(f, params)
+    return stream(f_post, params.model)
+
+
+@pytest.mark.parametrize("nvel", [19, 15, 27])
+@pytest.mark.parametrize("scheme", [RelaxationScheme.M10,
+                                    RelaxationScheme.BGK])
+def test_fused_matches_reference(nvel, scheme):
+    model = lb_model(nvel)
+    params = CollisionParams(model=model, eta_shear=0.1, eta_bulk=0.14,
+                             scheme=scheme,
+                             force_global=(1e-4, -2e-4, 5e-5))
+    shape = (8, 16, 16)
+    f = _rand_f(model, shape, seed=nvel)
+    expect = np.asarray(_ref_step(f, params))
+
+    plan = FusedPlan(BX=4, BY=8)  # multiple blocks in both axes
+    out = unpad_state(fused_step(pad_state(f), model, params, plan,
+                                 interpret=True))
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_fused_multi_step_chains():
+    """Pads are correctly refreshed so steps chain."""
+    model = lb_model(19)
+    params = CollisionParams(model=model, eta_shear=0.05, eta_bulk=0.05)
+    shape = (8, 16, 16)
+    f = _rand_f(model, shape, seed=7)
+    expect = f
+    for _ in range(3):
+        expect = _ref_step(expect, params)
+
+    fp = pad_state(f)
+    plan = FusedPlan(BX=4, BY=8)
+    for _ in range(3):
+        fp = fused_step(fp, model, params, plan, interpret=True)
+    np.testing.assert_allclose(np.asarray(unpad_state(fp)),
+                               np.asarray(expect), rtol=1e-6, atol=1e-8)
+
+
+def test_fused_nstep_scan():
+    model = lb_model(19)
+    params = CollisionParams(model=model, eta_shear=0.08, eta_bulk=0.08)
+    shape = (8, 16, 16)
+    f = _rand_f(model, shape, seed=3)
+    expect = f
+    for _ in range(2):
+        expect = _ref_step(expect, params)
+    nstep = make_fused_nstep(model, params, FusedPlan(BX=8, BY=16),
+                             interpret=True)
+    fp = nstep(pad_state(f), 2)
+    np.testing.assert_allclose(np.asarray(unpad_state(fp)),
+                               np.asarray(expect), rtol=1e-6, atol=1e-8)
+
+
+def test_pad_roundtrip():
+    model = lb_model(19)
+    f = _rand_f(model, (4, 8, 8))
+    np.testing.assert_array_equal(np.asarray(unpad_state(pad_state(f))),
+                                  np.asarray(f))
