@@ -1,0 +1,118 @@
+"""Binary-fluid simulation: symmetric free energy + Cahn-Hilliard + LB.
+
+TPU-native equivalent of the reference's binary-fluid wiring (ref:
+src/ludwig.c:551-860 time step: gradients -> force -> order-parameter
+dynamics -> collide -> stream).  State is a pytree (f, phi, u); the whole
+step jits into one XLA program.
+
+The velocity used by the CH advection is the force-shifted velocity from
+the previous collision, exactly as the reference stores hydro->u during
+collide and uses it in the following step's advection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ludwig_tpu.fe.symmetric import SymmetricFE
+from ludwig_tpu.dynamics.cahn_hilliard import (CahnHilliardParams,
+                                               cahn_hilliard_update)
+from ludwig_tpu.lb import LBConfig, initial_rest
+from ludwig_tpu.ops.collide import collide
+from ludwig_tpu.ops.force import stress_divergence_force
+from ludwig_tpu.ops.stencil import gradient_ops
+from ludwig_tpu.ops.stream import stream_bounce_back
+
+
+@dataclasses.dataclass(frozen=True)
+class BinaryConfig:
+    """Static configuration for a symmetric binary-fluid run."""
+
+    lb: LBConfig
+    fe: SymmetricFE
+    mobility: float = 1.0
+    advection_order: int = 1
+    gradient: str = "3d_7pt_fluid"
+    hydrodynamics: bool = True
+
+
+def fe_fields(phi, gradient: str):
+    """Order parameter + gradients dict shared by mu/stress/stats."""
+    grad, delsq = gradient_ops(gradient)
+    return {"phi": phi, "grad_phi": grad(phi), "delsq_phi": delsq(phi)}
+
+
+def make_binary_step(cfg: BinaryConfig, solid=None):
+    """Jitted step: (f, phi, u) -> (f, phi, u, rho).
+
+    Order per reference time step (ludwig.c:551-860):
+      1. gradients of phi
+      2. thermodynamic force (stress divergence)
+      3. Cahn-Hilliard update of phi (advected by previous-step u)
+      4. LB collide with the force; 5. stream + bounce-back.
+    """
+    params = cfg.lb.collision_params()
+    model = cfg.lb.model
+    ch = CahnHilliardParams(mobility=cfg.mobility,
+                            advection_order=cfg.advection_order)
+    fluid = None if solid is None else jnp.logical_not(solid)
+    wall_u = (cfg.lb.wall_u if any(v != 0.0 for v in cfg.lb.wall_u)
+              else None)
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state):
+        f, phi, u = state
+        fields = fe_fields(phi, cfg.gradient)
+        mu = cfg.fe.mu(fields)
+
+        if cfg.hydrodynamics:
+            force = stress_divergence_force(cfg.fe.stress(fields))
+            force = force.astype(f.dtype)
+            phi = cahn_hilliard_update(phi, mu, u, ch, solid=solid)
+            f, rho, u_new = collide(f, params, force=force,
+                                    fluid_mask=fluid)
+            f = stream_bounce_back(f, model, solid=solid, wall_u=wall_u,
+                                   rho0=cfg.lb.rho0)
+        else:
+            phi = cahn_hilliard_update(phi, mu, None, ch, solid=solid)
+            rho = jnp.ones_like(phi)
+            u_new = jnp.zeros_like(u)
+
+        return (f, phi, u_new), rho
+
+    return step
+
+
+def make_binary_nstep(cfg: BinaryConfig, solid=None):
+    step = make_binary_step(cfg, solid)
+
+    @partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def nstep(state, n):
+        def body(s, _):
+            s, _rho = step(s)
+            return s, ()
+        state, _ = jax.lax.scan(body, state, None, length=n)
+        return state
+
+    return nstep
+
+
+def initial_binary(cfg: BinaryConfig, phi0: np.ndarray):
+    """(f at rest, phi0, u=0) state pytree."""
+    f = initial_rest(cfg.lb)
+    phi = jnp.asarray(phi0, cfg.lb.jdtype)
+    u = jnp.zeros((3,) + tuple(cfg.lb.size), cfg.lb.jdtype)
+    return (f, phi, u)
+
+
+def spinodal_phi(size, amplitude=0.05, mean=0.0, seed=13):
+    """Random initial phi for spinodal decomposition
+    (ref: phi_init_spinodal, field_phi_init.c)."""
+    rng = np.random.default_rng(seed)
+    return mean + amplitude * (rng.random(size) - 0.5) * 2.0

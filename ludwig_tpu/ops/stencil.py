@@ -1,0 +1,123 @@
+"""Finite-difference gradient stencils for order-parameter fields.
+
+TPU-native equivalent of the reference gradient modules (ref:
+src/field_grad.c:305, src/gradient_3d_7pt_fluid.c, gradient_3d_27pt_fluid.c,
+gradient_2d_5pt_fluid.c).  Fields are (..., X, Y, Z) arrays; stencil
+shifts are jnp.roll (periodic; on a sharded lattice XLA turns the face
+transfers into collective-permutes).  A registry keyed by the reference's
+``fd_gradient_calculation`` input strings selects the stencil.
+
+Solid-aware variants (anchoring etc.) come with the colloid/LC stack.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+
+
+def roll3(x: jnp.ndarray, shift, first_axis: int = 0) -> jnp.ndarray:
+    """Roll the three trailing-spatial axes by integer (sx, sy, sz)."""
+    shift = tuple(int(s) for s in shift)
+    if not any(shift):
+        return x
+    axes = tuple(first_axis + i for i in range(3) if shift[i] != 0)
+    shifts = tuple(s for s in shift if s != 0)
+    return jnp.roll(x, shifts, axis=axes)
+
+
+def _shift(phi, sx, sy, sz):
+    # spatial axes are the last three
+    nlead = phi.ndim - 3
+    return roll3(phi, (sx, sy, sz), first_axis=nlead)
+
+
+def grad_7pt(phi: jnp.ndarray) -> jnp.ndarray:
+    """Central-difference gradient, 7-point (ref: gradient_3d_7pt_fluid.c).
+
+    phi: (..., X, Y, Z) -> (3, ..., X, Y, Z).  Note roll(+1) brings the
+    (i-1) value to site i.
+    """
+    gx = 0.5 * (_shift(phi, -1, 0, 0) - _shift(phi, 1, 0, 0))
+    gy = 0.5 * (_shift(phi, 0, -1, 0) - _shift(phi, 0, 1, 0))
+    gz = 0.5 * (_shift(phi, 0, 0, -1) - _shift(phi, 0, 0, 1))
+    return jnp.stack([gx, gy, gz])
+
+
+def delsq_7pt(phi: jnp.ndarray) -> jnp.ndarray:
+    """7-point Laplacian: sum of 6 neighbours - 6 phi."""
+    return (_shift(phi, 1, 0, 0) + _shift(phi, -1, 0, 0)
+            + _shift(phi, 0, 1, 0) + _shift(phi, 0, -1, 0)
+            + _shift(phi, 0, 0, 1) + _shift(phi, 0, 0, -1)
+            - 6.0 * phi)
+
+
+def grad_2d_5pt(phi: jnp.ndarray) -> jnp.ndarray:
+    gx = 0.5 * (_shift(phi, -1, 0, 0) - _shift(phi, 1, 0, 0))
+    gy = 0.5 * (_shift(phi, 0, -1, 0) - _shift(phi, 0, 1, 0))
+    return jnp.stack([gx, gy, jnp.zeros_like(phi)])
+
+
+def delsq_2d_5pt(phi: jnp.ndarray) -> jnp.ndarray:
+    return (_shift(phi, 1, 0, 0) + _shift(phi, -1, 0, 0)
+            + _shift(phi, 0, 1, 0) + _shift(phi, 0, -1, 0)
+            - 4.0 * phi)
+
+
+def grad_27pt(phi: jnp.ndarray) -> jnp.ndarray:
+    """27-point isotropic gradient (ref: gradient_3d_27pt_fluid.c:
+    weighted over the 3x3x3 cube, normaliser 1/(9*2))."""
+    r9 = 1.0 / 9.0
+    gx = jnp.zeros_like(phi)
+    gy = jnp.zeros_like(phi)
+    gz = jnp.zeros_like(phi)
+    for sx in (-1, 0, 1):
+        for sy in (-1, 0, 1):
+            for sz in (-1, 0, 1):
+                if sx == 0 and sy == 0 and sz == 0:
+                    continue
+                # neighbour value at offset (+sx,+sy,+sz) arrives via
+                # roll by (-sx,-sy,-sz)
+                v = _shift(phi, -sx, -sy, -sz)
+                if sx:
+                    gx = gx + 0.5 * r9 * sx * v
+                if sy:
+                    gy = gy + 0.5 * r9 * sy * v
+                if sz:
+                    gz = gz + 0.5 * r9 * sz * v
+    return jnp.stack([gx, gy, gz])
+
+
+def delsq_27pt(phi: jnp.ndarray) -> jnp.ndarray:
+    """27-point isotropic Laplacian (ref: gradient_3d_27pt_fluid.c:
+    (1/9)[sum over 26 neighbours] - 26/9 phi, with unit weights)."""
+    r9 = 1.0 / 9.0
+    acc = -26.0 * phi
+    for sx in (-1, 0, 1):
+        for sy in (-1, 0, 1):
+            for sz in (-1, 0, 1):
+                if sx == 0 and sy == 0 and sz == 0:
+                    continue
+                acc = acc + _shift(phi, -sx, -sy, -sz)
+    return r9 * acc
+
+
+_GRAD: Dict[str, Callable] = {
+    "3d_7pt_fluid": grad_7pt,
+    "3d_27pt_fluid": grad_27pt,
+    "2d_5pt_fluid": grad_2d_5pt,
+}
+_DELSQ: Dict[str, Callable] = {
+    "3d_7pt_fluid": delsq_7pt,
+    "3d_27pt_fluid": delsq_27pt,
+    "2d_5pt_fluid": delsq_2d_5pt,
+}
+
+
+def gradient_ops(name: str):
+    """(grad, delsq) pair by reference input key fd_gradient_calculation."""
+    if name not in _GRAD:
+        raise ValueError(f"unknown gradient stencil '{name}'; "
+                         f"have {sorted(_GRAD)}")
+    return _GRAD[name], _DELSQ[name]
