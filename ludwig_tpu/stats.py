@@ -1,0 +1,121 @@
+"""Statistics / observables layer: the reference's log contract.
+
+TPU-native equivalent of the reference statistics modules (ref:
+src/stats_distribution.c:113 [rho] line, src/phi_stats.c:336 [phi] line,
+src/stats_free_energy.c:130 [fed] block, src/stats_velocity.c:116
+velocity block, src/ludwig.c:1039-1087 momentum block).  The rank-0 log
+IS the regression interface - formats are reproduced exactly so
+reference-style floating-point diffs can be applied to our output.
+
+All reductions are single jitted programs; on a sharded lattice XLA
+emits the cross-device sums (the psum analogue of the reference's
+MPI_Reduce with compensated sums).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ludwig_tpu.lattice import LatticeModel
+from ludwig_tpu.lb import hydro_fields
+
+
+def rho_stats(f: jnp.ndarray, model: LatticeModel,
+              fluid_mask: Optional[jnp.ndarray] = None):
+    """(total, mean, var, min, max) of density over fluid sites."""
+    rho = jnp.sum(f, axis=0)
+    if fluid_mask is None:
+        n = rho.size
+        total = jnp.sum(rho)
+        sq = jnp.sum(rho * rho)
+        rmin = jnp.min(rho)
+        rmax = jnp.max(rho)
+    else:
+        n = jnp.sum(fluid_mask)
+        total = jnp.sum(jnp.where(fluid_mask, rho, 0.0))
+        sq = jnp.sum(jnp.where(fluid_mask, rho * rho, 0.0))
+        rmin = jnp.min(jnp.where(fluid_mask, rho, jnp.inf))
+        rmax = jnp.max(jnp.where(fluid_mask, rho, -jnp.inf))
+    mean = total / n
+    var = jnp.abs(sq / n - mean * mean)
+    return total, mean, var, rmin, rmax
+
+
+def field_stats(phi: jnp.ndarray, fluid_mask: Optional[jnp.ndarray] = None):
+    """(total, mean, var, min, max) of a scalar order parameter."""
+    if fluid_mask is None:
+        n = phi.size
+        total = jnp.sum(phi)
+        sq = jnp.sum(phi * phi)
+        fmin, fmax = jnp.min(phi), jnp.max(phi)
+    else:
+        n = jnp.sum(fluid_mask)
+        total = jnp.sum(jnp.where(fluid_mask, phi, 0.0))
+        sq = jnp.sum(jnp.where(fluid_mask, phi * phi, 0.0))
+        fmin = jnp.min(jnp.where(fluid_mask, phi, jnp.inf))
+        fmax = jnp.max(jnp.where(fluid_mask, phi, -jnp.inf))
+    mean = total / n
+    var = sq / n - mean * mean
+    return total, mean, var, fmin, fmax
+
+
+def momentum_total(f: jnp.ndarray, model: LatticeModel,
+                   fluid_mask: Optional[jnp.ndarray] = None):
+    _, g = hydro_fields(f, model)
+    if fluid_mask is not None:
+        g = jnp.where(fluid_mask[None], g, 0.0)
+    return jnp.sum(g, axis=(1, 2, 3))
+
+
+def velocity_minmax(u: jnp.ndarray,
+                    fluid_mask: Optional[jnp.ndarray] = None):
+    if fluid_mask is not None:
+        u = jnp.where(fluid_mask[None], u, 0.0)
+    return jnp.min(u, axis=(1, 2, 3)), jnp.max(u, axis=(1, 2, 3))
+
+
+# -- formatting (exact reference formats) ---------------------------------
+
+def format_rho_block(total, mean, var, rmin, rmax) -> str:
+    # ref: stats_distribution.c:112-114
+    return ("\nScalars - total mean variance min max\n"
+            f"[rho] {float(total):14.2f} {float(mean):14.11f} "
+            f"{float(var):14.7e} {float(rmin):14.11f} {float(rmax):14.11f}\n")
+
+
+def format_phi_line(name, total, mean, var, fmin, fmax) -> str:
+    # ref: phi_stats.c:336 (note the glued '%14.7e%14.7e' pairs)
+    return (f"[{name}] {float(total):14.7e} {float(mean):14.7e}"
+            f"{float(var):14.7e} {float(fmin):14.7e}{float(fmax):14.7e}\n")
+
+
+def format_fed_block(tstep, fed_mean, fed_fluid) -> str:
+    # ref: stats_free_energy.c:130-132
+    return ("\nFree energy density - timestep total fluid\n"
+            f"[fed] {int(tstep):14d} {float(fed_mean):17.10e} "
+            f"{float(fed_fluid):17.10e}\n")
+
+
+def format_momentum_block(gtotal, gfluid, gwall=None) -> str:
+    # ref: ludwig.c:1079-1087
+    s = ("\nMomentum - x y z\n"
+         f"[total   ] {float(gtotal[0]):14.7e} {float(gtotal[1]):14.7e} "
+         f"{float(gtotal[2]):14.7e}\n"
+         f"[fluid   ] {float(gfluid[0]):14.7e} {float(gfluid[1]):14.7e} "
+         f"{float(gfluid[2]):14.7e}\n")
+    if gwall is not None:
+        s += (f"[walls   ] {float(gwall[0]):14.7e} {float(gwall[1]):14.7e} "
+              f"{float(gwall[2]):14.7e}\n")
+    return s
+
+
+def format_velocity_block(umin, umax) -> str:
+    # ref: stats_velocity.c:116-118
+    return ("\nVelocity - x y z\n"
+            f"[minimum ] {float(umin[0]):14.7e} {float(umin[1]):14.7e} "
+            f"{float(umin[2]):14.7e}\n"
+            f"[maximum ] {float(umax[0]):14.7e} {float(umax[1]):14.7e} "
+            f"{float(umax[2]):14.7e}\n")

@@ -1,0 +1,98 @@
+"""End-to-end runs from reference-format input text: the application
+surface (mirrors reference tests/regression harness shape)."""
+
+import io
+import re
+
+import numpy as np
+import pytest
+
+from ludwig_tpu.ludwig import run_text
+from ludwig_tpu.runtime import RunTime
+
+SPINODAL_INPUT = """
+N_cycles 10
+size 16_16_16
+viscosity 0.00625
+ghost_modes off
+free_energy symmetric
+A -0.00625
+B 0.00625
+K 0.004
+phi0 0.0
+phi_initialisation    spinodal
+mobility 1.25
+fd_gradient_calculation 3d_27pt_fluid
+fd_advection_scheme_order 1
+periodicity 1_1_1
+freq_statistics 10
+random_seed 8361235
+"""
+
+PLAIN_INPUT = """
+N_cycles 5
+size 16_8_8
+viscosity 0.1
+force 0.00001_0.0_0.0
+freq_statistics 5
+"""
+
+WALLS_INPUT = """
+N_cycles 5
+size 18_8_8
+viscosity 0.1
+boundary_walls 1_0_0
+force 0.0_0.00001_0.0
+freq_statistics 5
+"""
+
+
+def _run(text):
+    out = io.StringIO()
+    sysobj = run_text(text, out=out)
+    return sysobj, out.getvalue()
+
+
+def test_spinodal_run_log_contract():
+    sysobj, log = _run(SPINODAL_INPUT)
+    # reference-format stats lines present
+    assert "Scalars - total mean variance min max" in log
+    assert re.search(r"\[rho\]\s+4096\.00\s+1\.0000", log)
+    assert re.search(r"\[phi\]\s+[-0-9.e+]+", log)
+    assert "Free energy density - timestep total fluid" in log
+    assert "Momentum - x y z" in log
+    assert "Completed cycle 10" in log
+    # conservation visible in the log: rho total identical in both blocks
+    rhos = re.findall(r"\[rho\]\s+(\S+)", log)
+    assert len(rhos) == 2 and rhos[0] == rhos[1]
+    phis = re.findall(r"\[phi\]\s+(\S+)", log)
+    assert abs(float(phis[0]) - float(phis[1])) < 1e-9
+
+
+def test_plain_fluid_run():
+    sysobj, log = _run(PLAIN_INPUT)
+    assert "Completed cycle 5" in log
+    # body force adds momentum: gx = nsites * F * t
+    m = re.findall(r"\[total   \]\s+(\S+)", log)
+    gx_final = float(m[-1])
+    expect = 16 * 8 * 8 * 1e-5 * 5
+    assert abs(gx_final - expect) < 1e-10
+
+
+def test_walls_run():
+    sysobj, log = _run(WALLS_INPUT)
+    assert "Completed cycle 5" in log
+    assert np.isfinite(float(re.findall(r"\[total   \]\s+(\S+)", log)[-1]))
+
+
+def test_unused_keys_reported():
+    _, log = _run(PLAIN_INPUT + "\nbogus_key_xyz 42\n")
+    assert "bogus_key_xyz" in log
+
+
+def test_runtime_vectors_and_switches():
+    rt = RunTime("a 1_2_3\nb on\nc off\nd 1.5\n")
+    assert rt.int_vector("a") == [1, 2, 3]
+    assert rt.switch("b") and not rt.switch("c")
+    assert rt.double("d") == 1.5
+    assert rt.unused_keys() == []
