@@ -1,0 +1,97 @@
+"""Liquid-crystal Q-tensor initial conditions.
+
+TPU-native equivalents of the reference initialisations (ref:
+src/blue_phase_init.c: blue_phase_O8M_init :59 (BPI),
+blue_phase_O2_init (BPII), blue_phase_twist_init :763 (cholesteric),
+blue_phase_nematic_init, blue_phase_random_q_init), selected by the
+input key lc_q_initialisation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SQRT2 = np.sqrt(2.0)
+
+
+def _coords(size):
+    """1-based global coordinates, as in the reference (x = offset+ic)."""
+    x = np.arange(1, size[0] + 1, dtype=np.float64)
+    y = np.arange(1, size[1] + 1, dtype=np.float64)
+    z = np.arange(1, size[2] + 1, dtype=np.float64)
+    return np.meshgrid(x, y, z, indexing="ij")
+
+
+def q_uniaxial(amplitude, n):
+    """Q_ab = (A/2)(3 n_a n_b - delta_ab) -> 5 comps, n possibly fields."""
+    nx, ny, nz = n
+    q5 = np.stack([
+        0.5 * amplitude * (3.0 * nx * nx - 1.0),
+        0.5 * amplitude * (3.0 * nx * ny),
+        0.5 * amplitude * (3.0 * nx * nz),
+        0.5 * amplitude * (3.0 * ny * ny - 1.0),
+        0.5 * amplitude * (3.0 * ny * nz),
+    ])
+    return q5
+
+
+def lc_init_o8m(size, q0, amplitude0):
+    """BPI high-chirality O8M structure (ref: blue_phase_O8M_init, no
+    Euler rotation)."""
+    X, Y, Z = _coords(size)
+    cx, cy, cz = (np.cos(SQRT2 * q0 * X), np.cos(SQRT2 * q0 * Y),
+                  np.cos(SQRT2 * q0 * Z))
+    sx, sy, sz = (np.sin(SQRT2 * q0 * X), np.sin(SQRT2 * q0 * Y),
+                  np.sin(SQRT2 * q0 * Z))
+    a = amplitude0
+    qxx = a * (-2.0 * cy * sz + sx * cz + cx * sy)
+    qxy = a * (SQRT2 * cy * cz + SQRT2 * sx * sz - sx * cy)
+    qxz = a * (SQRT2 * cx * cy + SQRT2 * sz * sy - cx * sz)
+    qyy = a * (-2.0 * sx * cz + sy * cx + cy * sz)
+    qyz = a * (SQRT2 * cz * cx + SQRT2 * sy * sx - sy * cz)
+    return np.stack([qxx, qxy, qxz, qyy, qyz])
+
+
+def lc_init_o2(size, q0, amplitude0):
+    """BPII O2 structure (ref: blue_phase_O2_init)."""
+    X, Y, Z = _coords(size)
+    a = amplitude0
+    qxx = a * (np.cos(2.0 * q0 * Z) - np.cos(2.0 * q0 * Y))
+    qxy = a * np.sin(2.0 * q0 * Z)
+    qxz = a * np.sin(2.0 * q0 * Y)
+    qyy = a * (np.cos(2.0 * q0 * X) - np.cos(2.0 * q0 * Z))
+    qyz = a * np.sin(2.0 * q0 * X)
+    return np.stack([qxx, qxy, qxz, qyy, qyz])
+
+
+def lc_init_twist(size, q0, amplitude0, axis=0):
+    """Cholesteric helix with the given helical axis
+    (ref: blue_phase_twist_init)."""
+    X, Y, Z = _coords(size)
+    c = [X, Y, Z][axis]
+    zero = np.zeros(size)
+    if axis == 0:
+        n = (zero, np.cos(q0 * c), np.sin(q0 * c))
+    elif axis == 1:
+        n = (np.sin(q0 * c), zero, np.cos(q0 * c))
+    else:
+        n = (np.cos(q0 * c), np.sin(q0 * c), zero)
+    return q_uniaxial(amplitude0, n)
+
+
+def lc_init_nematic(size, amplitude0, director=(1.0, 0.0, 0.0)):
+    n = np.asarray(director, np.float64)
+    n = n / np.linalg.norm(n)
+    ones = np.ones(size)
+    return q_uniaxial(amplitude0, (n[0] * ones, n[1] * ones, n[2] * ones))
+
+
+def lc_init_random(size, amplitude0, seed=13):
+    """Random uniform director field (ref: blue_phase_random_q_init)."""
+    rng = np.random.default_rng(seed)
+    phase1 = 2.0 * np.pi * (rng.random(size) - 0.5)
+    phase2 = np.arccos(2.0 * rng.random(size) - 1.0)
+    n = (np.cos(phase1) * np.sin(phase2),
+         np.sin(phase1) * np.sin(phase2),
+         np.cos(phase2))
+    return q_uniaxial(amplitude0, n)

@@ -24,8 +24,11 @@ import numpy as np
 import ludwig_tpu
 from ludwig_tpu.binary import (BinaryConfig, initial_binary,
                                make_binary_step, fe_fields, spinodal_phi)
+from ludwig_tpu.fe.blue_phase import BluePhaseFE
+from ludwig_tpu.fe import lc_init
 from ludwig_tpu.fe.symmetric import SymmetricFE
 from ludwig_tpu.lb import (LBConfig, initial_rest, make_step, solid_mask)
+from ludwig_tpu.lc import LCConfig, initial_lc, lc_fields, make_lc_step
 from ludwig_tpu.ops.collide import RelaxationScheme
 from ludwig_tpu.runtime import RunTime
 from ludwig_tpu import stats
@@ -39,13 +42,18 @@ class System:
     lb_cfg: LBConfig
     binary_cfg: Optional[BinaryConfig]
     solid: Optional[jnp.ndarray]
-    state: tuple                 # (f,) or (f, phi, u)
+    state: tuple                 # (f,) or (f, phi|q, u)
     step_fn: object
+    lc_cfg: Optional[LCConfig] = None
     n_start: int = 0
 
     @property
     def is_binary(self) -> bool:
         return self.binary_cfg is not None
+
+    @property
+    def is_lc(self) -> bool:
+        return self.lc_cfg is not None
 
     @property
     def fluid_mask(self):
@@ -125,6 +133,51 @@ def build_system(rt: RunTime) -> System:
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg, solid=solid,
                       state=state, step_fn=step)
 
+    if fe_name == "lc_blue_phase":
+        fe = BluePhaseFE(
+            a0=rt.double_required("lc_a0"),
+            gamma=rt.double_required("lc_gamma"),
+            q0=rt.double_required("lc_q0"),
+            kappa0=rt.double_required("lc_kappa0"),
+            kappa1=rt.double_required("lc_kappa1"),
+            xi=rt.double("lc_xi", 0.0),
+            redshift=rt.double("lc_init_redshift", 1.0),
+            zeta0=rt.double("lc_active_zeta0", 0.0),
+            zeta1=rt.double("lc_active_zeta", 0.0) or
+                  rt.double("lc_active_zeta1", 0.0),
+            epsilon=rt.double("lc_dielectric_anisotropy", 0.0),
+            e0=tuple(rt.double_vector("electric_e0", (0.0, 0.0, 0.0))))
+        lcfg = LCConfig(
+            lb=lb_cfg, fe=fe,
+            gamma=rt.double("lc_Gamma", 0.1),
+            advection_order=rt.int("fd_advection_scheme_order", 1),
+            gradient=rt.string("fd_gradient_calculation", "3d_7pt_fluid"),
+            hydrodynamics=rt.switch("hydrodynamics", True))
+        mode = rt.string("lc_q_initialisation", "nematic")
+        amp = rt.double("lc_q_init_amplitude", fe.amplitude0)
+        if mode == "o8m":
+            q5 = lc_init.lc_init_o8m(size, fe.q0, amp)
+        elif mode == "o2":
+            q5 = lc_init.lc_init_o2(size, fe.q0, amp)
+        elif mode in ("twist", "cholesteric"):
+            axis = {"x": 0, "y": 1, "z": 2}[
+                rt.string("lc_init_nematic_axis",
+                          rt.string("lc_q_init_axis", "z")).lower()]
+            q5 = lc_init.lc_init_twist(size, fe.q0, amp, axis=axis)
+        elif mode == "nematic":
+            director = tuple(rt.double_vector("lc_init_nematic",
+                                              (1.0, 0.0, 0.0)))
+            q5 = lc_init.lc_init_nematic(size, amp, director)
+        elif mode == "random":
+            q5 = lc_init.lc_init_random(size, amp,
+                                        seed=rt.int("random_seed", 13))
+        else:
+            raise ValueError(f"lc_q_initialisation '{mode}' not implemented")
+        state = initial_lc(lcfg, q5)
+        step = make_lc_step(lcfg, solid=solid)
+        return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
+                      state=state, step_fn=step, lc_cfg=lcfg)
+
     if fe_name in ("none",):
         f = initial_rest(lb_cfg)
         step = make_step(lb_cfg, solid=solid)
@@ -161,6 +214,18 @@ def _make_stats_fn(sys_: System):
                 mean = jnp.mean(jnp.where(mask, fed, 0.0))
                 fluid = jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask)
             res["fed"] = (mean, fluid)
+        if sys_.lc_cfg is not None:
+            q5 = state[1]
+            res["q5"] = [stats.field_stats(q5[n], mask) for n in range(5)]
+            fields = lc_fields(q5, sys_.lc_cfg.gradient)
+            fed = sys_.lc_cfg.fe.fed(fields)
+            if mask is None:
+                mean = jnp.mean(fed)
+                fluid = mean
+            else:
+                mean = jnp.mean(jnp.where(mask, fed, 0.0))
+                fluid = jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask)
+            res["fed"] = (mean, fluid)
         return res
 
     return compute
@@ -174,6 +239,10 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
     out.write(stats.format_rho_block(*res["rho"]))
     if sys_.is_binary:
         out.write(stats.format_phi_line("phi", *res["phi"]))
+        out.write(stats.format_fed_block(tstep, *res["fed"]))
+    if sys_.is_lc:
+        for n, name in enumerate(("Qxx", "Qxy", "Qxz", "Qyy", "Qyz")):
+            out.write(stats.format_phi_line(name, *res["q5"][n]))
         out.write(stats.format_fed_block(tstep, *res["fed"]))
     g = res["g"]
     out.write(stats.format_momentum_block(g, g))
@@ -211,7 +280,7 @@ def run_text(text: str, out=sys.stdout) -> System:
     out.write("\nStarting time step loop.\n")
     state = sys_.state
     for t in range(sys_.n_start + 1, sys_.n_start + ncycles + 1):
-        if sys_.is_binary:
+        if sys_.is_binary or sys_.is_lc:
             state, rho = sys_.step_fn(state)
             u = state[2]
         else:

@@ -23,43 +23,47 @@ from ludwig_tpu.lattice import LatticeModel
 from ludwig_tpu.lb import hydro_fields
 
 
+def _compensated_stats(x: jnp.ndarray,
+                       fluid_mask: Optional[jnp.ndarray] = None):
+    """(total, mean, var, min, max) via the shifted two-pass algorithm.
+
+    Naive sum + E[x^2]-E[x]^2 loses ~n*eps through sequential
+    accumulation and catastrophic cancellation; the reference solves this
+    with Kahan/Klein compensated MPI reductions (ref: util_sum.h:22-42).
+    Here: a provisional mean, then exact-to-eps sums of (x - mean0) and
+    (x - mean0)^2 - same log precision, fully vectorisable.
+    """
+    if fluid_mask is None:
+        n = jnp.asarray(float(x.size), x.dtype)
+        mean0 = jnp.mean(x)
+        d = x - mean0
+        corr = jnp.sum(d)
+        sq = jnp.sum(d * d)
+        xmin, xmax = jnp.min(x), jnp.max(x)
+    else:
+        n = jnp.sum(fluid_mask).astype(x.dtype)
+        xm = jnp.where(fluid_mask, x, 0.0)
+        mean0 = jnp.sum(xm) / n
+        d = jnp.where(fluid_mask, x - mean0, 0.0)
+        corr = jnp.sum(d)
+        sq = jnp.sum(d * d)
+        xmin = jnp.min(jnp.where(fluid_mask, x, jnp.inf))
+        xmax = jnp.max(jnp.where(fluid_mask, x, -jnp.inf))
+    total = mean0 * n + corr
+    mean = total / n
+    var = jnp.abs(sq / n - (corr / n) ** 2)
+    return total, mean, var, xmin, xmax
+
+
 def rho_stats(f: jnp.ndarray, model: LatticeModel,
               fluid_mask: Optional[jnp.ndarray] = None):
     """(total, mean, var, min, max) of density over fluid sites."""
-    rho = jnp.sum(f, axis=0)
-    if fluid_mask is None:
-        n = rho.size
-        total = jnp.sum(rho)
-        sq = jnp.sum(rho * rho)
-        rmin = jnp.min(rho)
-        rmax = jnp.max(rho)
-    else:
-        n = jnp.sum(fluid_mask)
-        total = jnp.sum(jnp.where(fluid_mask, rho, 0.0))
-        sq = jnp.sum(jnp.where(fluid_mask, rho * rho, 0.0))
-        rmin = jnp.min(jnp.where(fluid_mask, rho, jnp.inf))
-        rmax = jnp.max(jnp.where(fluid_mask, rho, -jnp.inf))
-    mean = total / n
-    var = jnp.abs(sq / n - mean * mean)
-    return total, mean, var, rmin, rmax
+    return _compensated_stats(jnp.sum(f, axis=0), fluid_mask)
 
 
 def field_stats(phi: jnp.ndarray, fluid_mask: Optional[jnp.ndarray] = None):
     """(total, mean, var, min, max) of a scalar order parameter."""
-    if fluid_mask is None:
-        n = phi.size
-        total = jnp.sum(phi)
-        sq = jnp.sum(phi * phi)
-        fmin, fmax = jnp.min(phi), jnp.max(phi)
-    else:
-        n = jnp.sum(fluid_mask)
-        total = jnp.sum(jnp.where(fluid_mask, phi, 0.0))
-        sq = jnp.sum(jnp.where(fluid_mask, phi * phi, 0.0))
-        fmin = jnp.min(jnp.where(fluid_mask, phi, jnp.inf))
-        fmax = jnp.max(jnp.where(fluid_mask, phi, -jnp.inf))
-    mean = total / n
-    var = sq / n - mean * mean
-    return total, mean, var, fmin, fmax
+    return _compensated_stats(phi, fluid_mask)
 
 
 def momentum_total(f: jnp.ndarray, model: LatticeModel,

@@ -1,0 +1,58 @@
+"""Golden-log parity against actual reference regression files.
+
+Runs real `/root/reference/tests/regression/...` input files through our
+orchestration and diffs selected statistics lines against the committed
+reference logs (the reference's own regression contract, cf.
+tests/test-diff.sh FP-tolerant diff).
+"""
+
+import io
+import os
+import re
+
+import pytest
+
+REF = "/root/reference/tests/regression/d3q19-short"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not mounted")
+
+
+def _run_ref_input(name, n_cycles=None):
+    from ludwig_tpu.ludwig import run_text
+    with open(f"{REF}/{name}.inp") as fh:
+        inp = fh.read()
+    if n_cycles is not None:
+        inp = re.sub(r"N_cycles \d+", f"N_cycles {n_cycles}", inp)
+    out = io.StringIO()
+    run_text(inp, out=out)
+    return out.getvalue()
+
+
+def _stat_lines(text, tags=("[Qxx]", "[Qxy]", "[Qxz]", "[Qyy]", "[Qyz]",
+                            "[phi]")):
+    return [ln for ln in text.splitlines()
+            if any(ln.startswith(t) for t in tags)]
+
+
+def test_relx_bp1_initial_scalars_match_reference_log():
+    """The t=0 Q statistics of serial-relx-bp1 (BPI O8M init) must match
+    the committed reference log values (variance/min/max to print
+    precision; totals are sums of ~zero and compare loosely)."""
+    ours = _run_ref_input("serial-relx-bp1", n_cycles=0)
+    with open(f"{REF}/serial-relx-bp1.log") as fh:
+        ref = fh.read()
+
+    ours_lines = _stat_lines(ours)[:5]
+    ref_lines = _stat_lines(ref)[:5]
+    assert len(ours_lines) == 5 and len(ref_lines) == 5
+
+    for ol, rl in zip(ours_lines, ref_lines):
+        otok = ol.split()
+        rtok = rl.split()
+        assert otok[0] == rtok[0]
+        # variance, min, max identical at print precision
+        for i in (3, 4, 5):
+            assert otok[i] == rtok[i], (otok[0], i, otok[i], rtok[i])
+        # total/mean are sums of an odd function over the box (~1e-13)
+        assert abs(float(otok[1])) < 1e-10
