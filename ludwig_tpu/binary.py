@@ -65,22 +65,35 @@ def make_binary_step(cfg: BinaryConfig, solid=None):
     wall_u = (cfg.lb.wall_u if any(v != 0.0 for v in cfg.lb.wall_u)
               else None)
 
+    nz = cfg.lb.noise
+
     @partial(jax.jit, donate_argnums=0)
-    def step(state):
+    def step(state, t=0):
+        from ludwig_tpu.lb import _noise_terms
+        from ludwig_tpu import noise as noise_mod
         f, phi, u = state
         fields = fe_fields(phi, cfg.gradient)
         mu = cfg.fe.mu(fields)
 
+        rflux = None
+        if nz is not None and nz.phi:
+            rflux = noise_mod.ch_random_flux(nz.seed, t, cfg.lb.size,
+                                             nz.kt, cfg.mobility,
+                                             dtype=cfg.lb.jdtype)
+
         if cfg.hydrodynamics:
             force = stress_divergence_force(cfg.fe.stress(fields))
             force = force.astype(f.dtype)
-            phi = cahn_hilliard_update(phi, mu, u, ch, solid=solid)
+            phi = cahn_hilliard_update(phi, mu, u, ch, solid=solid,
+                                       random_flux=rflux)
+            shat, ghat = _noise_terms(cfg.lb, params, t)
             f, rho, u_new = collide(f, params, force=force,
-                                    fluid_mask=fluid)
+                                    fluid_mask=fluid, shat=shat, ghat=ghat)
             f = stream_bounce_back(f, model, solid=solid, wall_u=wall_u,
                                    rho0=cfg.lb.rho0)
         else:
-            phi = cahn_hilliard_update(phi, mu, None, ch, solid=solid)
+            phi = cahn_hilliard_update(phi, mu, None, ch, solid=solid,
+                                       random_flux=rflux)
             rho = jnp.ones_like(phi)
             u_new = jnp.zeros_like(u)
 
@@ -93,11 +106,11 @@ def make_binary_nstep(cfg: BinaryConfig, solid=None):
     step = make_binary_step(cfg, solid)
 
     @partial(jax.jit, static_argnums=1, donate_argnums=0)
-    def nstep(state, n):
-        def body(s, _):
-            s, _rho = step(s)
+    def nstep(state, n, t0=0):
+        def body(s, t):
+            s, _rho = step(s, t)
             return s, ()
-        state, _ = jax.lax.scan(body, state, None, length=n)
+        state, _ = jax.lax.scan(body, state, t0 + jnp.arange(n))
         return state
 
     return nstep

@@ -39,6 +39,7 @@ class LBConfig:
     walls: Tuple[bool, bool, bool] = (False, False, False)
     wall_u: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     dtype: str = "float32"
+    noise: Optional[object] = None   # NoiseConfig (isothermal fluctuations)
 
     @property
     def model(self) -> LatticeModel:
@@ -81,12 +82,32 @@ def solid_mask(cfg: LBConfig, porous: Optional[np.ndarray] = None):
     return jnp.asarray(m)
 
 
+def _noise_terms(cfg: LBConfig, params, t):
+    """(shat, ghat) fluctuation terms for timestep t, or (None, None)."""
+    from ludwig_tpu import noise as noise_mod
+    nz = cfg.noise
+    if nz is None or not nz.rho:
+        return None, None
+    ve = noise_mod.var_eta(1.0 / params.rtau_shear, nz.kt)
+    vb = noise_mod.var_bulk(1.0 / params.rtau_bulk, nz.kt)
+    shat = noise_mod.fluctuating_stress(nz.seed, t, cfg.size, ve, vb,
+                                        ndim=cfg.model.ndim,
+                                        dtype=cfg.jdtype)
+    ghat = None
+    if cfg.ghost_modes_on:
+        vg = noise_mod.var_ghost(cfg.model, params.rtau_ghost, nz.kt)
+        ghat = noise_mod.ghost_noise(nz.seed + 7919, t, cfg.size,
+                                     cfg.model, vg, dtype=cfg.jdtype)
+    return shat, ghat
+
+
 def make_step(cfg: LBConfig, solid=None,
               force_field=None):
-    """Build the jitted single-fluid step: f -> (f', rho, u).
+    """Build the jitted single-fluid step: (f, t) -> (f', rho, u).
 
     The returned function donates f, so the update happens in place in
     device memory (matching the reference's two-buffer swap at zero cost).
+    t is the timestep counter, consumed by the fluctuation RNG.
     """
     params = cfg.collision_params()
     model = cfg.model
@@ -94,8 +115,10 @@ def make_step(cfg: LBConfig, solid=None,
     wall_u = cfg.wall_u if any(v != 0.0 for v in cfg.wall_u) else None
 
     @partial(jax.jit, donate_argnums=0)
-    def step(f, force=force_field):
-        f_post, rho, u = collide(f, params, force=force, fluid_mask=fluid)
+    def step(f, t=0, force=force_field):
+        shat, ghat = _noise_terms(cfg, params, t)
+        f_post, rho, u = collide(f, params, force=force, fluid_mask=fluid,
+                                 shat=shat, ghat=ghat)
         f_new = stream_bounce_back(f_post, model, solid=solid,
                                    wall_u=wall_u, rho0=cfg.rho0)
         return f_new, rho, u
@@ -112,14 +135,15 @@ def make_nstep(cfg: LBConfig, solid=None, force_field=None):
     wall_u = cfg.wall_u if any(v != 0.0 for v in cfg.wall_u) else None
 
     @partial(jax.jit, static_argnums=1, donate_argnums=0)
-    def nstep(f, n):
-        def body(f, _):
+    def nstep(f, n, t0=0):
+        def body(f, t):
+            shat, ghat = _noise_terms(cfg, params, t)
             f_post, _, _ = collide(f, params, force=force_field,
-                                   fluid_mask=fluid)
+                                   fluid_mask=fluid, shat=shat, ghat=ghat)
             f_new = stream_bounce_back(f_post, model, solid=solid,
                                        wall_u=wall_u, rho0=cfg.rho0)
             return f_new, ()
-        f, _ = jax.lax.scan(body, f, None, length=n)
+        f, _ = jax.lax.scan(body, f, t0 + jnp.arange(n))
         return f
 
     return nstep

@@ -50,7 +50,7 @@ def make_lc_step(cfg: LCConfig, solid=None):
     fluid = None if solid is None else jnp.logical_not(solid)
 
     @partial(jax.jit, donate_argnums=0)
-    def step(state):
+    def step(state, t=0):
         f, q5, u = state
         fields = lc_fields(q5, cfg.gradient)
         h = cfg.fe.molecular_field(fields)
@@ -80,11 +80,11 @@ def make_lc_nstep(cfg: LCConfig, solid=None):
     step = make_lc_step(cfg, solid)
 
     @partial(jax.jit, static_argnums=1, donate_argnums=0)
-    def nstep(state, n):
-        def body(s, _):
-            s, _rho = step(s)
+    def nstep(state, n, t0=0):
+        def body(s, t):
+            s, _rho = step(s, t)
             return s, ()
-        state, _ = jax.lax.scan(body, state, None, length=n)
+        state, _ = jax.lax.scan(body, state, t0 + jnp.arange(n))
         return state
 
     return nstep

@@ -109,10 +109,24 @@ def build_system(rt: RunTime) -> System:
     # 2-D inputs use size Z=1 with d2q9
     nvel = rt.int("lb_nvel", 9 if size[2] == 1 else 19)
 
+    # fluctuations (ref: temperature + isothermal_fluctuations keys;
+    # symmetric_noise selects order-parameter noise)
+    from ludwig_tpu.noise import NoiseConfig
+    kt = rt.double("temperature", 0.0)
+    fe_name_peek = rt.string("free_energy", "none")
+    nz = None
+    if kt > 0.0:
+        nz = NoiseConfig(kt=kt,
+                         seed=rt.int("random_seed", 8361235),
+                         rho=rt.switch("isothermal_fluctuations", False),
+                         phi=(fe_name_peek == "symmetric_noise"))
+        if not (nz.rho or nz.phi):
+            nz = None
+
     lb_cfg = LBConfig(size=size, nvel=nvel, eta_shear=eta, eta_bulk=eta_b,
                       rho0=rho0, scheme=_relaxation(rt),
                       ghost_modes_on=ghosts, force_global=force,
-                      walls=walls, dtype=dtype)
+                      walls=walls, dtype=dtype, noise=nz)
     solid = solid_mask(lb_cfg)
 
     fe_name = rt.string("free_energy", "none")
@@ -281,10 +295,10 @@ def run_text(text: str, out=sys.stdout) -> System:
     state = sys_.state
     for t in range(sys_.n_start + 1, sys_.n_start + ncycles + 1):
         if sys_.is_binary or sys_.is_lc:
-            state, rho = sys_.step_fn(state)
+            state, rho = sys_.step_fn(state, t)
             u = state[2]
         else:
-            f, rho, u = sys_.step_fn(*state)
+            f, rho, u = sys_.step_fn(state[0], t)
             state = (f,)
         sys_.state = state
         if t % freq == 0:
