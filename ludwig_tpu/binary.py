@@ -35,17 +35,29 @@ class BinaryConfig:
     """Static configuration for a symmetric binary-fluid run."""
 
     lb: LBConfig
-    fe: SymmetricFE
+    fe: object                # SymmetricFE or BrazovskiiFE (fed/mu/stress)
     mobility: float = 1.0
     advection_order: int = 1
     gradient: str = "3d_7pt_fluid"
     hydrodynamics: bool = True
 
+    @property
+    def fourth_order(self) -> bool:
+        from ludwig_tpu.fe.brazovskii import BrazovskiiFE
+        return isinstance(self.fe, BrazovskiiFE)
 
-def fe_fields(phi, gradient: str):
-    """Order parameter + gradients dict shared by mu/stress/stats."""
+
+def fe_fields(phi, gradient: str, fourth_order: bool = False):
+    """Order parameter + gradients dict shared by mu/stress/stats.
+
+    fourth_order adds grad(del^2 phi) and del^4 phi (Brazovskii; the
+    reference's ngrad = 4 path, ref: field_grad.h:24-34)."""
     grad, delsq = gradient_ops(gradient)
-    return {"phi": phi, "grad_phi": grad(phi), "delsq_phi": delsq(phi)}
+    out = {"phi": phi, "grad_phi": grad(phi), "delsq_phi": delsq(phi)}
+    if fourth_order:
+        out["grad_delsq_phi"] = grad(out["delsq_phi"])
+        out["delsq_delsq_phi"] = delsq(out["delsq_phi"])
+    return out
 
 
 def make_binary_step(cfg: BinaryConfig, solid=None):
@@ -72,7 +84,7 @@ def make_binary_step(cfg: BinaryConfig, solid=None):
         from ludwig_tpu.lb import _noise_terms
         from ludwig_tpu import noise as noise_mod
         f, phi, u = state
-        fields = fe_fields(phi, cfg.gradient)
+        fields = fe_fields(phi, cfg.gradient, cfg.fourth_order)
         mu = cfg.fe.mu(fields)
 
         rflux = None

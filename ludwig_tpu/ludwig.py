@@ -45,6 +45,7 @@ class System:
     state: tuple                 # (f,) or (f, phi|q, u)
     step_fn: object
     lc_cfg: Optional[LCConfig] = None
+    two_field_cfg: Optional[object] = None
     n_start: int = 0
 
     @property
@@ -54,6 +55,10 @@ class System:
     @property
     def is_lc(self) -> bool:
         return self.lc_cfg is not None
+
+    @property
+    def is_two_field(self) -> bool:
+        return self.two_field_cfg is not None
 
     @property
     def fluid_mask(self):
@@ -68,8 +73,14 @@ def _relaxation(rt: RunTime) -> RelaxationScheme:
             "trt": RelaxationScheme.TRT}[name]
 
 
-def _phi_init(rt: RunTime, size, fe: SymmetricFE) -> np.ndarray:
-    """phi initialisation modes (ref: src/phi_rt.c / field_phi_init.c)."""
+def _phi_init(rt: RunTime, size, fe) -> np.ndarray:
+    """phi initialisation modes (ref: src/phi_rt.c / field_phi_init.c).
+    fe may be None (non-symmetric FEs); interface-width-based modes then
+    use the phi_init_width key."""
+    class _W:
+        xi0 = rt.double("phi_init_width", 1.0)
+    if fe is None:
+        fe = _W()
     mode = rt.string("phi_initialisation", "spinodal")
     phi0 = rt.double("phi0", 0.0)
     seed = rt.int("random_seed", 13)
@@ -130,6 +141,63 @@ def build_system(rt: RunTime) -> System:
     solid = solid_mask(lb_cfg)
 
     fe_name = rt.string("free_energy", "none")
+
+    if fe_name == "brazovskii":
+        from ludwig_tpu.fe.brazovskii import BrazovskiiFE
+        fe = BrazovskiiFE(a=rt.double_required("A"),
+                          b=rt.double_required("B"),
+                          kappa=rt.double_required("K"),
+                          c=rt.double_required("C"))
+        bcfg = BinaryConfig(
+            lb=lb_cfg, fe=fe,
+            mobility=rt.double("mobility", 1.0),
+            advection_order=rt.int("fd_advection_scheme_order", 1),
+            gradient=rt.string("fd_gradient_calculation", "3d_7pt_fluid"),
+            hydrodynamics=rt.switch("hydrodynamics", True))
+        phi0 = _phi_init(rt, size, None)
+        state = initial_binary(bcfg, phi0)
+        step = make_binary_step(bcfg, solid=solid)
+        return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg, solid=solid,
+                      state=state, step_fn=step)
+
+    if fe_name in ("surfactant", "ternary"):
+        from ludwig_tpu.two_field import (TwoFieldConfig, initial_two_field,
+                                          make_two_field_step)
+        if fe_name == "surfactant":
+            from ludwig_tpu.fe.surfactant import SurfactantFE
+            fe = SurfactantFE(a=rt.double_required("surf_A"),
+                              b=rt.double_required("surf_B"),
+                              kappa=rt.double_required("surf_kappa"),
+                              kt=rt.double_required("surf_kT"),
+                              epsilon=rt.double_required("surf_epsilon"),
+                              beta=rt.double("surf_beta", 0.0),
+                              w=rt.double("surf_W", 0.0))
+            m0 = rt.double("mobility", 1.0)
+            mob = (rt.double("surf_mobility_phi", m0),
+                   rt.double("surf_mobility_psi", m0))
+            psi0_mean = rt.double("surf_psi0", 0.01)
+        else:
+            from ludwig_tpu.fe.ternary import TernaryFE
+            fe = TernaryFE(alpha=rt.double_required("ternary_alpha"),
+                           kappa1=rt.double_required("ternary_kappa1"),
+                           kappa2=rt.double_required("ternary_kappa2"),
+                           kappa3=rt.double_required("ternary_kappa3"))
+            m0 = rt.double("mobility", 1.0)
+            mob = (rt.double("ternary_mobility_phi", m0),
+                   rt.double("ternary_mobility_psi", m0))
+            psi0_mean = rt.double("ternary_psi0", 0.0)
+        tcfg = TwoFieldConfig(
+            lb=lb_cfg, fe=fe, mobilities=mob,
+            advection_order=rt.int("fd_advection_scheme_order", 1),
+            gradient=rt.string("fd_gradient_calculation", "3d_7pt_fluid"),
+            hydrodynamics=rt.switch("hydrodynamics", True))
+        phi0 = _phi_init(rt, size, None)
+        psi0 = np.full(size, psi0_mean)
+        state = initial_two_field(tcfg, phi0, psi0)
+        step = make_two_field_step(tcfg, solid=solid)
+        return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
+                      state=state, step_fn=step, two_field_cfg=tcfg)
+
     if fe_name in ("symmetric", "symmetric_noise", "symmetric_lb"):
         fe = SymmetricFE(a=rt.double_required("A"),
                          b=rt.double_required("B"),
@@ -228,6 +296,21 @@ def _make_stats_fn(sys_: System):
                 mean = jnp.mean(jnp.where(mask, fed, 0.0))
                 fluid = jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask)
             res["fed"] = (mean, fluid)
+        if sys_.two_field_cfg is not None:
+            from ludwig_tpu.two_field import two_fields
+            tcfg = sys_.two_field_cfg
+            phi, psi = state[1], state[2]
+            res["phi"] = stats.field_stats(phi, mask)
+            res["psi"] = stats.field_stats(psi, mask)
+            fields = two_fields(phi, psi, tcfg.gradient)
+            fed = tcfg.fe.fed(fields)
+            if mask is None:
+                mean = jnp.mean(fed)
+                fluid = mean
+            else:
+                mean = jnp.mean(jnp.where(mask, fed, 0.0))
+                fluid = jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask)
+            res["fed"] = (mean, fluid)
         if sys_.lc_cfg is not None:
             q5 = state[1]
             res["q5"] = [stats.field_stats(q5[n], mask) for n in range(5)]
@@ -253,6 +336,10 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
     out.write(stats.format_rho_block(*res["rho"]))
     if sys_.is_binary:
         out.write(stats.format_phi_line("phi", *res["phi"]))
+        out.write(stats.format_fed_block(tstep, *res["fed"]))
+    if sys_.is_two_field:
+        out.write(stats.format_phi_line("phi", *res["phi"]))
+        out.write(stats.format_phi_line("psi", *res["psi"]))
         out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_lc:
         for n, name in enumerate(("Qxx", "Qxy", "Qxz", "Qyy", "Qyz")):
@@ -294,9 +381,9 @@ def run_text(text: str, out=sys.stdout) -> System:
     out.write("\nStarting time step loop.\n")
     state = sys_.state
     for t in range(sys_.n_start + 1, sys_.n_start + ncycles + 1):
-        if sys_.is_binary or sys_.is_lc:
+        if sys_.is_binary or sys_.is_lc or sys_.is_two_field:
             state, rho = sys_.step_fn(state, t)
-            u = state[2]
+            u = state[-1]
         else:
             f, rho, u = sys_.step_fn(state[0], t)
             state = (f,)
