@@ -102,12 +102,14 @@ def _noise_terms(cfg: LBConfig, params, t):
 
 
 def make_step(cfg: LBConfig, solid=None,
-              force_field=None):
+              force_field=None, le=None):
     """Build the jitted single-fluid step: (f, t) -> (f', rho, u).
 
     The returned function donates f, so the update happens in place in
     device memory (matching the reference's two-buffer swap at zero cost).
-    t is the timestep counter, consumed by the fluctuation RNG.
+    t is the timestep counter, consumed by the fluctuation RNG and the
+    Lees-Edwards displacement.  le is a LeesEdwardsConfig or None
+    (order per ref ludwig.c: collide -> LE -> propagation).
     """
     params = cfg.collision_params()
     model = cfg.model
@@ -119,6 +121,9 @@ def make_step(cfg: LBConfig, solid=None,
         shat, ghat = _noise_terms(cfg, params, t)
         f_post, rho, u = collide(f, params, force=force, fluid_mask=fluid,
                                  shat=shat, ghat=ghat)
+        if le is not None:
+            from ludwig_tpu.ops.lees_edwards import apply_lb_le
+            f_post = apply_lb_le(f_post, model, le, t)
         f_new = stream_bounce_back(f_post, model, solid=solid,
                                    wall_u=wall_u, rho0=cfg.rho0)
         return f_new, rho, u
@@ -126,7 +131,7 @@ def make_step(cfg: LBConfig, solid=None,
     return step
 
 
-def make_nstep(cfg: LBConfig, solid=None, force_field=None):
+def make_nstep(cfg: LBConfig, solid=None, force_field=None, le=None):
     """n fused steps via lax.scan inside one jit (for benchmarking: no
     host round-trip per step)."""
     params = cfg.collision_params()
@@ -140,6 +145,9 @@ def make_nstep(cfg: LBConfig, solid=None, force_field=None):
             shat, ghat = _noise_terms(cfg, params, t)
             f_post, _, _ = collide(f, params, force=force_field,
                                    fluid_mask=fluid, shat=shat, ghat=ghat)
+            if le is not None:
+                from ludwig_tpu.ops.lees_edwards import apply_lb_le
+                f_post = apply_lb_le(f_post, model, le, t)
             f_new = stream_bounce_back(f_post, model, solid=solid,
                                        wall_u=wall_u, rho0=cfg.rho0)
             return f_new, ()

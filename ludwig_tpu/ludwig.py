@@ -261,8 +261,15 @@ def build_system(rt: RunTime) -> System:
                       state=state, step_fn=step, lc_cfg=lcfg)
 
     if fe_name in ("none",):
+        le = None
+        nplanes = rt.int("N_LE_plane", 0)
+        if nplanes > 0:
+            from ludwig_tpu.ops.lees_edwards import LeesEdwardsConfig
+            le = LeesEdwardsConfig(nplanes=nplanes,
+                                   uy=rt.double_required("LE_plane_vel"),
+                                   nx=size[0])
         f = initial_rest(lb_cfg)
-        step = make_step(lb_cfg, solid=solid)
+        step = make_step(lb_cfg, solid=solid, le=le)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
                       state=(f,), step_fn=step)
 

@@ -1,0 +1,139 @@
+"""Lees-Edwards sliding periodic boundaries for the LB distributions.
+
+TPU-native equivalent of the reference LE machinery (ref:
+src/leesedwards.c geometry :240-241 dx_sep = Lx/nplanes, dx_min =
+dx_sep/2; src/model_le.c: le_reproject :111-205, le_displace_and_
+interpolate :219-300).  nplanes equally-spaced planes normal to x, each
+with sliding velocity uy; the block above each plane moves at +uy
+relative to the block below.
+
+Two stages applied to post-collision distributions, before streaming:
+
+1. reprojection: for the column just below a plane, distributions with
+   c_x = +1 are Galilean-boosted by du = -uy (and +uy for c_x = -1 just
+   above):  f_p += w_p (rho du.c_p / cs^2 + ds:Q_p / (2 cs^4)),
+   ds_ab = g_a du_b + du_a g_b + rho du_a du_b.
+
+2. displacement: the same crossing distributions are shifted along y by
+   the accumulated slide dy = uy t with linear interpolation.
+
+The reference stages these columns through host MPI buffers
+(model_le.c:399 parallel variant); here they are column slabs updated
+in place, and on a sharded lattice the dynamic y-roll lowers to XLA
+collective-permutes - no host staging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ludwig_tpu.lattice import CS2, LatticeModel
+
+
+@dataclasses.dataclass(frozen=True)
+class LeesEdwardsConfig:
+    nplanes: int
+    uy: float
+    nx: int                      # total lattice extent along x
+
+    @property
+    def plane_cols(self) -> Tuple[int, ...]:
+        """0-based column index just below each plane (the plane sits
+        between col and col+1).  Ref ic (1-based) = dx_min + p dx_sep."""
+        dx_sep = self.nx / self.nplanes
+        dx_min = 0.5 * dx_sep
+        return tuple(int(dx_min + p * dx_sep) - 1
+                     for p in range(self.nplanes))
+
+
+def _boost_column(fcol: jnp.ndarray, model: LatticeModel, cx: int,
+                  duy: float) -> jnp.ndarray:
+    """Reproject one column slab (nvel, Y, Z) for crossing velocities."""
+    rcs2 = 1.0 / CS2
+    rho = sum(fcol[p] for p in range(model.nvel))
+    g = [None, None, None]
+    for a in range(3):
+        acc = 0.0
+        for p in range(model.nvel):
+            c = float(model.cv[p][a])
+            if c:
+                acc = acc + c * fcol[p] if not isinstance(acc, float) \
+                    else c * fcol[p] + acc
+        g[a] = acc if not isinstance(acc, float) else jnp.zeros_like(rho)
+
+    du = [0.0, float(duy), 0.0]
+    ds = [[g[a] * du[b] + du[a] * g[b] + rho * du[a] * du[b]
+           for b in range(3)] for a in range(3)]
+
+    rows = []
+    for p in range(model.nvel):
+        if int(model.cv[p][0]) != cx:
+            rows.append(fcol[p])
+            continue
+        udotc = du[1] * float(model.cv[p][1])
+        sdotq = 0.0
+        for a in range(3):
+            for b in range(3):
+                q = (float(model.cv[p][a] * model.cv[p][b])
+                     - (CS2 if a == b else 0.0))
+                if isinstance(ds[a][b], float):
+                    continue
+                sdotq = sdotq + ds[a][b] * q
+        fnew = fcol[p] + float(model.wv[p]) * (
+            rho * udotc * rcs2 + 0.5 * sdotq * rcs2 * rcs2)
+        rows.append(fnew)
+    return jnp.stack(rows)
+
+
+def _displace_column(fcol: jnp.ndarray, model: LatticeModel, cx: int,
+                     dy) -> jnp.ndarray:
+    """Shift crossing distributions along y by dy (linear interpolation,
+    dynamic: dy is traced).  fcol (nvel, Y, Z)."""
+    ny = fcol.shape[1]
+    dy = jnp.mod(dy, ny)
+    jdy = jnp.floor(dy).astype(jnp.int32)
+    fr = dy - jdy
+    cross = np.array([int(model.cv[p][0]) == cx
+                      for p in range(model.nvel)])
+    sel = jnp.asarray(cross)[:, None, None]
+    # sample at y + jdy and y + jdy + 1 (ref: j1 = jc + jdy, j2 = j1 + 1)
+    f1 = jnp.roll(fcol, -jdy, axis=1)
+    f2 = jnp.roll(fcol, -(jdy + 1), axis=1)
+    interp = (1.0 - fr) * f1 + fr * f2
+    return jnp.where(sel, interp, fcol)
+
+
+def apply_lb_le(f: jnp.ndarray, model: LatticeModel,
+                cfg: LeesEdwardsConfig, t) -> jnp.ndarray:
+    """Apply LE boundary conditions to post-collision distributions
+    (both stages), returning the updated f (nvel, X, Y, Z)."""
+    uy = cfg.uy
+    tt = jnp.asarray(t, f.dtype)
+    for col in cfg.plane_cols:
+        cup = (col + 1) % cfg.nx
+        # side below the plane: crossing up (cx = +1), boost du = -uy,
+        # arrive in the upper frame displaced by +uy t
+        slab = _boost_column(f[:, col], model, +1, -uy)
+        slab = _displace_column(slab, model, +1, uy * tt)
+        f = f.at[:, col].set(slab)
+        # side above: crossing down (cx = -1), boost du = +uy
+        slab = _boost_column(f[:, cup], model, -1, +uy)
+        slab = _displace_column(slab, model, -1, -uy * tt)
+        f = f.at[:, cup].set(slab)
+    return f
+
+
+def le_steady_profile(cfg: LeesEdwardsConfig, x: np.ndarray) -> np.ndarray:
+    """Analytic steady sawtooth u_y(x) in the stored (per-block) frame:
+    with the reference's sign conventions the blocks carry slope
+    +nplanes uy / X and each plane a -uy jump (the apparent velocity of
+    the block above, seen from below, is -uy)."""
+    slope = cfg.nplanes * cfg.uy / cfg.nx
+    u = slope * (x + 0.5)
+    for col in cfg.plane_cols:
+        u = u - cfg.uy * (x > col)
+    return u - u.mean()
