@@ -380,6 +380,37 @@ def run_text(text: str, out=sys.stdout) -> System:
     freq = rt.int("freq_statistics", max(ncycles, 1))
     stats_fn = _make_stats_fn(sys_)
 
+    # checkpoint / restart (ref: ludwig.c:310-369, 868-916)
+    from ludwig_tpu.io import read_state, write_state
+    iodir = rt.string("io_directory", ".")
+    freq_config = rt.int("freq_config", 0)
+    config_at_end = rt.switch("config_at_end", False)
+    n_start = rt.int("N_start", 0)
+    sys_.n_start = n_start
+
+    def _field_names():
+        names = ["dist"]
+        if sys_.is_binary:
+            names.append("phi")
+        if sys_.is_two_field:
+            names += ["phi", "psi"]
+        if sys_.is_lc:
+            names.append("q")
+        if sys_.is_binary or sys_.is_lc or sys_.is_two_field:
+            names.append("vel")
+        return names
+
+    def _dump(step, state):
+        names = _field_names()
+        write_state(iodir, step, dict(zip(names, state)))
+
+    if n_start > 0:
+        names = _field_names()
+        data = read_state(iodir, n_start, names)
+        sys_.state = tuple(jnp.asarray(data[n], sys_.lb_cfg.jdtype)
+                           for n in names)
+        out.write(f"Restart from step {n_start}\n")
+
     # initial report (tstep 0) as the reference does before the loop
     u = jnp.zeros((3,) + size, sys_.lb_cfg.jdtype)
     report_statistics(sys_, sys_.n_start, u, stats_fn,
@@ -397,6 +428,11 @@ def run_text(text: str, out=sys.stdout) -> System:
         sys_.state = state
         if t % freq == 0:
             report_statistics(sys_, t, u, stats_fn, out=out)
+        if freq_config and t % freq_config == 0:
+            _dump(t, state)
+
+    if config_at_end and ncycles > 0:
+        _dump(sys_.n_start + ncycles, state)
 
     unused = rt.unused_keys()
     if unused:
