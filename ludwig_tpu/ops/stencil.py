@@ -103,6 +103,29 @@ def delsq_27pt(phi: jnp.ndarray) -> jnp.ndarray:
     return r9 * acc
 
 
+def dab_7pt(phi: jnp.ndarray) -> jnp.ndarray:
+    """Second-derivative tensor d_a d_b phi (3, 3, ...): standard central
+    second differences on the diagonal, cross differences off-diagonal
+    (ref: field_grad_scalar_dab)."""
+    def sh(*s):
+        return _shift(phi, *s)
+
+    rows = [[None] * 3 for _ in range(3)]
+    offs = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    for a in range(3):
+        oa = offs[a]
+        rows[a][a] = (sh(*[-v for v in oa]) - 2.0 * phi + sh(*oa))
+        for b in range(a + 1, 3):
+            ob = offs[b]
+            pp = sh(*[-(oa[i] + ob[i]) for i in range(3)])
+            pm = sh(*[-(oa[i] - ob[i]) for i in range(3)])
+            mp = sh(*[(oa[i] - ob[i]) for i in range(3)])
+            mm = sh(*[(oa[i] + ob[i]) for i in range(3)])
+            rows[a][b] = 0.25 * (pp - pm - mp + mm)
+            rows[b][a] = rows[a][b]
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
 _GRAD: Dict[str, Callable] = {
     "3d_7pt_fluid": grad_7pt,
     "3d_27pt_fluid": grad_27pt,
