@@ -102,7 +102,7 @@ def _noise_terms(cfg: LBConfig, params, t):
 
 
 def make_step(cfg: LBConfig, solid=None,
-              force_field=None, le=None):
+              force_field=None, le=None, open_bc=None):
     """Build the jitted single-fluid step: (f, t) -> (f', rho, u).
 
     The returned function donates f, so the update happens in place in
@@ -126,12 +126,16 @@ def make_step(cfg: LBConfig, solid=None,
             f_post = apply_lb_le(f_post, model, le, t)
         f_new = stream_bounce_back(f_post, model, solid=solid,
                                    wall_u=wall_u, rho0=cfg.rho0)
+        if open_bc is not None:
+            from ludwig_tpu.ops.open_bc import apply_open_bc_x
+            f_new = apply_open_bc_x(f_new, f_post, model, open_bc)
         return f_new, rho, u
 
     return step
 
 
-def make_nstep(cfg: LBConfig, solid=None, force_field=None, le=None):
+def make_nstep(cfg: LBConfig, solid=None, force_field=None, le=None,
+               open_bc=None):
     """n fused steps via lax.scan inside one jit (for benchmarking: no
     host round-trip per step)."""
     params = cfg.collision_params()
@@ -150,6 +154,9 @@ def make_nstep(cfg: LBConfig, solid=None, force_field=None, le=None):
                 f_post = apply_lb_le(f_post, model, le, t)
             f_new = stream_bounce_back(f_post, model, solid=solid,
                                        wall_u=wall_u, rho0=cfg.rho0)
+            if open_bc is not None:
+                from ludwig_tpu.ops.open_bc import apply_open_bc_x
+                f_new = apply_open_bc_x(f_new, f_post, model, open_bc)
             return f_new, ()
         f, _ = jax.lax.scan(body, f, t0 + jnp.arange(n))
         return f
