@@ -40,6 +40,7 @@ class BinaryConfig:
     advection_order: int = 1
     gradient: str = "3d_7pt_fluid"
     hydrodynamics: bool = True
+    visc_model: object = None      # e.g. ViscArrhenius (eta(phi))
 
     @property
     def fourth_order(self) -> bool:
@@ -99,8 +100,11 @@ def make_binary_step(cfg: BinaryConfig, solid=None):
             phi = cahn_hilliard_update(phi, mu, u, ch, solid=solid,
                                        random_flux=rflux)
             shat, ghat = _noise_terms(cfg.lb, params, t)
+            eta_loc = (cfg.visc_model.eta(phi)
+                       if cfg.visc_model is not None else None)
             f, rho, u_new = collide(f, params, force=force,
-                                    fluid_mask=fluid, shat=shat, ghat=ghat)
+                                    fluid_mask=fluid, shat=shat, ghat=ghat,
+                                    eta_local=eta_loc)
             f = stream_bounce_back(f, model, solid=solid, wall_u=wall_u,
                                    rho0=cfg.lb.rho0)
         else:

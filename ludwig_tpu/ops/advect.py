@@ -62,6 +62,28 @@ def advective_fluxes(u: jnp.ndarray, phi: jnp.ndarray,
             pos = a1 * phi_m1 + a2 * phi + a3 * phi_p1
             neg = a1 * phi_p2 + a2 * phi_p1 + a3 * phi
             fluxes.append(uf * jnp.where(uf > 0.0, pos, neg))
+        elif order == 4:
+            # centred 4-point (ref: advflux 4th: -1/16, 9/16, 9/16, -1/16)
+            a1, a2 = 1.0 / 16.0, 9.0 / 16.0
+            phi_m1 = _down(phi, ax)
+            phi_p1 = _up(phi, ax)
+            phi_p2 = _up(phi_p1, ax)
+            fluxes.append(uf * (-a1 * phi_m1 + a2 * phi + a2 * phi_p1
+                                - a1 * phi_p2))
+        elif order == 5:
+            # 5-point upwind-biased (ref: advection.c:1321-1390)
+            a1, a2, a3, a4, a5 = (0.055453, -0.305147, 0.916054,
+                                  0.361520, -0.027880)
+            phi_m2 = _down(_down(phi, ax), ax)
+            phi_m1 = _down(phi, ax)
+            phi_p1 = _up(phi, ax)
+            phi_p2 = _up(phi_p1, ax)
+            phi_p3 = _up(phi_p2, ax)
+            pos = (a1 * phi_m2 + a2 * phi_m1 + a3 * phi + a4 * phi_p1
+                   + a5 * phi_p2)
+            neg = (a1 * phi_p3 + a2 * phi_p2 + a3 * phi_p1 + a4 * phi
+                   + a5 * phi_m1)
+            fluxes.append(uf * jnp.where(uf >= 0.0, pos, neg))
         else:
             raise ValueError(f"advection order {order} not implemented")
     return fluxes
