@@ -44,10 +44,20 @@ class ColloidParams:
     ah: Optional[Tuple[float, ...]] = None   # hydrodynamic radius
     rho0: float = 1.0                   # colloid density
     gravity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # squirmer (active) parameters; m is the swimming direction
+    # (orientation dynamics pending - fixed per run)
+    b1: Tuple[float, ...] = ()
+    b2: Tuple[float, ...] = ()
+    m: Tuple[Tuple[float, float, float], ...] = ()
 
     @property
     def n(self) -> int:
         return len(self.a0)
+
+    def is_active(self, n: int) -> bool:
+        return len(self.b1) > n and (self.b1[n] != 0.0 or
+                                     (len(self.b2) > n and
+                                      self.b2[n] != 0.0))
 
 
 def site_coords(size, dtype=jnp.float64):
@@ -120,6 +130,7 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
 
     Vn, Wn = [], []
     dfs = []           # per-particle data for pass 2
+    sump_all = []
     for n in range(N):
         sumw = 0.0
         cbar = [0.0, 0.0, 0.0]
@@ -128,6 +139,9 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
         t0 = [0.0, 0.0, 0.0]
         zeta = jnp.zeros((6, 6), f.dtype)
         geoms = []
+        active = params.is_active(n)
+        sump_n = 0.0
+        dma_updates = []
         for qi, q in enumerate(range(1, nvel)):
             m = jnp.logical_and(link_mask[qi], link_pid[qi] == n)
             any_m = m  # bool lattice
@@ -143,6 +157,35 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
             dm = 2.0 * f[q]
             delta = 2.0 * rcs2 * w * rho0
             msk = any_m.astype(f.dtype)
+
+            if active:
+                # squirmer surface slip (ref: bbl.c pass1 squirmer
+                # section): dm_a = -delta P_l(cost) t_hat . c
+                mv = np.asarray(params.m[n], np.float64)
+                mv = mv / np.linalg.norm(mv)
+                b1 = float(params.b1[n])
+                b2 = float(params.b2[n]) if len(params.b2) > n else 0.0
+                rbmod = jnp.sqrt(rb[0] ** 2 + rb[1] ** 2 + rb[2] ** 2)
+                rdotm = rb[0] * mv[0] + rb[1] * mv[1] + rb[2] * mv[2]
+                cost = jnp.clip(rdotm / jnp.maximum(rbmod, 1e-12),
+                                -1.0, 1.0)
+                sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
+                v1 = [rb[1] * mv[2] - rb[2] * mv[1],
+                      rb[2] * mv[0] - rb[0] * mv[2],
+                      rb[0] * mv[1] - rb[1] * mv[0]]
+                tans = [v1[1] * rb[2] - v1[2] * rb[1],
+                        v1[2] * rb[0] - v1[0] * rb[2],
+                        v1[0] * rb[1] - v1[1] * rb[0]]
+                tmod = jnp.sqrt(tans[0] ** 2 + tans[1] ** 2 + tans[2] ** 2)
+                rmod = jnp.where(tmod > 1e-12, 1.0 / jnp.maximum(tmod,
+                                                                 1e-12), 0.0)
+                pleg = -sint * (b2 * cost + b1)
+                tdotc = sum(tans[a] * float(c[a]) for a in range(3))
+                dm_a = -delta * pleg * rmod * tdotc
+                dm = dm + dm_a
+                dma_updates.append((q, jnp.where(m, dm_a, 0.0)))
+                sump_n = sump_n + jnp.sum(msk * dm_a)
+
             nlinks_q = jnp.sum(msk)
             sumw = sumw + w * nlinks_q
             for a in range(3):
@@ -151,6 +194,11 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
                 f0[a] = f0[a] + float(c[a]) * jnp.sum(msk * dm)
                 t0[a] = t0[a] + jnp.sum(msk * dm * rbxc[a])
             geoms.append((m, c, w, rb, rbxc))
+
+        # apply the slip to the outgoing distributions (ref: fdist += dm_a)
+        for (q, upd) in dma_updates:
+            f = f.at[q].add(upd)
+        sump_all.append(sump_n)
 
         rsumw = 1.0 / jnp.maximum(sumw, 1e-30)
         cbarn = [cb * rsumw for cb in cbar]
@@ -207,7 +255,8 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
                     Wn[n][0] * rb[1] - Wn[n][1] * rb[0]]
             vdotc = sum((Vn[n][a] + wxrb[a]) * float(c[a]) for a in range(3))
             vdotc = 2.0 * rcs2 * w * vdotc
-            df = rho0 * vdotc - w * dms
+            # squirmer mass conservation term (ref: df += wv sump)
+            df = rho0 * vdotc - w * dms + w * sump_all[n]
             # write f[rev(q)] at the inside site j: the value travels
             # with the link; shift the (masked) outside values by +c_q
             qr = int(model.reverse[q])
