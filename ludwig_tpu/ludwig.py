@@ -138,7 +138,12 @@ def build_system(rt: RunTime) -> System:
                       rho0=rho0, scheme=_relaxation(rt),
                       ghost_modes_on=ghosts, force_global=force,
                       walls=walls, dtype=dtype, noise=nz)
-    solid = solid_mask(lb_cfg)
+    porous = None
+    pm_file = rt.string("porous_media_file")
+    if pm_file:
+        porous = np.load(pm_file if pm_file.endswith(".npy")
+                         else pm_file + ".npy").astype(bool)
+    solid = solid_mask(lb_cfg, porous=porous)
 
     fe_name = rt.string("free_energy", "none")
 
@@ -417,6 +422,7 @@ def run_text(text: str, out=sys.stdout) -> System:
                       with_velocity=False, out=out)
 
     out.write("\nStarting time step loop.\n")
+    t_init = time.time() - t0
     state = sys_.state
     for t in range(sys_.n_start + 1, sys_.n_start + ncycles + 1):
         if sys_.is_binary or sys_.is_lc or sys_.is_two_field:
@@ -439,7 +445,18 @@ def run_text(text: str, out=sys.stdout) -> System:
         out.write("\nUnused (or not-yet-supported) input keys:\n")
         for k in unused:
             out.write(f"  {k}\n")
-    out.write(f"\nTotal wall time: {time.time() - t0:.3f} s\n")
+
+    # timer table (ref: TIMER_statistics table shape)
+    total = time.time() - t0
+    per_step = (total - t_init) / max(ncycles, 1)
+    out.write("\nTimer resolution: 1e-09 second\n")
+    out.write("\nTimer statistics\n")
+    out.write("             Section:       tmin       tmax      total\n")
+    out.write(f"               Total: {total:10.3f} {total:10.3f} "
+              f"{total:10.3f} {total:10.6f} (1 call)\n")
+    out.write(f"      Time step loop: {per_step:10.3f} {per_step:10.3f} "
+              f"{total - t_init:10.3f} {per_step:10.6f} "
+              f"({max(ncycles, 1)} calls)\n")
     return sys_
 
 
