@@ -41,6 +41,7 @@ class BinaryConfig:
     gradient: str = "3d_7pt_fluid"
     hydrodynamics: bool = True
     visc_model: object = None      # e.g. ViscArrhenius (eta(phi))
+    wetting: Tuple[float, float] = (0.0, 0.0)   # (C, H) for solid stencils
 
     @property
     def fourth_order(self) -> bool:
@@ -48,12 +49,16 @@ class BinaryConfig:
         return isinstance(self.fe, BrazovskiiFE)
 
 
-def fe_fields(phi, gradient: str, fourth_order: bool = False):
+def fe_fields(phi, gradient: str, fourth_order: bool = False,
+              solid_ops=None):
     """Order parameter + gradients dict shared by mu/stress/stats.
 
     fourth_order adds grad(del^2 phi) and del^4 phi (Brazovskii; the
-    reference's ngrad = 4 path, ref: field_grad.h:24-34)."""
-    grad, delsq = gradient_ops(gradient)
+    reference's ngrad = 4 path, ref: field_grad.h:24-34).  solid_ops
+    overrides the stencils with wetting-aware variants
+    (ops.stencil.solid_gradient_ops)."""
+    grad, delsq = solid_ops if solid_ops is not None \
+        else gradient_ops(gradient)
     out = {"phi": phi, "grad_phi": grad(phi), "delsq_phi": delsq(phi)}
     if fourth_order:
         out["grad_delsq_phi"] = grad(out["delsq_phi"])
@@ -79,13 +84,19 @@ def make_binary_step(cfg: BinaryConfig, solid=None):
               else None)
 
     nz = cfg.lb.noise
+    solid_ops = None
+    if solid is not None and cfg.gradient.endswith("_solid"):
+        from ludwig_tpu.ops.stencil import solid_gradient_ops
+        solid_ops = solid_gradient_ops(solid, cfg.fe.kappa,
+                                       cfg.wetting[0], cfg.wetting[1])
 
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
         from ludwig_tpu.lb import _noise_terms
         from ludwig_tpu import noise as noise_mod
         f, phi, u = state
-        fields = fe_fields(phi, cfg.gradient, cfg.fourth_order)
+        fields = fe_fields(phi, cfg.gradient, cfg.fourth_order,
+                           solid_ops=solid_ops)
         mu = cfg.fe.mu(fields)
 
         rflux = None

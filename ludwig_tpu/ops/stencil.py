@@ -144,3 +144,37 @@ def gradient_ops(name: str):
         raise ValueError(f"unknown gradient stencil '{name}'; "
                          f"have {sorted(_GRAD)}")
     return _GRAD[name], _DELSQ[name]
+
+
+def solid_gradient_ops(solid, kappa: float, c: float = 0.0, h: float = 0.0):
+    """Solid-aware 7-point (grad, delsq) with wetting boundary condition
+    (ref: gradient_3d_27pt_solid.c:286 gradt = -(C phi_b + H)/kappa for
+    links into solid; the 7-pt variant of the same rule).
+
+    c = h = 0 gives neutral wetting (zero normal gradient, 90-degree
+    contact angle); nonzero (c, h) set the wetting strength.
+    """
+    rk = 1.0 / kappa
+    offs = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+
+    def _dirs(phi):
+        ups, dns = [], []
+        for o in offs:
+            nb_up = _shift(phi, *[-v for v in o])
+            nb_dn = _shift(phi, *o)
+            s_up = roll3(solid, tuple(-v for v in o))
+            s_dn = roll3(solid, o)
+            bc = -(c * phi + h) * rk
+            ups.append(jnp.where(s_up, bc, nb_up - phi))
+            dns.append(jnp.where(s_dn, bc, nb_dn - phi))
+        return ups, dns
+
+    def grad(phi):
+        ups, dns = _dirs(phi)
+        return jnp.stack([0.5 * (u - d) for u, d in zip(ups, dns)])
+
+    def delsq(phi):
+        ups, dns = _dirs(phi)
+        return sum(u + d for u, d in zip(ups, dns))
+
+    return grad, delsq
