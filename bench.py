@@ -22,8 +22,8 @@ from ludwig_tpu.ops.fused import FusedPlan, make_fused_nstep, pad_state
 def main():
     size = (256, 256, 256)
     niter, inner = 3, 50
-    if "--small" in sys.argv:  # quick sanity mode
-        size, inner, niter = (64, 64, 64), 20, 2
+    if "--small" in sys.argv:  # quick sanity mode (Z must be 128-aligned)
+        size, inner, niter = (64, 64, 128), 20, 2
 
     cfg = LBConfig(size=size, nvel=19, eta_shear=0.1, eta_bulk=0.1,
                    dtype="float32")
@@ -49,8 +49,9 @@ def main():
 
     nsites = size[0] * size[1] * size[2]
     mlups = nsites / best / 1e6
+    label = "x".join(str(s) for s in size)
     print(json.dumps({
-        "metric": "D3Q19 single-fluid 256^3 collide+stream",
+        "metric": f"D3Q19 single-fluid {label} collide+stream",
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / 1000.0, 3),

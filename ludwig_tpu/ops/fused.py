@@ -217,6 +217,10 @@ def fused_step(fpad: jnp.ndarray, model: LatticeModel,
     if X % BX or Y % BY or BY % 8:
         raise ValueError(
             f"blocks ({BX},{BY}) must divide lattice ({X},{Y}), BY%8==0")
+    if not interpret and Z % 128:
+        raise ValueError(
+            f"fused kernel needs Z % 128 == 0 on hardware (got {Z}); "
+            "use the jnp path (lb.make_nstep) for smaller lattices")
 
     kernel = partial(_fused_kernel, model, params, X, Y, Z, BX, BY)
     out = pl.pallas_call(
