@@ -127,6 +127,52 @@ def apply_lb_le(f: jnp.ndarray, model: LatticeModel,
     return f
 
 
+def _interp_y(col: jnp.ndarray, dy) -> jnp.ndarray:
+    """Sample a (.., Y, Z) column at y + dy (linear, periodic, dynamic)."""
+    ny = col.shape[-2]
+    dy = jnp.mod(dy, ny)
+    jdy = jnp.floor(dy).astype(jnp.int32)
+    fr = dy - jdy
+    c1 = jnp.roll(col, -jdy, axis=-2)
+    c2 = jnp.roll(col, -(jdy + 1), axis=-2)
+    return (1.0 - fr) * c1 + fr * c2
+
+
+def le_xneighbor(field: jnp.ndarray, cfg: LeesEdwardsConfig, t, sign: int,
+                 uy_component: bool = False) -> jnp.ndarray:
+    """Value of `field` at the x+sign neighbour, Lees-Edwards aware.
+
+    Standard periodic roll everywhere, except columns adjacent to a
+    plane, whose cross-plane neighbour is sampled y-displaced by the
+    accumulated slide (the reference's LE buffer columns,
+    ref: leesedwards.c:367-474 interpolation tables).  For the y
+    velocity component (uy_component=True) the frame jump +-uy is added
+    so the physical field is continuous across the plane
+    (ref: hydro buffer frame correction).
+
+    field: (..., X, Y, Z); sign = +1 gives field(x+1), -1 field(x-1).
+    """
+    ax = field.ndim - 3
+    base = jnp.moveaxis(jnp.roll(field, -sign, axis=ax), ax, 0)
+    src = jnp.moveaxis(field, ax, 0)
+    tt = jnp.asarray(t, field.dtype)
+    for col in cfg.plane_cols:
+        cup = (col + 1) % cfg.nx
+        if sign == +1:
+            # sites at x = col look up across the plane to col+1
+            val = _interp_y(src[cup], cfg.uy * tt)
+            if uy_component:
+                val = val + cfg.uy
+            base = base.at[col].set(val)
+        else:
+            # sites at x = col+1 look down across the plane to col
+            val = _interp_y(src[col], -cfg.uy * tt)
+            if uy_component:
+                val = val - cfg.uy
+            base = base.at[cup].set(val)
+    return jnp.moveaxis(base, 0, ax)
+
+
 def le_steady_profile(cfg: LeesEdwardsConfig, x: np.ndarray) -> np.ndarray:
     """Analytic steady sawtooth u_y(x) in the stored (per-block) frame:
     with the reference's sign conventions the blocks carry slope
