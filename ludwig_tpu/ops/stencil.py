@@ -126,15 +126,81 @@ def dab_7pt(phi: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([jnp.stack(r) for r in rows])
 
 
+def _d3q27_terms(phi):
+    """Weighted D3Q27 neighbour differences (ref: gradient_d3q27.c:112-124:
+    grad_a = sum_p 3 w_p (phi(r+c_p) - phi) c_pa,
+    delsq  = sum_p 6 w_p (phi(r+c_p) - phi))."""
+    from ludwig_tpu.lattice import lb_model
+    model = lb_model(27)
+    gx = gy = gz = d2 = 0.0
+    for p in range(1, 27):
+        c = model.cv[p]
+        w = float(model.wv[p])
+        dphi = _shift(phi, *(-int(v) for v in c)) - phi
+        if c[0]:
+            gx = gx + 3.0 * w * float(c[0]) * dphi
+        if c[1]:
+            gy = gy + 3.0 * w * float(c[1]) * dphi
+        if c[2]:
+            gz = gz + 3.0 * w * float(c[2]) * dphi
+        d2 = d2 + 6.0 * w * dphi
+    return gx, gy, gz, d2
+
+
+def grad_d3q27(phi):
+    gx, gy, gz, _ = _d3q27_terms(phi)
+    return jnp.stack([gx, gy, gz])
+
+
+def delsq_d3q27(phi):
+    return _d3q27_terms(phi)[3]
+
+
+def _tomita_terms(phi, epsilon=0.5, epsilon1=0.25):
+    """2-D Tomita stencil (ref: gradient_2d_tomita_fluid.c:283-333:
+    delsq with epsilon = 0.5, gradient with epsilon1 = 0.25)."""
+    rf = 1.0 / (1.0 + 2.0 * epsilon)
+    rf1 = 1.0 / (1.0 + 2.0 * epsilon1)
+
+    def at(dx, dy):
+        # value at (x+dx, y+dy)
+        return _shift(phi, -dx, -dy, 0)
+
+    delsq = rf * (at(1, 0) + at(-1, 0) + at(0, 1) + at(0, -1)
+                  + epsilon * (at(1, 1) + at(1, -1) + at(-1, 1)
+                               + at(-1, -1))
+                  - 4.0 * (1.0 + epsilon) * phi)
+    gx = 0.5 * rf1 * ((at(1, 0) - at(-1, 0))
+                      + epsilon1 * ((at(1, 1) - at(-1, 1))
+                                    + (at(1, -1) - at(-1, -1))))
+    gy = 0.5 * rf1 * ((at(0, 1) - at(0, -1))
+                      + epsilon1 * ((at(1, 1) - at(1, -1))
+                                    + (at(-1, 1) - at(-1, -1))))
+    return gx, gy, delsq
+
+
+def grad_tomita(phi):
+    gx, gy, _ = _tomita_terms(phi)
+    return jnp.stack([gx, gy, jnp.zeros_like(phi)])
+
+
+def delsq_tomita(phi):
+    return _tomita_terms(phi)[2]
+
+
 _GRAD: Dict[str, Callable] = {
     "3d_7pt_fluid": grad_7pt,
     "3d_27pt_fluid": grad_27pt,
     "2d_5pt_fluid": grad_2d_5pt,
+    "dm3q27": grad_d3q27,
+    "2d_tomita_fluid": grad_tomita,
 }
 _DELSQ: Dict[str, Callable] = {
     "3d_7pt_fluid": delsq_7pt,
     "3d_27pt_fluid": delsq_27pt,
     "2d_5pt_fluid": delsq_2d_5pt,
+    "dm3q27": delsq_d3q27,
+    "2d_tomita_fluid": delsq_tomita,
 }
 
 
