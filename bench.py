@@ -15,6 +15,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from ludwig_tpu.lb import LBConfig, initial_rest
 from ludwig_tpu.ops.fused import FusedPlan, make_fused_nstep, pad_state
 
