@@ -35,6 +35,30 @@ def _stat_lines(text, tags=("[Qxx]", "[Qxy]", "[Qxz]", "[Qyy]", "[Qyz]",
             if any(ln.startswith(t) for t in tags)]
 
 
+def test_relx_bp1_full_run_matches_reference_log():
+    """Run the complete serial-relx-bp1 regression (100 Beris-Edwards
+    relaxation steps of the BPI O8M state) and compare the FINAL Q
+    statistics with the committed reference log: variance/min/max of all
+    five components must agree at print precision.  This validates the
+    entire chain: initialisation, redshifted Landau-de Gennes molecular
+    field, gradients, gradient-flow dynamics and statistics."""
+    ours = _run_ref_input("serial-relx-bp1")
+    with open(f"{REF}/serial-relx-bp1.log") as fh:
+        ref = fh.read()
+
+    ours_lines = _stat_lines(ours)[-5:]
+    ref_lines = _stat_lines(ref)[-5:]
+    assert len(ours_lines) == 5 and len(ref_lines) == 5
+    for ol, rl in zip(ours_lines, ref_lines):
+        otok = ol.split()
+        rtok = rl.split()
+        assert otok[0] == rtok[0]
+        for i in (3, 4, 5):   # variance, min, max at print precision
+            assert otok[i] == rtok[i], (otok[0], i, otok[i], rtok[i])
+        # totals are sums of a near-odd field: agree to absolute 1e-10
+        assert abs(float(otok[1]) - float(rtok[1])) < 1e-10
+
+
 def test_relx_bp1_initial_scalars_match_reference_log():
     """The t=0 Q statistics of serial-relx-bp1 (BPI O8M init) must match
     the committed reference log values (variance/min/max to print
