@@ -106,6 +106,54 @@ def _phi_init(rt: RunTime, size, fe) -> np.ndarray:
     raise ValueError(f"phi_initialisation '{mode}' not implemented")
 
 
+def _distribution_init(rt: RunTime, lb_cfg: LBConfig):
+    """distribution_initialisation modes (ref: src/distribution_rt.c:
+    lb_init_poiseuille :lb_init_poiseuille, 2d Kelvin-Helmholtz :303-330,
+    2d shear wave).  Site coordinates are x = i + 0.5 (ref lmin = 0.5)."""
+    from ludwig_tpu.lb import initial_from_hydro
+    mode = rt.string("distribution_initialisation", "rest")
+    size = lb_cfg.size
+    if mode == "rest" or mode is None:
+        return initial_rest(lb_cfg)
+
+    x = (np.arange(size[0]) + 0.5) / 1.0
+    y = (np.arange(size[1]) + 0.5) / 1.0
+    z = (np.arange(size[2]) + 0.5) / 1.0
+    rho = np.full(size, lb_cfg.rho0)
+    u = np.zeros((3,) + size)
+
+    if mode == "1d_poiseuille":
+        umax = rt.double_vector("distribution_poiseuille_umax",
+                                (0.0, 0.0, 0.0))
+        L = np.array(size, float)
+        u[0] += (umax[0] * x * (L[0] - x) * 4.0 / L[0] ** 2)[:, None, None]
+        u[1] += (umax[1] * y * (L[1] - y) * 4.0 / L[1] ** 2)[None, :, None]
+        u[2] += (umax[2] * z * (L[2] - z) * 4.0 / L[2] ** 2)[None, None, :]
+    elif mode == "2d_kelvin_helmholtz":
+        u0 = rt.double_required("2d_kelvin_helmholtz_u0")
+        delta = rt.double_required("2d_kelvin_helmholtz_delta")
+        kappa = rt.double_required("2d_kelvin_helmholtz_kappa")
+        xs = x / size[0]
+        ys = y / size[1]
+        ux = np.where(ys > 0.5, u0 * np.tanh(kappa * (0.75 - ys)),
+                      u0 * np.tanh(kappa * (ys - 0.25)))
+        u[0] += ux[None, :, None]
+        u[1] += (u0 * delta * np.sin(2.0 * np.pi * (xs + 0.25)))[:, None,
+                                                                 None]
+    elif mode == "2d_shear_wave":
+        u0 = rt.double("distribution_uniform_u0", 0.04)
+        kappa = 2.0 * np.pi
+        u[0] += (u0 * np.sin(kappa * y / size[1]))[None, :, None]
+    elif mode == "3d_uniform_u":
+        u0 = rt.double_vector("distribution_uniform_u", (0.0, 0.0, 0.0))
+        for a in range(3):
+            u[a] += u0[a]
+    else:
+        raise ValueError(f"distribution_initialisation '{mode}'"
+                         " not implemented")
+    return initial_from_hydro(lb_cfg, rho, u)
+
+
 def build_system(rt: RunTime) -> System:
     size = tuple(rt.int_vector("size", (64, 64, 64)))
     eta = rt.double("viscosity", 1.0 / 6.0)
@@ -273,7 +321,7 @@ def build_system(rt: RunTime) -> System:
             le = LeesEdwardsConfig(nplanes=nplanes,
                                    uy=rt.double_required("LE_plane_vel"),
                                    nx=size[0])
-        f = initial_rest(lb_cfg)
+        f = _distribution_init(rt, lb_cfg)
         step = make_step(lb_cfg, solid=solid, le=le)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
                       state=(f,), step_fn=step)

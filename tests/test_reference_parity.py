@@ -59,6 +59,35 @@ def test_relx_bp1_full_run_matches_reference_log():
         assert abs(float(otok[1]) - float(rtok[1])) < 1e-10
 
 
+def test_dist_1dp_full_run_matches_reference_log():
+    """serial-dist-1dp: 10 steps of the plain-fluid loop from a 1-d
+    Poiseuille initialisation.  Final [rho] min/max, momentum and
+    velocity extrema match the reference log at print precision
+    (variance to 1e-5 relative - summation-order sensitive)."""
+    ours = _run_ref_input("serial-dist-1dp")
+    with open(f"{REF}/serial-dist-1dp.log") as fh:
+        ref = fh.read()
+
+    def last(tag, text):
+        return [ln for ln in text.splitlines() if ln.startswith(tag)][-1]
+
+    o_rho = last("[rho]", ours).split()
+    r_rho = last("[rho]", ref).split()
+    assert o_rho[1] == r_rho[1]                       # total
+    assert o_rho[4] == r_rho[4] and o_rho[5] == r_rho[5]  # min max
+    assert abs(float(o_rho[3]) / float(r_rho[3]) - 1.0) < 1e-5
+
+    for tag in ("[total   ]", "[fluid   ]"):
+        o = last(tag, ours).split()
+        r = last(tag, ref).split()
+        assert o[2] == r[2], (tag, o, r)              # g_x exact
+
+    for tag in ("[minimum ]", "[maximum ]"):
+        o = last(tag, ours).split()
+        r = last(tag, ref).split()
+        assert o[2] == r[2], (tag, o, r)              # u_x extrema exact
+
+
 def test_relx_bp1_initial_scalars_match_reference_log():
     """The t=0 Q statistics of serial-relx-bp1 (BPI O8M init) must match
     the committed reference log values (variance/min/max to print
