@@ -88,6 +88,58 @@ def test_dist_1dp_full_run_matches_reference_log():
         assert o[2] == r[2], (tag, o, r)              # u_x extrema exact
 
 
+def test_dist_2kh_full_run_matches_reference_log():
+    """serial-dist-2kh: 10 steps of a Kelvin-Helmholtz shear layer
+    (D3Q19 on a 64x64x1 lattice)."""
+    from ludwig_tpu.ludwig import run_text
+    import io
+    with open(f"{REF}/serial-dist-2kh.inp") as fh:
+        inp = fh.read() + "\nlb_nvel 19\n"
+    out = io.StringIO()
+    run_text(inp, out=out)
+    ours = out.getvalue()
+    with open(f"{REF}/serial-dist-2kh.log") as fh:
+        ref = fh.read()
+
+    def last(tag, text):
+        return [ln for ln in text.splitlines() if ln.startswith(tag)][-1]
+
+    o = last("[rho]", ours).split()
+    r = last("[rho]", ref).split()
+    assert o[4] == r[4] and o[5] == r[5]
+    for tag in ("[minimum ]", "[maximum ]"):
+        o = last(tag, ours).split()
+        r = last(tag, ref).split()
+        assert o[2] == r[2] and o[3] == r[3], (tag, o, r)
+
+
+def test_init_bp1_one_full_lc_hydro_step_matches():
+    """serial-init-bp1: ONE step of the COMPLETE LC + hydrodynamics loop
+    (LdG stress -> force -> Beris-Edwards -> collide -> stream).  The
+    density response to the liquid-crystal stress and all Q statistics
+    must match the reference log at print precision - this is the
+    flagship benchmark configuration end-to-end."""
+    ours = _run_ref_input("serial-init-bp1")
+    with open(f"{REF}/serial-init-bp1.log") as fh:
+        ref = fh.read()
+
+    def last(tag, text):
+        return [ln for ln in text.splitlines() if ln.startswith(tag)][-1]
+
+    o = last("[rho]", ours).split()
+    r = last("[rho]", ref).split()
+    for i in (1, 2, 3, 4, 5):
+        assert o[i] == r[i], ("rho", i, o[i], r[i])
+
+    ours_q = _stat_lines(ours)[-5:]
+    ref_q = _stat_lines(ref)[-5:]
+    for ol, rl in zip(ours_q, ref_q):
+        otok, rtok = ol.split(), rl.split()
+        assert otok[0] == rtok[0]
+        for i in (3, 4, 5):
+            assert otok[i] == rtok[i], (otok[0], i, otok[i], rtok[i])
+
+
 def test_relx_bp1_initial_scalars_match_reference_log():
     """The t=0 Q statistics of serial-relx-bp1 (BPI O8M init) must match
     the committed reference log values (variance/min/max to print
