@@ -280,7 +280,10 @@ def build_system(rt: RunTime) -> System:
             zeta0=rt.double("lc_active_zeta0", 0.0),
             zeta1=rt.double("lc_active_zeta", 0.0) or
                   rt.double("lc_active_zeta1", 0.0),
-            epsilon=rt.double("lc_dielectric_anisotropy", 0.0),
+            # input is the raw anisotropy; the free energy carries the
+            # 1/(12 pi) factor (ref: blue_phase.c:252)
+            epsilon=rt.double("lc_dielectric_anisotropy", 0.0)
+            / (12.0 * np.pi),
             e0=tuple(rt.double_vector("electric_e0", (0.0, 0.0, 0.0))))
         lcfg = LCConfig(
             lb=lb_cfg, fe=fe,

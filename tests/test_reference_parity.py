@@ -140,6 +140,44 @@ def test_init_bp1_one_full_lc_hydro_step_matches():
             assert otok[i] == rtok[i], (otok[0], i, otok[i], rtok[i])
 
 
+def test_init_bp2_one_full_lc_hydro_step_matches():
+    """serial-init-bp2: BPII (O2) initialisation + one full LC+hydro
+    step; all statistics match the reference log."""
+    ours = _run_ref_input("serial-init-bp2")
+    with open(f"{REF}/serial-init-bp2.log") as fh:
+        ref = fh.read()
+
+    def last(tag, text):
+        return [ln for ln in text.splitlines() if ln.startswith(tag)][-1]
+
+    o = last("[rho]", ours).split()
+    r = last("[rho]", ref).split()
+    assert o[4] == r[4] and o[5] == r[5]
+    assert abs(float(o[3]) / float(r[3]) - 1.0) < 1e-6
+
+    for ol, rl in zip(_stat_lines(ours)[-5:], _stat_lines(ref)[-5:]):
+        otok, rtok = ol.split(), rl.split()
+        for i in (3, 4, 5):
+            assert otok[i] == rtok[i], (otok[0], i)
+        # Qxy/Qxz/Qyz totals are O(4e-4) and match at print precision
+        if otok[0] in ("[Qxy]", "[Qxz]", "[Qyz]"):
+            assert otok[1] == rtok[1], (otok[0], otok[1], rtok[1])
+
+
+def test_chol_fld_electric_field_rotation_matches():
+    """serial-chol-fld: 10 full LC+hydro steps of a uniform nematic
+    rotating under an external electric field (dielectric anisotropy
+    carries the 1/12pi convention).  All Q totals match exactly."""
+    ours = _run_ref_input("serial-chol-fld")
+    with open(f"{REF}/serial-chol-fld.log") as fh:
+        ref = fh.read()
+    for ol, rl in zip(_stat_lines(ours)[-5:], _stat_lines(ref)[-5:]):
+        otok, rtok = ol.split(), rl.split()
+        assert otok[0] == rtok[0]
+        for i in (1, 2, 4, 5):
+            assert otok[i] == rtok[i], (otok[0], i, otok[i], rtok[i])
+
+
 def test_relx_bp1_initial_scalars_match_reference_log():
     """The t=0 Q statistics of serial-relx-bp1 (BPI O8M init) must match
     the committed reference log values (variance/min/max to print
