@@ -67,7 +67,15 @@ def make_droplet_step(cfg: LCDropletConfig, solid=None):
         force = force.astype(f.dtype)
 
         phi = cahn_hilliard_update(phi, mu, u, ch, solid=solid)
-        q5 = beris_edwards_update(q5, h, u, be, fluid_mask=fluid)
+
+        # The reference updates phi first; the Beris-Edwards molecular
+        # field then sees gamma(phi_new) with the (stale) gradients of
+        # the pre-update fields (ref: ludwig.c order phi_cahn_hilliard
+        # -> beris_edw_update; field_grad recomputed only next step).
+        fields_be = dict(fields)
+        fields_be["phi"] = phi
+        h_be = cfg.fe.molecular_field(fields_be)
+        q5 = beris_edwards_update(q5, h_be, u, be, fluid_mask=fluid)
 
         f, rho, u_new = collide(f, params, force=force, fluid_mask=fluid)
         f = stream_bounce_back(f, model, solid=solid, rho0=cfg.lb.rho0)

@@ -46,6 +46,7 @@ class System:
     step_fn: object
     lc_cfg: Optional[LCConfig] = None
     two_field_cfg: Optional[object] = None
+    droplet_cfg: Optional[object] = None
     n_start: int = 0
 
     @property
@@ -59,6 +60,10 @@ class System:
     @property
     def is_two_field(self) -> bool:
         return self.two_field_cfg is not None
+
+    @property
+    def is_droplet(self) -> bool:
+        return self.droplet_cfg is not None
 
     @property
     def fluid_mask(self):
@@ -89,11 +94,14 @@ def _phi_init(rt: RunTime, size, fe) -> np.ndarray:
     if mode == "uniform":
         return np.full(size, phi0)
     if mode in ("drop",):
+        # centre at 0.5 L in 1-based site coordinates (ref:
+        # field_phi_init.c:60-75, is_centred = 0 default)
         radius = rt.double("phi_init_drop_radius", 0.25 * size[0])
         amp = rt.double("phi_init_drop_amplitude", 1.0)
-        x = np.arange(size[0]) + 0.5 - 0.5 * size[0]
-        y = np.arange(size[1]) + 0.5 - 0.5 * size[1]
-        z = np.arange(size[2]) + 0.5 - 0.5 * size[2]
+        centred = 0.5 if rt.switch("phi_init_drop_centred") else 0.0
+        x = np.arange(1, size[0] + 1) - centred - 0.5 * size[0]
+        y = np.arange(1, size[1] + 1) - centred - 0.5 * size[1]
+        z = np.arange(1, size[2] + 1) - centred - 0.5 * size[2]
         r = np.sqrt(x[:, None, None] ** 2 + y[None, :, None] ** 2
                     + z[None, None, :] ** 2)
         return amp * np.tanh((r - radius) / fe.xi0)
@@ -268,6 +276,50 @@ def build_system(rt: RunTime) -> System:
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg, solid=solid,
                       state=state, step_fn=step)
 
+    if fe_name == "lc_droplet":
+        from ludwig_tpu.fe.lc_droplet import LCDropletFE
+        from ludwig_tpu.lc_droplet_sim import (LCDropletConfig,
+                                               initial_droplet,
+                                               make_droplet_step)
+        symm = SymmetricFE(a=rt.double_required("A"),
+                           b=rt.double_required("B"),
+                           kappa=rt.double_required("K"))
+        lcfe = BluePhaseFE(
+            a0=rt.double_required("lc_a0"),
+            gamma=rt.double_required("lc_gamma"),
+            q0=rt.double_required("lc_q0"),
+            kappa0=rt.double_required("lc_kappa0"),
+            kappa1=rt.double_required("lc_kappa1"),
+            xi=rt.double("lc_xi", 0.0),
+            redshift=rt.double("lc_init_redshift", 1.0))
+        fe = LCDropletFE(symm=symm, lc=lcfe,
+                         gamma0=rt.double_required("lc_droplet_gamma"),
+                         delta=rt.double_required("lc_droplet_delta"),
+                         w=rt.double("lc_droplet_W", 0.0))
+        dcfg = LCDropletConfig(
+            lb=lb_cfg, fe=fe,
+            mobility=rt.double("mobility", 0.05),
+            gamma=rt.double("lc_Gamma", 0.5),
+            advection_order=rt.int("fd_advection_scheme_order", 1),
+            gradient=rt.string("fd_gradient_calculation", "3d_7pt_fluid"))
+        phi0 = _phi_init(rt, size, symm)
+        amp = rt.double("lc_q_init_amplitude", lcfe.amplitude0)
+        mode = rt.string("lc_q_initialisation", "nematic")
+        if mode.startswith("cholesteric") or mode == "twist":
+            axis = {"x": 0, "y": 1, "z": 2}[mode[-1]] \
+                if mode[-1] in "xyz" else 2
+            q5 = lc_init.lc_init_twist(size, lcfe.q0, amp, axis=axis)
+        elif mode == "nematic":
+            q5 = lc_init.lc_init_nematic(
+                size, amp, tuple(rt.double_vector("lc_init_nematic",
+                                                  (1.0, 0.0, 0.0))))
+        else:
+            raise ValueError(f"lc_q_initialisation '{mode}' for droplet")
+        state = initial_droplet(dcfg, phi0, q5)
+        step = make_droplet_step(dcfg, solid=solid)
+        return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
+                      state=state, step_fn=step, droplet_cfg=dcfg)
+
     if fe_name == "lc_blue_phase":
         fe = BluePhaseFE(
             a0=rt.double_required("lc_a0"),
@@ -374,6 +426,21 @@ def _make_stats_fn(sys_: System):
                 mean = jnp.mean(jnp.where(mask, fed, 0.0))
                 fluid = jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask)
             res["fed"] = (mean, fluid)
+        if sys_.droplet_cfg is not None:
+            from ludwig_tpu.lc_droplet_sim import droplet_fields
+            dcfg = sys_.droplet_cfg
+            phi, q5 = state[1], state[2]
+            res["phi"] = stats.field_stats(phi, mask)
+            res["q5"] = [stats.field_stats(q5[n], mask) for n in range(5)]
+            fields = droplet_fields(phi, q5, dcfg.gradient)
+            fed = dcfg.fe.fed(fields)
+            if mask is None:
+                mean = jnp.mean(fed)
+                fluid = mean
+            else:
+                mean = jnp.mean(jnp.where(mask, fed, 0.0))
+                fluid = jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask)
+            res["fed"] = (mean, fluid)
         if sys_.lc_cfg is not None:
             q5 = state[1]
             res["q5"] = [stats.field_stats(q5[n], mask) for n in range(5)]
@@ -403,6 +470,11 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
     if sys_.is_two_field:
         out.write(stats.format_phi_line("phi", *res["phi"]))
         out.write(stats.format_phi_line("psi", *res["psi"]))
+        out.write(stats.format_fed_block(tstep, *res["fed"]))
+    if sys_.is_droplet:
+        out.write(stats.format_phi_line("phi", *res["phi"]))
+        for n, name in enumerate(("Qxx", "Qxy", "Qxz", "Qyy", "Qyz")):
+            out.write(stats.format_phi_line(name, *res["q5"][n]))
         out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_lc:
         for n, name in enumerate(("Qxx", "Qxy", "Qxz", "Qyy", "Qyz")):
@@ -452,7 +524,8 @@ def run_text(text: str, out=sys.stdout) -> System:
             names += ["phi", "psi"]
         if sys_.is_lc:
             names.append("q")
-        if sys_.is_binary or sys_.is_lc or sys_.is_two_field:
+        if (sys_.is_binary or sys_.is_lc or sys_.is_two_field
+                or sys_.is_droplet):
             names.append("vel")
         return names
 
@@ -476,7 +549,8 @@ def run_text(text: str, out=sys.stdout) -> System:
     t_init = time.time() - t0
     state = sys_.state
     for t in range(sys_.n_start + 1, sys_.n_start + ncycles + 1):
-        if sys_.is_binary or sys_.is_lc or sys_.is_two_field:
+        if (sys_.is_binary or sys_.is_lc or sys_.is_two_field
+                or sys_.is_droplet):
             state, rho = sys_.step_fn(state, t)
             u = state[-1]
         else:

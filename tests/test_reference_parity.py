@@ -178,6 +178,34 @@ def test_chol_fld_electric_field_rotation_matches():
             assert otok[i] == rtok[i], (otok[0], i, otok[i], rtok[i])
 
 
+def test_drop_lc1_coupled_system_matches():
+    """serial-drop-lc1: 10 steps of the full LC-droplet system (phi +
+    Q + hydrodynamics, gamma(phi), anchoring W, order-3 advection,
+    body-force + qh-stress-divergence coupling).  ALL statistics match
+    the reference log at print precision - the most demanding golden."""
+    ours = _run_ref_input("serial-drop-lc1")
+    with open(f"{REF}/serial-drop-lc1.log") as fh:
+        ref = fh.read()
+
+    def lines(text, tags):
+        return [ln for ln in text.splitlines()
+                if any(ln.startswith(t) for t in tags)]
+
+    tags = ("[rho]", "[phi]", "[Qxx]", "[Qxy]", "[Qxz]", "[Qyy]", "[Qyz]")
+    ours_l = lines(ours, tags)[-7:]
+    ref_l = lines(ref, tags)[-7:]
+    assert len(ours_l) == 7
+    for ol, rl in zip(ours_l, ref_l):
+        otok, rtok = ol.split(), rl.split()
+        assert otok[0] == rtok[0]
+        for i in (1, 2, 3, 4, 5):
+            # identical at print precision except sums of ~zero fields
+            if abs(float(rtok[i])) < 1e-10:
+                assert abs(float(otok[i])) < 1e-10, (otok[0], i)
+            else:
+                assert otok[i] == rtok[i], (otok[0], i, otok[i], rtok[i])
+
+
 def test_relx_bp1_initial_scalars_match_reference_log():
     """The t=0 Q statistics of serial-relx-bp1 (BPI O8M init) must match
     the committed reference log values (variance/min/max to print
