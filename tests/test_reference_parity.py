@@ -206,6 +206,42 @@ def test_drop_lc1_coupled_system_matches():
                 assert otok[i] == rtok[i], (otok[0], i, otok[i], rtok[i])
 
 
+@pytest.mark.parametrize("case", ["dist-2sw", "dist-3du", "symm-dr1"])
+def test_more_golden_cases(case):
+    """Additional golden evolutions: 2-d shear-wave decay, uniform-flow
+    Galilean invariance, symmetric-droplet first step."""
+    from ludwig_tpu.ludwig import run_text
+    import io
+    with open(f"{REF}/serial-{case}.inp") as fh:
+        inp = fh.read()
+    if "size 64_64_1" in inp:
+        inp += "\nlb_nvel 19\n"
+    out = io.StringIO()
+    run_text(inp, out=out)
+    ours = out.getvalue()
+    with open(f"{REF}/serial-{case}.log") as fh:
+        ref = fh.read()
+
+    def last(tag, text):
+        return [ln for ln in text.splitlines() if ln.startswith(tag)][-1]
+
+    o = last("[rho]", ours).split()
+    r = last("[rho]", ref).split()
+    assert o[1] == r[1] and o[4] == r[4] and o[5] == r[5]
+    for tag in ("[minimum ]", "[maximum ]"):
+        o = last(tag, ours).split()
+        r = last(tag, ref).split()
+        for i in (1, 2, 3):
+            if abs(float(r[i])) < 1e-13:
+                assert abs(float(o[i])) < 1e-13, (tag, i)
+            else:
+                assert o[i] == r[i], (tag, i, o[i], r[i])
+    if case == "symm-dr1":
+        o = last("[phi]", ours).split()
+        r = last("[phi]", ref).split()
+        assert o[1:] == r[1:], (o, r)
+
+
 def test_relx_bp1_initial_scalars_match_reference_log():
     """The t=0 Q statistics of serial-relx-bp1 (BPI O8M init) must match
     the committed reference log values (variance/min/max to print
