@@ -229,9 +229,9 @@ def test_more_golden_cases(case):
     r = last("[rho]", ref).split()
     assert o[1] == r[1] and o[4] == r[4] and o[5] == r[5]
     for tag in ("[minimum ]", "[maximum ]"):
-        o = last(tag, ours).split()
+        o = last(tag, ours).split()   # "[minimum", "]", v1, v2, v3
         r = last(tag, ref).split()
-        for i in (1, 2, 3):
+        for i in (2, 3, 4):
             if abs(float(r[i])) < 1e-13:
                 assert abs(float(o[i])) < 1e-13, (tag, i)
             else:
