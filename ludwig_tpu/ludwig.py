@@ -47,6 +47,7 @@ class System:
     lc_cfg: Optional[LCConfig] = None
     two_field_cfg: Optional[object] = None
     droplet_cfg: Optional[object] = None
+    colloid_params: Optional[object] = None
     n_start: int = 0
 
     @property
@@ -64,6 +65,10 @@ class System:
     @property
     def is_droplet(self) -> bool:
         return self.droplet_cfg is not None
+
+    @property
+    def is_colloid(self) -> bool:
+        return self.colloid_params is not None
 
     @property
     def fluid_mask(self):
@@ -368,6 +373,29 @@ def build_system(rt: RunTime) -> System:
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
                       state=state, step_fn=step, lc_cfg=lcfg)
 
+    cinit = rt.string("colloid_init", "none")
+    if fe_name == "none" and cinit.startswith("input_"):
+        from ludwig_tpu.colloids import ColloidParams, make_colloid_step
+        nc = {"input_one": 1, "input_two": 2, "input_three": 3}[cinit]
+        names = ["one", "two", "three"][:nc]
+        a0, ah, rr, vv = [], [], [], []
+        for nm in names:
+            a0.append(rt.double_required(f"colloid_{nm}_a0"))
+            ah.append(rt.double(f"colloid_{nm}_ah", a0[-1]))
+            rv = rt.double_vector(f"colloid_{nm}_r", (0.0, 0.0, 0.0))
+            rr.append([c - 1.0 for c in rv])   # 1-based -> 0-based coords
+            vv.append(rt.double_vector(f"colloid_{nm}_v", (0.0, 0.0, 0.0)))
+        grav = tuple(rt.double_vector("colloid_gravity", (0.0, 0.0, 0.0)))
+        cparams = ColloidParams(a0=tuple(a0), ah=tuple(ah),
+                                rho0=rho0, gravity=grav)
+        f = _distribution_init(rt, lb_cfg)
+        state = (f, jnp.asarray(np.array(rr), lb_cfg.jdtype),
+                 jnp.asarray(np.array(vv), lb_cfg.jdtype),
+                 jnp.zeros((nc, 3), lb_cfg.jdtype))
+        step = make_colloid_step(lb_cfg, cparams)
+        return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=None,
+                      state=state, step_fn=step, colloid_params=cparams)
+
     if fe_name in ("none",):
         le = None
         nplanes = rt.int("N_LE_plane", 0)
@@ -393,9 +421,22 @@ def _make_stats_fn(sys_: System):
     mask = sys_.fluid_mask
     bcfg = sys_.binary_cfg
 
+    cpar = sys_.colloid_params
+
     @jax.jit
     def compute(state, u):
         f = state[0]
+        if cpar is not None:
+            from ludwig_tpu.colloids import (build_map,
+                                             total_colloid_momentum)
+            R, V = state[1], state[2]
+            pid, inside = build_map(R, cpar, sys_.lb_cfg.size)
+            fl = jnp.logical_not(inside)
+            res = {"rho": stats.rho_stats(f, model, fl),
+                   "g": stats.momentum_total(f, model, fl),
+                   "gc": total_colloid_momentum(V, cpar, f.dtype),
+                   "umm": stats.velocity_minmax(u, fl)}
+            return res
         res = {"rho": stats.rho_stats(f, model, mask),
                "g": stats.momentum_total(f, model, mask),
                "umm": stats.velocity_minmax(u, mask)}
@@ -481,7 +522,18 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
             out.write(stats.format_phi_line(name, *res["q5"][n]))
         out.write(stats.format_fed_block(tstep, *res["fed"]))
     g = res["g"]
-    out.write(stats.format_momentum_block(g, g))
+    if "gc" in res:
+        gc = res["gc"]
+        gt = [g[a] + gc[a] for a in range(3)]
+        out.write("\nMomentum - x y z\n")
+        out.write(f"[total   ] {float(gt[0]):14.7e} {float(gt[1]):14.7e} "
+                  f"{float(gt[2]):14.7e}\n")
+        out.write(f"[fluid   ] {float(g[0]):14.7e} {float(g[1]):14.7e} "
+                  f"{float(g[2]):14.7e}\n")
+        out.write(f"[colloids] {float(gc[0]):14.7e} {float(gc[1]):14.7e} "
+                  f"{float(gc[2]):14.7e}\n")
+    else:
+        out.write(stats.format_momentum_block(g, g))
     if with_velocity:
         out.write(stats.format_velocity_block(*res["umm"]))
     out.write(f"\nCompleted cycle {tstep}\n")
@@ -549,7 +601,9 @@ def run_text(text: str, out=sys.stdout) -> System:
     t_init = time.time() - t0
     state = sys_.state
     for t in range(sys_.n_start + 1, sys_.n_start + ncycles + 1):
-        if (sys_.is_binary or sys_.is_lc or sys_.is_two_field
+        if sys_.is_colloid:
+            state, (rho, u) = sys_.step_fn(state, t)
+        elif (sys_.is_binary or sys_.is_lc or sys_.is_two_field
                 or sys_.is_droplet):
             state, rho = sys_.step_fn(state, t)
             u = state[-1]

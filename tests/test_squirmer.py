@@ -20,7 +20,7 @@ def test_squirmer_swims_along_m():
     state = (initial_rest(cfg), jnp.asarray([[12.0, 12.0, 12.0]]),
              jnp.zeros((1, 3)), jnp.zeros((1, 3)))
     vx = []
-    for t in range(150):
+    for t in range(100):
         state, _ = step(state, t)
         vx.append(float(state[2][0, 0]))
 
