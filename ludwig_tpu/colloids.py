@@ -95,9 +95,78 @@ def build_map(R: jnp.ndarray, params: ColloidParams, size,
     return pid, pid >= 0
 
 
+def remove_replace(f, R, V, W, inside_old, pid_old, inside_new, pid_new,
+                   model: LatticeModel, params: ColloidParams, size,
+                   rho0: float = 1.0):
+    """Fluid removal/replacement bookkeeping when particles move
+    (ref: build.c build_remove_fluid :735-770, build_replace_fluid
+    :775-860):
+
+    * covered sites (fluid -> solid): the particle absorbs the removed
+      fluid's momentum (f0 += g, t0 += rb x g) and mass deficit
+      (deltam -= rho - rho0);
+    * uncovered sites (solid -> fluid): new distributions are the
+      wv-weighted average over neighbours that were fluid before the
+      update; the particle pays the created momentum (f0 -= g_new,
+      deltam += rho_new - rho0).
+
+    Returns (f, deltam (N,), f0c (N,3), t0c (N,3)).
+    """
+    N = params.n
+    coords = site_coords(size, f.dtype)
+    L = jnp.asarray(np.array(size, np.float64), f.dtype)
+    covered = jnp.logical_and(inside_new, jnp.logical_not(inside_old))
+    uncovered = jnp.logical_and(inside_old, jnp.logical_not(inside_new))
+
+    # weighted neighbour average from old-fluid sites (for uncovered)
+    fluid_old = jnp.logical_not(inside_old)
+    wsum = 0.0
+    newf = jnp.zeros_like(f)
+    for p in range(1, model.nvel):
+        shift = tuple(-int(v) for v in model.cv[p])  # value at site + c_p
+        w = float(model.wv[p])
+        m = roll3(fluid_old, shift).astype(f.dtype)
+        wsum = wsum + w * m
+        newf = newf + w * m[None] * jnp.stack(
+            [roll3(f[q], shift) for q in range(model.nvel)])
+    newf = newf / jnp.maximum(wsum, 1e-30)[None]
+
+    rho_f = sum(f[q] for q in range(model.nvel))
+    from ludwig_tpu.ops.collide import unrolled_matvec
+    g_f = unrolled_matvec(model.cv.T.astype(np.float64),
+                          [f[q] for q in range(model.nvel)])
+    rho_n = sum(newf[q] for q in range(model.nvel))
+    g_n = unrolled_matvec(model.cv.T.astype(np.float64),
+                          [newf[q] for q in range(model.nvel)])
+
+    deltam, f0c, t0c = [], [], []
+    for n in range(N):
+        cov = jnp.logical_and(covered, pid_new == n).astype(f.dtype)
+        unc = jnp.logical_and(uncovered, pid_old == n).astype(f.dtype)
+        d = _min_image(coords - R[n][:, None, None, None],
+                       L[:, None, None, None])
+        dm = (-jnp.sum(cov * (rho_f - rho0))
+              + jnp.sum(unc * (rho_n - rho0)))
+        f0 = [jnp.sum(cov * g_f[a]) - jnp.sum(unc * g_n[a])
+              for a in range(3)]
+        def rbx(ga, mask):
+            return [jnp.sum(mask * (d[1] * ga[2] - d[2] * ga[1])),
+                    jnp.sum(mask * (d[2] * ga[0] - d[0] * ga[2])),
+                    jnp.sum(mask * (d[0] * ga[1] - d[1] * ga[0]))]
+        tcov = rbx(g_f, cov)
+        tunc = rbx(g_n, unc)
+        deltam.append(dm)
+        f0c.append(jnp.stack(f0))
+        t0c.append(jnp.stack([tcov[a] - tunc[a] for a in range(3)]))
+
+    f = jnp.where(uncovered[None], newf, f)
+    return f, jnp.stack(deltam), jnp.stack(f0c), jnp.stack(t0c)
+
+
 def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
              params: ColloidParams, size,
-             ext_force=None, ext_torque=None, rho0: float = 1.0):
+             ext_force=None, ext_torque=None, rho0: float = 1.0,
+             deltam=None, f0_corr=None, t0_corr=None):
     """Bounce-back on links with the implicit velocity update.
 
     Returns (f_after_bbl, V_new, W_new, momentum_to_fluid_diag).
@@ -128,9 +197,20 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
     moment = jnp.asarray([(2.0 / 5.0) * (4.0 / 3.0) * np.pi * params.rho0
                           * a ** 5 for a in params.a0], f.dtype)
 
+    # pre-pass: sum of link weights per particle (needed to normalise
+    # deltam/cbar before the force sums, ref: pass1 rsumw preamble)
+    sumw_all = []
+    for n in range(N):
+        s = 0.0
+        for qi, q in enumerate(range(1, nvel)):
+            m = jnp.logical_and(link_mask[qi], link_pid[qi] == n)
+            s = s + float(model.wv[q]) * jnp.sum(m.astype(f.dtype))
+        sumw_all.append(jnp.maximum(s, 1e-30))
+
     Vn, Wn = [], []
     dfs = []           # per-particle data for pass 2
     sump_all = []
+    deltam_all = []
     for n in range(N):
         sumw = 0.0
         cbar = [0.0, 0.0, 0.0]
@@ -142,6 +222,9 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
         active = params.is_active(n)
         sump_n = 0.0
         dma_updates = []
+        # shape-change mass deficit, normalised by the link weight sum
+        dmn = (deltam[n] / sumw_all[n]) if deltam is not None else 0.0
+        deltam_all.append(dmn)
         for qi, q in enumerate(range(1, nvel)):
             m = jnp.logical_and(link_mask[qi], link_pid[qi] == n)
             any_m = m  # bool lattice
@@ -154,7 +237,7 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
             rbxc = [rb[1] * c[2] - rb[2] * c[1],
                     rb[2] * c[0] - rb[0] * c[2],
                     rb[0] * c[1] - rb[1] * c[0]]
-            dm = 2.0 * f[q]
+            dm = 2.0 * f[q] - w * dmn
             delta = 2.0 * rcs2 * w * rho0
             msk = any_m.astype(f.dtype)
 
@@ -227,6 +310,10 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
                                           jnp.full((3,), moment[n])]))
         fe = jnp.zeros(3, f.dtype) if ext_force is None else ext_force[n]
         te = jnp.zeros(3, f.dtype) if ext_torque is None else ext_torque[n]
+        if f0_corr is not None:
+            fe = fe + f0_corr[n]
+        if t0_corr is not None:
+            te = te + t0_corr[n]
         b = jnp.concatenate([
             mass[n] * V[n] + jnp.stack([f0[0], f0[1], f0[2]]) + fe,
             moment[n] * W[n] + jnp.stack([t0[0], t0[1], t0[2]]) + te])
@@ -255,8 +342,10 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
                     Wn[n][0] * rb[1] - Wn[n][1] * rb[0]]
             vdotc = sum((Vn[n][a] + wxrb[a]) * float(c[a]) for a in range(3))
             vdotc = 2.0 * rcs2 * w * vdotc
-            # squirmer mass conservation term (ref: df += wv sump)
-            df = rho0 * vdotc - w * dms + w * sump_all[n]
+            # shape-change and squirmer mass terms (ref: pass2
+            # df = rho0 vdotc + wv deltam - wv dms + wv sump)
+            df = (rho0 * vdotc + w * deltam_all[n] - w * dms
+                  + w * sump_all[n])
             # write f[rev(q)] at the inside site j: the value travels
             # with the link; shift the (masked) outside values by +c_q
             qr = int(model.reverse[q])
@@ -293,13 +382,17 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams):
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
         f, R, V, W = state
-        # 1. move particles; rebuild the map
+        # 1. move particles; rebuild maps (old and new, for the fluid
+        #    remove/replace bookkeeping, ref: build_remove_replace)
+        pid_old, inside_old = build_map(R, params, size)
         R = jnp.mod(R + V, jnp.asarray(np.array(size, np.float64), R.dtype))
         pid, inside = build_map(R, params, size)
 
-        # freshly-uncovered fluid sites keep the equilibrium values the
-        # interior was refreshed with last step; interior sites track
-        # the solid-body velocity
+        f, deltam, f0c, t0c = remove_replace(
+            f, R, V, W, inside_old, pid_old, inside, pid, model, params,
+            size, rho0=cfg.rho0)
+
+        # interior sites track the solid-body velocity (ref: bbl pass0)
         coords = site_coords(size, f.dtype)
         L = jnp.asarray(np.array(size, np.float64), f.dtype)
         ub = jnp.zeros((3,) + size, f.dtype)
@@ -316,10 +409,12 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams):
         # 2. collide on fluid sites
         f, rho, u = collide(f, cparams, fluid_mask=jnp.logical_not(inside))
 
-        # 3. BBL with implicit velocity update (gravity as ext force)
+        # 3. BBL with implicit velocity update (gravity as ext force,
+        #    shape-change corrections from the remove/replace step)
         ext = jnp.tile(grav[None], (params.n, 1))
         f, V, W, _ = bbl_step(f, R, V, W, model, params, size,
-                              ext_force=ext, rho0=cfg.rho0)
+                              ext_force=ext, rho0=cfg.rho0,
+                              deltam=deltam, f0_corr=f0c, t0_corr=t0c)
 
         # 4. propagate (periodic; BBL already wrote boundary values)
         f = stream(f, model)

@@ -242,6 +242,37 @@ def test_more_golden_cases(case):
         assert o[1:] == r[1:], (o, r)
 
 
+def test_auto_c01_colloid_parity():
+    """serial-auto-c01: a resolved colloid decelerating from an initial
+    velocity over 40 steps (velocity autocorrelation start).  Total
+    momentum (fluid + colloid) matches the reference exactly at print
+    precision; the per-phase split and velocity extrema agree to a few
+    parts in 1e3 (residual differences live in the interior
+    re-equilibration details)."""
+    ours = _run_ref_input("serial-auto-c01")
+    with open(f"{REF}/serial-auto-c01.log") as fh:
+        ref = fh.read()
+
+    def last(tag, text):
+        return [ln for ln in text.splitlines() if ln.startswith(tag)][-1]
+
+    o = last("[total   ]", ours).split()
+    r = last("[total   ]", ref).split()
+    assert o[2] == r[2], (o, r)     # exact at print precision
+
+    for tag, tol in (("[fluid   ]", 5e-4), ("[colloids]", 5e-3)):
+        o = last(tag, ours).split()
+        r = last(tag, ref).split()
+        assert abs(float(o[2]) / float(r[2]) - 1.0) < tol, (tag, o, r)
+
+    for tag in ("[minimum ]", "[maximum ]"):
+        o = last(tag, ours).split()
+        r = last(tag, ref).split()
+        for i in (2, 3, 4):
+            assert abs(float(o[i]) - float(r[i])) < 5e-3 * abs(
+                float(r[i])) + 1e-12, (tag, i)
+
+
 def test_relx_bp1_initial_scalars_match_reference_log():
     """The t=0 Q statistics of serial-relx-bp1 (BPI O8M init) must match
     the committed reference log values (variance/min/max to print
