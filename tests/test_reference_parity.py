@@ -256,21 +256,23 @@ def test_auto_c01_colloid_parity():
     def last(tag, text):
         return [ln for ln in text.splitlines() if ln.startswith(tag)][-1]
 
-    o = last("[total   ]", ours).split()
-    r = last("[total   ]", ref).split()
-    assert o[2] == r[2], (o, r)     # exact at print precision
+    def nums(line):
+        return [float(v) for v in line.split("]")[-1].split()]
+
+    o = nums(last("[total   ]", ours))
+    r = nums(last("[total   ]", ref))
+    assert f"{o[0]:.7e}" == f"{r[0]:.7e}", (o, r)  # exact print precision
 
     for tag, tol in (("[fluid   ]", 5e-4), ("[colloids]", 5e-3)):
-        o = last(tag, ours).split()
-        r = last(tag, ref).split()
-        assert abs(float(o[2]) / float(r[2]) - 1.0) < tol, (tag, o, r)
+        o = nums(last(tag, ours))
+        r = nums(last(tag, ref))
+        assert abs(o[0] / r[0] - 1.0) < tol, (tag, o, r)
 
     for tag in ("[minimum ]", "[maximum ]"):
-        o = last(tag, ours).split()
-        r = last(tag, ref).split()
-        for i in (2, 3, 4):
-            assert abs(float(o[i]) - float(r[i])) < 5e-3 * abs(
-                float(r[i])) + 1e-12, (tag, i)
+        o = nums(last(tag, ours))
+        r = nums(last(tag, ref))
+        for i in (0, 1, 2):
+            assert abs(o[i] - r[i]) < 5e-3 * abs(r[i]) + 1e-12, (tag, i)
 
 
 def test_relx_bp1_initial_scalars_match_reference_log():
