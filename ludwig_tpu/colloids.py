@@ -127,8 +127,7 @@ def remove_replace(f, R, V, W, inside_old, pid_old, inside_new, pid_new,
         w = float(model.wv[p])
         m = roll3(fluid_old, shift).astype(f.dtype)
         wsum = wsum + w * m
-        newf = newf + w * m[None] * jnp.stack(
-            [roll3(f[q], shift) for q in range(model.nvel)])
+        newf = newf + w * m[None] * roll3(f, shift, first_axis=1)
     newf = newf / jnp.maximum(wsum, 1e-30)[None]
 
     rho_f = sum(f[q] for q in range(model.nvel))
