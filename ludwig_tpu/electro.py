@@ -48,6 +48,8 @@ class ElectroConfig:
     rel_tol: float = 1e-8
     abs_tol: float = 1e-15
     max_its: int = 2000
+    multisteps: int = 1          # NP sub-cycles per LB step (ref:
+                                 # ludwig.c:629-667 high-diffusivity path)
 
     @property
     def nk(self) -> int:
@@ -152,9 +154,20 @@ def nernst_planck_update(rho: jnp.ndarray, psi: jnp.ndarray,
                          mu_solv=None) -> jnp.ndarray:
     """One explicit NP step for all species; rho (nk, X, Y, Z).
 
+    With cfg.multisteps > 1 the diffusivities are divided by the number
+    of sub-cycles and the update repeats (stability for high D).
     mu_solv: optional per-species solvation potential arrays (already
     divided by e), for the electro_symmetric free energy.
     """
+    if cfg.multisteps > 1:
+        sub = dataclasses.replace(
+            cfg, multisteps=1,
+            diffusivity=tuple(d / cfg.multisteps
+                              for d in cfg.diffusivity))
+        for _ in range(cfg.multisteps):
+            rho = nernst_planck_update(rho, psi, sub, u=u, solid=solid,
+                                       mu_solv=mu_solv)
+        return rho
     new = []
     for k in range(cfg.nk):
         z = float(cfg.valency[k])

@@ -39,6 +39,7 @@ class LeesEdwardsConfig:
     nplanes: int
     uy: float
     nx: int                      # total lattice extent along x
+    omega: float = 0.0           # oscillatory shear frequency (0 = steady)
 
     @property
     def plane_cols(self) -> Tuple[int, ...]:
@@ -48,6 +49,20 @@ class LeesEdwardsConfig:
         dx_min = 0.5 * dx_sep
         return tuple(int(dx_min + p * dx_sep) - 1
                      for p in range(self.nplanes))
+
+    def uy_now(self, t):
+        """Instantaneous plane speed (ref: lees_edw_plane_uy_now;
+        oscillatory: uy cos(omega t))."""
+        if self.omega == 0.0:
+            return self.uy
+        return self.uy * jnp.cos(self.omega * t)
+
+    def displacement(self, t):
+        """Accumulated slide (ref: lees_edw_buffer_displacement;
+        oscillatory: uy sin(omega t)/omega)."""
+        if self.omega == 0.0:
+            return self.uy * t
+        return self.uy * jnp.sin(self.omega * t) / self.omega
 
 
 def _boost_column(fcol: jnp.ndarray, model: LatticeModel, cx: int,
@@ -65,7 +80,7 @@ def _boost_column(fcol: jnp.ndarray, model: LatticeModel, cx: int,
                     else c * fcol[p] + acc
         g[a] = acc if not isinstance(acc, float) else jnp.zeros_like(rho)
 
-    du = [0.0, float(duy), 0.0]
+    du = [0.0, duy, 0.0]   # duy may be traced (oscillatory shear)
     ds = [[g[a] * du[b] + du[a] * g[b] + rho * du[a] * du[b]
            for b in range(3)] for a in range(3)]
 
@@ -111,18 +126,19 @@ def apply_lb_le(f: jnp.ndarray, model: LatticeModel,
                 cfg: LeesEdwardsConfig, t) -> jnp.ndarray:
     """Apply LE boundary conditions to post-collision distributions
     (both stages), returning the updated f (nvel, X, Y, Z)."""
-    uy = cfg.uy
     tt = jnp.asarray(t, f.dtype)
+    uy = cfg.uy_now(tt)
+    dy = cfg.displacement(tt)
     for col in cfg.plane_cols:
         cup = (col + 1) % cfg.nx
         # side below the plane: crossing up (cx = +1), boost du = -uy,
-        # arrive in the upper frame displaced by +uy t
+        # arrive in the upper frame displaced by +dy
         slab = _boost_column(f[:, col], model, +1, -uy)
-        slab = _displace_column(slab, model, +1, uy * tt)
+        slab = _displace_column(slab, model, +1, dy)
         f = f.at[:, col].set(slab)
         # side above: crossing down (cx = -1), boost du = +uy
         slab = _boost_column(f[:, cup], model, -1, +uy)
-        slab = _displace_column(slab, model, -1, -uy * tt)
+        slab = _displace_column(slab, model, -1, -dy)
         f = f.at[:, cup].set(slab)
     return f
 
@@ -156,19 +172,21 @@ def le_xneighbor(field: jnp.ndarray, cfg: LeesEdwardsConfig, t, sign: int,
     base = jnp.moveaxis(jnp.roll(field, -sign, axis=ax), ax, 0)
     src = jnp.moveaxis(field, ax, 0)
     tt = jnp.asarray(t, field.dtype)
+    dy = cfg.displacement(tt)
+    uy = cfg.uy_now(tt)
     for col in cfg.plane_cols:
         cup = (col + 1) % cfg.nx
         if sign == +1:
             # sites at x = col look up across the plane to col+1
-            val = _interp_y(src[cup], cfg.uy * tt)
+            val = _interp_y(src[cup], dy)
             if uy_component:
-                val = val + cfg.uy
+                val = val + uy
             base = base.at[col].set(val)
         else:
             # sites at x = col+1 look down across the plane to col
-            val = _interp_y(src[col], -cfg.uy * tt)
+            val = _interp_y(src[col], -dy)
             if uy_component:
-                val = val - cfg.uy
+                val = val - uy
             base = base.at[cup].set(val)
     return jnp.moveaxis(base, 0, ax)
 
