@@ -47,6 +47,7 @@ class System:
     lc_cfg: Optional[LCConfig] = None
     two_field_cfg: Optional[object] = None
     droplet_cfg: Optional[object] = None
+    polar_cfg: Optional[object] = None
     colloid_params: Optional[object] = None
     n_start: int = 0
 
@@ -69,6 +70,10 @@ class System:
     @property
     def is_colloid(self) -> bool:
         return self.colloid_params is not None
+
+    @property
+    def is_polar(self) -> bool:
+        return self.polar_cfg is not None
 
     @property
     def fluid_mask(self):
@@ -281,6 +286,33 @@ def build_system(rt: RunTime) -> System:
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg, solid=solid,
                       state=state, step_fn=step)
 
+    if fe_name == "polar_active":
+        from ludwig_tpu.fe.polar_active import PolarActiveFE
+        from ludwig_tpu.polar import (PolarConfig, initial_polar,
+                                      make_polar_step, polar_init_aster)
+        fe = PolarActiveFE(a=rt.double_required("polar_active_a"),
+                           b=rt.double_required("polar_active_b"),
+                           kappa1=rt.double_required("polar_active_k"),
+                           delta=rt.double("polar_active_dk", 0.0),
+                           lambda_=rt.double("polar_active_lambda", 0.0),
+                           zeta=rt.double("polar_active_zeta", 0.0))
+        pcfg = PolarConfig(
+            lb=lb_cfg, fe=fe,
+            gamma=rt.double("leslie_ericksen_gamma", 0.3),
+            swim=rt.double("leslie_ericksen_swim", 0.0),
+            advection_order=rt.int("fd_advection_scheme_order", 1),
+            gradient=rt.string("fd_gradient_calculation", "3d_7pt_fluid"),
+            hydrodynamics=rt.switch("hydrodynamics", True))
+        mode = rt.string("polar_active_initialisation", "aster")
+        if mode == "aster":
+            p0 = polar_init_aster(size)
+        else:
+            raise ValueError(f"polar init '{mode}' not implemented")
+        state = initial_polar(pcfg, p0)
+        step = make_polar_step(pcfg, solid=solid)
+        return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
+                      state=state, step_fn=step, polar_cfg=pcfg)
+
     if fe_name == "lc_droplet":
         from ludwig_tpu.fe.lc_droplet import LCDropletFE
         from ludwig_tpu.lc_droplet_sim import (LCDropletConfig,
@@ -467,6 +499,15 @@ def _make_stats_fn(sys_: System):
                 mean = jnp.mean(jnp.where(mask, fed, 0.0))
                 fluid = jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask)
             res["fed"] = (mean, fluid)
+        if sys_.polar_cfg is not None:
+            from ludwig_tpu.polar import polar_fields
+            p = state[1]
+            res["pvec"] = [stats.field_stats(p[a], mask) for a in range(3)]
+            fields = polar_fields(p, sys_.polar_cfg.gradient)
+            fed = sys_.polar_cfg.fe.fed(fields)
+            mean = (jnp.mean(fed) if mask is None
+                    else jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask))
+            res["fed"] = (mean, mean)
         if sys_.droplet_cfg is not None:
             from ludwig_tpu.lc_droplet_sim import droplet_fields
             dcfg = sys_.droplet_cfg
@@ -511,6 +552,10 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
     if sys_.is_two_field:
         out.write(stats.format_phi_line("phi", *res["phi"]))
         out.write(stats.format_phi_line("psi", *res["psi"]))
+        out.write(stats.format_fed_block(tstep, *res["fed"]))
+    if sys_.is_polar:
+        for a, name in enumerate(("Px ", "Py ", "Pz ")):
+            out.write(stats.format_phi_line(name, *res["pvec"][a]))
         out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_droplet:
         out.write(stats.format_phi_line("phi", *res["phi"]))
@@ -604,7 +649,7 @@ def run_text(text: str, out=sys.stdout) -> System:
         if sys_.is_colloid:
             state, (rho, u) = sys_.step_fn(state, t)
         elif (sys_.is_binary or sys_.is_lc or sys_.is_two_field
-                or sys_.is_droplet):
+                or sys_.is_droplet or sys_.is_polar):
             state, rho = sys_.step_fn(state, t)
             u = state[-1]
         else:

@@ -275,6 +275,33 @@ def test_auto_c01_colloid_parity():
             assert abs(o[i] - r[i]) < 5e-3 * abs(r[i]) + 1e-12, (tag, i)
 
 
+def test_pola_r01_polar_active_matches():
+    """serial-pola-r01: 10 steps of the polar active gel (aster init,
+    Leslie-Ericksen + stress coupling).  P extrema match exactly;
+    totals/variances to ~1e-5 relative."""
+    ours = _run_ref_input("serial-pola-r01")
+    with open(f"{REF}/serial-pola-r01.log") as fh:
+        ref = fh.read()
+
+    def last(tag, text):
+        return [ln for ln in text.splitlines() if ln.startswith(tag)][-1]
+
+    def nums(line):
+        return [float(v) for v in line.split("]")[-1].split()]
+
+    for tag in ("[Px ]", "[Py ]", "[Pz ]"):
+        o = nums(last(tag, ours))
+        r = nums(last(tag, ref))
+        assert f"{o[3]:.7e}" == f"{r[3]:.7e}", (tag, "min")
+        assert f"{o[4]:.7e}" == f"{r[4]:.7e}", (tag, "max")
+        assert abs(o[0] / r[0] - 1.0) < 1e-4, (tag, "total")
+        assert abs(o[2] / r[2] - 1.0) < 1e-4, (tag, "var")
+    o = nums(last("[rho]", ours))
+    r = nums(last("[rho]", ref))
+    assert abs(o[2] / r[2] - 1.0) < 1e-4   # variance
+    assert abs(o[3] - r[3]) < 1e-5 and abs(o[4] - r[4]) < 1e-5
+
+
 def test_relx_bp1_initial_scalars_match_reference_log():
     """The t=0 Q statistics of serial-relx-bp1 (BPI O8M init) must match
     the committed reference log values (variance/min/max to print
