@@ -53,6 +53,11 @@ def lattice_sharding(mesh: Mesh, ncomp_axes: int = 1) -> NamedSharding:
     return NamedSharding(mesh, lattice_spec(ncomp_axes))
 
 
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated placement (colloid state, global scalars)."""
+    return NamedSharding(mesh, P())
+
+
 def shard_lattice(x, mesh: Optional[Mesh], ncomp_axes: int = 1):
     """Place a (comp..., X, Y, Z) array with the canonical lattice sharding."""
     if mesh is None:
