@@ -67,12 +67,12 @@ class ElectroConfig:
 
 
 def rho_elec(rho: jnp.ndarray, cfg: ElectroConfig) -> jnp.ndarray:
-    """e sum_k z_k n_k  (ref: psi_rho_elec)."""
+    """sum_k (e z_k) n_k, accumulated per species exactly as the
+    reference does (ref: psi.c psi_rho_elec)."""
     out = 0.0
     for k, z in enumerate(cfg.valency):
-        if z:
-            out = out + float(z) * rho[k]
-    return cfg.e * out
+        out = out + (cfg.e * float(z)) * rho[k]
+    return out
 
 
 # -- Poisson solvers --------------------------------------------------------
@@ -203,13 +203,19 @@ def electro_force(rho: jnp.ndarray, psi: jnp.ndarray,
     return rho_elec(rho, cfg)[None] * electric_field(psi, cfg)
 
 
-def fe_electro_fed(rho: jnp.ndarray, cfg: ElectroConfig) -> jnp.ndarray:
-    """Ideal-gas electrolyte free energy density
-    kT sum_k n_k (ln n_k - 1)  (ref: fe_electro.c fe_electro_fed)."""
-    kt = 1.0 / cfg.beta
+DBL_EPSILON = 2.220446049250313e-16
+
+
+def fe_electro_fed(rho: jnp.ndarray, cfg: ElectroConfig,
+                   psi=None) -> jnp.ndarray:
+    """Electrolyte free energy density, exactly the reference form
+    sum_k n_k [(ln(n_k + DBL_EPSILON) - 1) + 0.5 z_k psi]
+    (ref: fe_electro.c fe_electro_fed; no kT factor, psi reduced)."""
     out = 0.0
     for k in range(cfg.nk):
         nk_ = rho[k]
-        out = out + jnp.where(nk_ > 0.0, nk_ * (jnp.log(
-            jnp.maximum(nk_, 1e-300)) - 1.0), 0.0)
-    return kt * out
+        term = jnp.log(nk_ + DBL_EPSILON) - 1.0
+        if psi is not None:
+            term = term + 0.5 * float(cfg.valency[k]) * psi
+        out = out + nk_ * term
+    return out

@@ -49,7 +49,9 @@ class System:
     droplet_cfg: Optional[object] = None
     polar_cfg: Optional[object] = None
     colloid_params: Optional[object] = None
+    electro_cfg: Optional[object] = None
     n_start: int = 0
+    hydro_on: bool = True
 
     @property
     def is_binary(self) -> bool:
@@ -74,6 +76,10 @@ class System:
     @property
     def is_polar(self) -> bool:
         return self.polar_cfg is not None
+
+    @property
+    def is_electro(self) -> bool:
+        return self.electro_cfg is not None
 
     @property
     def fluid_mask(self):
@@ -405,6 +411,57 @@ def build_system(rt: RunTime) -> System:
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
                       state=state, step_fn=step, lc_cfg=lcfg)
 
+    if fe_name in ("fe_electro", "fe_electro_symmetric"):
+        from ludwig_tpu.electro import ElectroConfig
+        from ludwig_tpu.electro_sim import (
+            ElectroSimConfig, electroneutral, init_gouy_chapman,
+            init_liquid_junction, init_uniform, make_electro_step)
+        kt = rt.double("temperature", 1.0 / 3.0e4)
+        ek = ElectroConfig(
+            valency=(rt.int("electrokinetics_z0", 1),
+                     rt.int("electrokinetics_z1", -1)),
+            diffusivity=(rt.double("electrokinetics_d0", 0.01),
+                         rt.double("electrokinetics_d1", 0.01)),
+            e=rt.double("electrokinetics_eunit", 1.0),
+            beta=1.0 / kt,
+            epsilon=rt.double("electrokinetics_epsilon", 3.3e3),
+            solver=rt.string("electrokinetics_solver_type", "sor"),
+            rel_tol=rt.double("electrokinetics_rel_tol", 1e-8),
+            abs_tol=rt.double("electrokinetics_abs_tol", 1e-15),
+            max_its=rt.int("electrokinetics_maxits", 10000),
+            multisteps=rt.int("electrokinetics_multisteps", 1))
+        rt.int("electrokinetics_solver_stencil", 7)  # 7-pt only for now
+        e0 = tuple(rt.double_vector("electric_e0", (0.0, 0.0, 0.0)))
+        mode = rt.string("electrokinetics_init", "uniform")
+        rho_el = rt.double("electrokinetics_init_rho_el", 0.0)
+        boundary = None
+        if mode == "gouy_chapman":
+            sigma = rt.double("electrokinetics_init_sigma", 0.0)
+            psi0, rho_k, boundary = init_gouy_chapman(size, rho_el, sigma)
+        elif mode == "liquid_junction":
+            delta_el = rt.double("electrokinetics_init_delta_el", 0.0)
+            psi0, rho_k = init_liquid_junction(size, rho_el, delta_el)
+        elif mode == "uniform":
+            psi0, rho_k = init_uniform(size, rho_el)
+        else:
+            raise ValueError(f"electrokinetics_init '{mode}'")
+        if boundary is not None:
+            solid = (jnp.asarray(boundary) if solid is None
+                     else jnp.logical_or(solid, jnp.asarray(boundary)))
+        rho_k = electroneutral(rho_k, ek.valency,
+                               None if solid is None else np.asarray(solid))
+        ecfg = ElectroSimConfig(
+            lb=lb_cfg, ek=ek, e0=e0,
+            hydrodynamics=rt.switch("hydrodynamics", True))
+        f = _distribution_init(rt, lb_cfg)
+        jd = lb_cfg.jdtype
+        state = (f, jnp.asarray(psi0, jd), jnp.asarray(rho_k, jd),
+                 jnp.zeros((3,) + size, jd), jnp.zeros((3,), jd))
+        step = make_electro_step(ecfg, solid=solid)
+        return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
+                      state=state, step_fn=step, electro_cfg=ecfg,
+                      hydro_on=ecfg.hydrodynamics)
+
     cinit = rt.string("colloid_init", "none")
     if fe_name == "none" and cinit.startswith("input_"):
         from ludwig_tpu.colloids import ColloidParams, make_colloid_step
@@ -472,6 +529,25 @@ def _make_stats_fn(sys_: System):
         res = {"rho": stats.rho_stats(f, model, mask),
                "g": stats.momentum_total(f, model, mask),
                "umm": stats.velocity_minmax(u, mask)}
+        if sys_.electro_cfg is not None:
+            from ludwig_tpu.electro import fe_electro_fed, rho_elec
+            ek = sys_.electro_cfg.ek
+            psi, rhok, gwall = state[1], state[2], state[4]
+
+            def tmm(x):
+                return (jnp.sum(x), jnp.min(x), jnp.max(x))
+
+            res["psi3"] = tmm(psi)
+            res["rhok"] = [tmm(rhok[k]) for k in range(ek.nk)]
+            res["elc"] = tmm(rho_elec(rhok, ek))
+            fed = fe_electro_fed(rhok, ek, psi)
+            if mask is None:
+                fluid = jnp.mean(fed)
+            else:
+                fluid = jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask)
+            res["fed"] = (jnp.mean(fed), fluid)
+            if mask is not None:
+                res["gwall"] = gwall
         if bcfg is not None:
             phi = state[1]
             res["phi"] = stats.field_stats(phi, mask)
@@ -541,11 +617,23 @@ def _make_stats_fn(sys_: System):
 
 
 def report_statistics(sys_: System, tstep: int, u, stats_fn,
-                      with_velocity=True, out=sys.stdout):
-    """One statistics block set, reference formats."""
+                      with_velocity=True, out=sys.stdout,
+                      in_loop=True):
+    """One statistics block set, reference formats.  The 'Completed
+    cycle' trailer only appears inside the time loop (ref:
+    ludwig.c:961)."""
     res = jax.device_get(stats_fn(sys_.state, u))
 
     out.write(stats.format_rho_block(*res["rho"]))
+    if sys_.is_electro:
+        def _3(tot, mn, mx):
+            return (f"{float(tot):14.7e} {float(mn):14.7e} "
+                    f"{float(mx):14.7e}\n")
+        out.write("[psi] " + _3(*res["psi3"]))
+        for k in range(len(res["rhok"])):
+            out.write("[rho] " + _3(*res["rhok"][k]))
+        out.write("[elc] " + _3(*res["elc"]))
+        out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_binary:
         out.write(stats.format_phi_line("phi", *res["phi"]))
         out.write(stats.format_fed_block(tstep, *res["fed"]))
@@ -567,7 +655,11 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
             out.write(stats.format_phi_line(name, *res["q5"][n]))
         out.write(stats.format_fed_block(tstep, *res["fed"]))
     g = res["g"]
-    if "gc" in res:
+    if "gwall" in res:
+        gw = res["gwall"]
+        gt = [g[a] + gw[a] for a in range(3)]
+        out.write(stats.format_momentum_block(gt, g, gw))
+    elif "gc" in res:
         gc = res["gc"]
         gt = [g[a] + gc[a] for a in range(3)]
         out.write("\nMomentum - x y z\n")
@@ -581,7 +673,8 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
         out.write(stats.format_momentum_block(g, g))
     if with_velocity:
         out.write(stats.format_velocity_block(*res["umm"]))
-    out.write(f"\nCompleted cycle {tstep}\n")
+    if in_loop:
+        out.write(f"\nCompleted cycle {tstep}\n")
     out.flush()
 
 
@@ -595,6 +688,7 @@ def run_text(text: str, out=sys.stdout) -> System:
     out.write(f"Read {rt.nkeys} user parameters\n\n")
 
     sys_ = build_system(rt)
+    sys_.hydro_on = rt.switch("hydrodynamics", True)
     size = sys_.lb_cfg.size
     out.write("System details\n--------------\n")
     out.write(f"System size:    {size[0]} {size[1]} {size[2]}\n")
@@ -640,7 +734,7 @@ def run_text(text: str, out=sys.stdout) -> System:
     # initial report (tstep 0) as the reference does before the loop
     u = jnp.zeros((3,) + size, sys_.lb_cfg.jdtype)
     report_statistics(sys_, sys_.n_start, u, stats_fn,
-                      with_velocity=False, out=out)
+                      with_velocity=False, out=out, in_loop=False)
 
     out.write("\nStarting time step loop.\n")
     t_init = time.time() - t0
@@ -648,6 +742,9 @@ def run_text(text: str, out=sys.stdout) -> System:
     for t in range(sys_.n_start + 1, sys_.n_start + ncycles + 1):
         if sys_.is_colloid:
             state, (rho, u) = sys_.step_fn(state, t)
+        elif sys_.is_electro:
+            state, rho = sys_.step_fn(state, t)
+            u = state[3]
         elif (sys_.is_binary or sys_.is_lc or sys_.is_two_field
                 or sys_.is_droplet or sys_.is_polar):
             state, rho = sys_.step_fn(state, t)
@@ -657,7 +754,8 @@ def run_text(text: str, out=sys.stdout) -> System:
             state = (f,)
         sys_.state = state
         if t % freq == 0:
-            report_statistics(sys_, t, u, stats_fn, out=out)
+            report_statistics(sys_, t, u, stats_fn, out=out,
+                              with_velocity=sys_.hydro_on)
         if freq_config and t % freq_config == 0:
             _dump(t, state)
 

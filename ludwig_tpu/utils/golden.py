@@ -1,0 +1,57 @@
+"""Golden-log regression runner against the reference test suite.
+
+Runs a reference regression input (tests/regression/d3q19-short/*.inp in
+the reference tree) through our orchestration and FP-diffs the output
+against the committed reference .log (ref: tests/test-diff.sh usage).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Optional, Tuple
+
+REF_DIRS = (
+    "/root/reference/tests/regression/d3q19-short",
+    "/root/reference/tests/regression/d3q19-elec",
+    "/root/reference/tests/regression/d2q9",
+    "/root/reference/tests/regression/d3q15",
+    "/root/reference/tests/regression/d3q27",
+)
+
+
+def find_case(name: str) -> Tuple[str, str]:
+    for d in REF_DIRS:
+        inp = os.path.join(d, name + ".inp")
+        if os.path.exists(inp):
+            return inp, os.path.join(d, name + ".log")
+    raise FileNotFoundError(name)
+
+
+def run_case(name: str, workdir: Optional[str] = None) -> str:
+    """Run a reference input file; returns our log text."""
+    from ludwig_tpu.ludwig import run_text
+    inp, _ = find_case(name)
+    with open(inp) as fh:
+        text = fh.read()
+    cwd = os.getcwd()
+    try:
+        if workdir:
+            os.chdir(workdir)
+        buf = io.StringIO()
+        run_text(text, out=buf)
+    finally:
+        os.chdir(cwd)
+    return buf.getvalue()
+
+
+def check_case(name: str, mode: str = "stats",
+               workdir: Optional[str] = None):
+    """(ok, diffs, our_log) for one golden case."""
+    from ludwig_tpu.utils.fpdiff import compare_logs
+    _, log = find_case(name)
+    with open(log) as fh:
+        ref_text = fh.read()
+    out_text = run_case(name, workdir=workdir)
+    ok, diffs = compare_logs(ref_text, out_text, mode=mode)
+    return ok, diffs, out_text
