@@ -33,9 +33,10 @@ class BerisEdwardsParams:
     advection_order: int = 1
 
 
-def velocity_gradient_tensor(u: jnp.ndarray):
+def velocity_gradient_tensor(u: jnp.ndarray, wallspec=None):
     """w[a][b] = d_b u_a, central differences, traceless
-    (ref: hydro.c hydro_u_gradient_tensor)."""
+    (ref: hydro.c hydro_u_gradient_tensor).  With walls the off-edge
+    neighbour velocity is the wall velocity."""
     def d(comp, ax):
         s_up = [0, 0, 0]
         s_up[ax] = -1
@@ -45,15 +46,18 @@ def velocity_gradient_tensor(u: jnp.ndarray):
                       roll3(u[comp], tuple(s_dn)))
 
     w = [[d(a, b) for b in range(3)] for a in range(3)]
+    if wallspec is not None and wallspec.any:
+        from ludwig_tpu.ops.walls import wall_velocity_gradient_fix
+        w = wall_velocity_gradient_fix(w, u, wallspec)
     tr = (w[0][0] + w[1][1] + w[2][2]) / 3.0
     for a in range(3):
         w[a][a] = w[a][a] - tr
     return w
 
 
-def corotation_term(q33, u: jnp.ndarray, xi: float):
+def corotation_term(q33, u: jnp.ndarray, xi: float, wallspec=None):
     """S(W, Q) as a 3x3 list of arrays."""
-    w = velocity_gradient_tensor(u)
+    w = velocity_gradient_tensor(u, wallspec)
     r3 = 1.0 / 3.0
 
     trace_qw = sum(q33[a][b] * w[b][a] for a in range(3) for b in range(3))
@@ -78,7 +82,8 @@ def beris_edwards_update(q5: jnp.ndarray,
                          u: Optional[jnp.ndarray],
                          params: BerisEdwardsParams,
                          fluid_mask: Optional[jnp.ndarray] = None,
-                         noise5: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                         noise5: Optional[jnp.ndarray] = None,
+                         wallspec=None) -> jnp.ndarray:
     """One forward-Euler BE step; returns updated q5 (5, X, Y, Z).
 
     h33 is the molecular field as a 3x3 list (from the free energy).
@@ -89,12 +94,15 @@ def beris_edwards_update(q5: jnp.ndarray,
 
     if u is not None:
         q33 = q5_to_q33(q5)
-        s = corotation_term(q33, u, params.xi)
+        s = corotation_term(q33, u, params.xi, wallspec)
         s5 = [s[0][0], s[0][1], s[0][2], s[1][1], s[1][2]]
         rhs5 = [r + si for r, si in zip(rhs5, s5)]
         # conservative advection of each component
         for n in range(5):
             fluxes = advective_fluxes(u, q5[n], params.advection_order)
+            if wallspec is not None and wallspec.any:
+                from ludwig_tpu.ops.walls import no_flux_at_walls
+                fluxes = no_flux_at_walls(fluxes, wallspec)
             rhs5[n] = rhs5[n] - flux_divergence(fluxes)
 
     if noise5 is not None:

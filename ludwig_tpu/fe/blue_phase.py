@@ -131,6 +131,75 @@ class BluePhaseFE:
             out = out - self.epsilon * ef
         return out
 
+    def fed_bulk_grad(self, fields):
+        """(bulk, gradient) free energy densities for the LC statistics
+        split (ref: fe_lc_stats.c blue_phase_fbg)."""
+        q = q5_to_q33(fields["q"])
+        dq = dq_tensor(fields["grad_q"])
+        q0, k0, k1 = self._rr
+        r3 = 1.0 / 3.0
+
+        q2 = sum(q[a][b] * q[a][b] for a in range(3) for b in range(3))
+        q3 = sum(q[a][b] * q[b][c] * q[a][c]
+                 for a in range(3) for b in range(3) for c in range(3))
+        bulk = (0.5 * self.a0 * (1.0 - r3 * self.gamma) * q2
+                - r3 * self.a0 * self.gamma * q3
+                + 0.25 * self.a0 * self.gamma * q2 * q2)
+
+        dq0 = 0.0
+        for a in range(3):
+            s = sum(dq[b][a][b] for b in range(3))
+            dq0 = dq0 + s * s
+        dq1 = 0.0
+        for a in range(3):
+            for b in range(3):
+                s = 0.0
+                for c in range(3):
+                    for d in range(3):
+                        e = eps(a, c, d)
+                        if e:
+                            s = s + e * dq[c][b][d]
+                s = s + 2.0 * q0 * q[a][b]
+                dq1 = dq1 + s * s
+        grad = 0.5 * k0 * dq0 + 0.5 * k1 * dq1
+        return bulk, grad
+
+    def surface_fs(self, qs, nhat, anchor: str, w1: float, w2: float,
+                   nfix=(0.0, 1.0, 0.0)):
+        """Anchoring surface free energy density at one boundary face,
+        f_s = w1/2 (Q-Q0)^2 + w2/2 sum_ab (Qt_ab^2 - S0^2)^2
+        (ref: fe_lc_stats.c blue_phase_fs, colloids_q_boundary).
+
+        qs: 3x3 nested list of arrays; nhat: outward normal (3 scalars
+        or arrays)."""
+        amp = self.amplitude0
+        s0 = 1.5 * amp
+        if anchor == "fixed":
+            nh = nfix
+        else:
+            nh = nhat
+        if anchor in ("normal", "fixed"):
+            q0b = [[0.5 * amp * (3.0 * nh[a] * nh[b] - (a == b))
+                    for b in range(3)] for a in range(3)]
+        elif anchor == "planar":
+            qt = [[qs[a][b] + (0.5 * amp if a == b else 0.0)
+                   for b in range(3)] for a in range(3)]
+            q0b = [[sum(((a == g) - nhat[a] * nhat[g]) * qt[g][h]
+                        * ((h == b) - nhat[h] * nhat[b])
+                        for g in range(3) for h in range(3))
+                    - (0.5 * amp if a == b else 0.0)
+                    for b in range(3)] for a in range(3)]
+        else:
+            q0b = [[0.0 * qs[0][0] for _ in range(3)] for _ in range(3)]
+        f1 = sum((qs[a][b] - q0b[a][b]) ** 2
+                 for a in range(3) for b in range(3))
+        f2 = 0.0
+        for a in range(3):
+            for b in range(3):
+                qt = qs[a][b] + (0.5 * amp if a == b else 0.0)
+                f2 = f2 + (qt * qt - s0 * s0) ** 2
+        return 0.5 * w1 * f1 + 0.5 * w2 * f2
+
     def molecular_field(self, fields):
         """h[a][b] 3x3 list of arrays (ref: fe_lc_compute_h)."""
         q = q5_to_q33(fields["q"])

@@ -151,8 +151,39 @@ def lb_model(nvel: int) -> LatticeModel:
     cv = _velocity_set(nvel)
     wv = _weights(cv)
     ma = _mode_matrix(cv)
-    na = 1.0 / np.einsum("p,mp,mp->m", wv, ma, ma)
-    mi = np.einsum("p,m,mp->pm", wv, na, ma)
+    # na and mi computed in exact rational arithmetic, then rounded once:
+    # the reference's projector constants are hand-simplified fractions
+    # (e.g. collision.c:1991-2010 w0=12/36, wa=6/72, ...) and a float
+    # product chain differs from them by ~1 ulp, which shows up as a
+    # coherent per-site momentum bias ~1e-11 across a 64^3 lattice.
+    from fractions import Fraction as Fr
+    third = Fr(1, 3)
+    cvf = [[Fr(int(cv[p][a])) for a in range(3)] for p in range(nvel)]
+    maf = [[None] * nvel for _ in range(nvel)]
+    for m in range(nvel):
+        for p in range(nvel):
+            x = ma[m][p]
+            # reconstruct the exact rational: every ma entry is a small
+            # multiple of 1/3 (integers and c^2 - 1/3 products)
+            maf[m][p] = Fr(round(float(x) * 9)) / 9
+    wvf = {9: {0: Fr(16, 36), 1: Fr(4, 36), 2: Fr(1, 36)},
+           15: {0: Fr(16, 72), 1: Fr(8, 72), 3: Fr(1, 72)},
+           19: {0: Fr(12, 36), 1: Fr(2, 36), 2: Fr(1, 36)},
+           27: {0: Fr(8, 27), 1: Fr(2, 27), 2: Fr(1, 54),
+                3: Fr(1, 216)}}[nvel]
+    c2 = (cv * cv).sum(axis=1)
+    wvl = [wvf[int(s)] for s in c2]
+    naf = [1 / sum(wvl[p] * maf[m][p] * maf[m][p] for p in range(nvel))
+           for m in range(nvel)]
+    na = np.array([float(x) for x in naf])
+    mi = np.array([[float(wvl[p] * naf[m] * maf[m][p])
+                    for m in range(nvel)] for p in range(nvel)])
+    assert np.allclose(mi, np.einsum("p,m,mp->pm", wv, na, ma),
+                       atol=1e-14)
+    ma2 = np.array([[float(maf[m][p]) for p in range(nvel)]
+                    for m in range(nvel)])
+    assert np.allclose(ma2, ma, atol=1e-14)
+    ma = ma2
     model = LatticeModel(nvel=nvel, ndim=2 if nvel == 9 else 3,
                          cv=cv, wv=wv, na=na, ma=ma, mi=mi)
     # Consistency: mi is the true inverse; opposite velocities pair up.

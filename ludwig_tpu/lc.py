@@ -4,6 +4,11 @@ TPU-native equivalent of the reference's LC wiring (ref: src/ludwig.c
 q-tensor branch: field_grad(q) -> redshift -> force via stress
 divergence (+ active stress) -> beris_edwards -> collide -> stream).
 This is the reference's headline benchmark configuration.
+
+Walls (halo plane walls, ref: src/wall.c) and anchoring gradients
+(ref: src/gradient_3d_7pt_solid.c, src/gradient_s7_anchoring.c) are
+supported; with walls the state carries the accumulated wall momentum
+for the statistics block.
 """
 
 from __future__ import annotations
@@ -22,8 +27,13 @@ from ludwig_tpu.fe.blue_phase import BluePhaseFE
 from ludwig_tpu.lb import LBConfig, initial_rest
 from ludwig_tpu.ops.collide import collide
 from ludwig_tpu.ops.force import stress_divergence_force
+from ludwig_tpu.ops.lc_anchor import AnchoringParams, anchoring_gradient
 from ludwig_tpu.ops.stencil import gradient_ops
-from ludwig_tpu.ops.stream import stream_bounce_back
+from ludwig_tpu.ops.stream import stream, stream_bounce_back
+from ludwig_tpu.ops.walls import (WallSpec, stress_divergence_force_walls,
+                                  wall_bounce_back)
+
+_SOLID_GRADIENTS = ("3d_7pt_solid", "s7_anchoring")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,44 +44,100 @@ class LCConfig:
     advection_order: int = 1
     gradient: str = "3d_7pt_fluid"
     hydrodynamics: bool = True
+    wallspec: Optional[WallSpec] = None
+    anchoring: Optional[AnchoringParams] = None
+    # carry the start-of-step gradients in the state: the reference
+    # computes statistics with the gradients of the PREVIOUS q (the
+    # field_grad is refreshed at the top of the loop, before the BE
+    # update; ref: ludwig.c:586-592 vs stats at :950+)
+    keep_grads: bool = False
+
+    @property
+    def has_walls(self) -> bool:
+        return self.wallspec is not None and self.wallspec.any
 
 
-def lc_fields(q5, gradient: str):
-    grad, delsq = gradient_ops(gradient)
-    return {"q": q5, "grad_q": grad(q5), "delsq_q": delsq(q5)}
+def lc_fields(q5, gradient: str, anchoring=None, walls=(False,) * 3,
+              status=None, pid=None, R=None, phi=None):
+    if gradient in _SOLID_GRADIENTS:
+        if status is None:
+            status = jnp.zeros(q5.shape[1:], jnp.int32)
+        grad, delsq = anchoring_gradient(q5, anchoring, status,
+                                         walls=walls, pid=pid, R=R,
+                                         phi=phi)
+    else:
+        g, d = gradient_ops(gradient)
+        grad, delsq = g(q5), d(q5)
+    return {"q": q5, "grad_q": grad, "delsq_q": delsq}
+
+
+def _lc_force(cfg: LCConfig, fields, h, dtype):
+    pth = cfg.fe.stress(fields, h=h)
+    sa = cfg.fe.active_stress(fields)
+    if sa is not None:
+        pth = pth + sa
+    if cfg.has_walls:
+        force, fwall = stress_divergence_force_walls(pth, cfg.wallspec)
+        return force.astype(dtype), fwall
+    return stress_divergence_force(pth).astype(dtype), None
 
 
 def make_lc_step(cfg: LCConfig, solid=None):
-    """Jitted step: (f, q5, u) -> ((f, q5, u), rho)."""
+    """Jitted step: (f, q5, u[, gwall]) -> ((f, q5, u[, gwall]), rho).
+
+    With walls the state carries gwall, the accumulated momentum given
+    to the walls (stress one-sided fluxes + bounce-back transfer)."""
     params = cfg.lb.collision_params()
     model = cfg.lb.model
     be = BerisEdwardsParams(gamma=cfg.gamma, xi=cfg.fe.xi,
                             advection_order=cfg.advection_order)
     fluid = None if solid is None else jnp.logical_not(solid)
+    walls3 = cfg.wallspec.walls if cfg.has_walls else (False,) * 3
 
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
-        f, q5, u = state
-        fields = lc_fields(q5, cfg.gradient)
+        if cfg.keep_grads:
+            state = state[:-2]
+        if cfg.has_walls:
+            f, q5, u, gwall = state
+        else:
+            f, q5, u = state
+            gwall = None
+        fields = lc_fields(q5, cfg.gradient, anchoring=cfg.anchoring,
+                           walls=walls3)
         h = cfg.fe.molecular_field(fields)
 
         if cfg.hydrodynamics:
-            pth = cfg.fe.stress(fields, h=h)
-            sa = cfg.fe.active_stress(fields)
-            if sa is not None:
-                pth = pth + sa
-            force = stress_divergence_force(pth).astype(f.dtype)
-            q5 = beris_edwards_update(q5, h, u, be, fluid_mask=fluid)
+            force, fwall = _lc_force(cfg, fields, h, f.dtype)
+            q5 = beris_edwards_update(q5, h, u, be, fluid_mask=fluid,
+                                      wallspec=cfg.wallspec)
             f, rho, u_new = collide(f, params, force=force,
                                     fluid_mask=fluid)
-            f = stream_bounce_back(f, model, solid=solid,
-                                   rho0=cfg.lb.rho0)
+            if cfg.has_walls:
+                from ludwig_tpu.stats import momentum_total
+                f_new = stream(f, model)
+                g_pre = momentum_total(f_new, model)
+                f_new, _, _ = wall_bounce_back(f_new, f, model,
+                                               cfg.wallspec,
+                                               rho0=cfg.lb.rho0)
+                # wall gains exactly what the fluid lost in the
+                # bounce-back (the reference's kahan fnet is the true
+                # per-link sum, identical to this difference)
+                gbb = g_pre - momentum_total(f_new, model)
+                gwall = gwall + fwall + gbb
+                f = f_new
+            else:
+                f = stream_bounce_back(f, model, solid=solid,
+                                       rho0=cfg.lb.rho0)
         else:
             q5 = beris_edwards_update(q5, h, None, be, fluid_mask=fluid)
             rho = jnp.ones_like(q5[0])
             u_new = u
 
-        return (f, q5, u_new), rho
+        out = (f, q5, u_new, gwall) if cfg.has_walls else (f, q5, u_new)
+        if cfg.keep_grads:
+            out = out + (fields["grad_q"], fields["delsq_q"])
+        return out, rho
 
     return step
 
@@ -94,9 +160,46 @@ def initial_lc(cfg: LCConfig, q0_field: np.ndarray):
     f = initial_rest(cfg.lb)
     q5 = jnp.asarray(q0_field, cfg.lb.jdtype)
     u = jnp.zeros((3,) + tuple(cfg.lb.size), cfg.lb.jdtype)
-    return (f, q5, u)
+    state = (f, q5, u)
+    if cfg.has_walls:
+        state = state + (jnp.zeros((3,), cfg.lb.jdtype),)
+    if cfg.keep_grads:
+        fields = lc_fields(q5, cfg.gradient, anchoring=cfg.anchoring,
+                           walls=cfg.wallspec.walls if cfg.has_walls
+                           else (False,) * 3)
+        state = state + (fields["grad_q"], fields["delsq_q"])
+    return state
 
 
 def total_free_energy(cfg: LCConfig, q5) -> float:
-    fields = lc_fields(q5, cfg.gradient)
+    fields = lc_fields(q5, cfg.gradient, anchoring=cfg.anchoring,
+                       walls=cfg.wallspec.walls if cfg.has_walls
+                       else (False,) * 3)
     return float(jnp.sum(cfg.fe.fed(fields)))
+
+
+def lc_surface_fe(cfg: LCConfig, q5):
+    """(f_s1, f_s2): anchoring surface free energies summed over the
+    lower/upper wall faces (ref: fe_lc_stats.c fe_lc_wallx/y/z)."""
+    from ludwig_tpu.fe.blue_phase import q5_to_q33
+    anch = cfg.anchoring
+    fs1 = jnp.zeros((), q5.dtype)
+    fs2 = jnp.zeros((), q5.dtype)
+    for ax in range(3):
+        if not cfg.wallspec.walls[ax]:
+            continue
+        for side in (0, 1):
+            plane = 0 if side == 0 else q5.shape[1 + ax] - 1
+            sl = [slice(None)] * 3
+            sl[ax] = plane
+            qs5 = q5[(slice(None),) + tuple(sl)]
+            qs = q5_to_q33(qs5)
+            dn = [0.0, 0.0, 0.0]
+            dn[ax] = 1.0 if side == 0 else -1.0
+            fes = cfg.fe.surface_fs(qs, dn, anch.wall, anch.wall_w1,
+                                    anch.wall_w2, nfix=anch.wall_nfix)
+            if side == 0:
+                fs1 = fs1 + jnp.sum(fes)
+            else:
+                fs2 = fs2 + jnp.sum(fes)
+    return fs1, fs2

@@ -178,6 +178,46 @@ def _distribution_init(rt: RunTime, lb_cfg: LBConfig):
     return initial_from_hydro(lb_cfg, rho, u)
 
 
+def _lc_anchoring_params(rt: RunTime, fe):
+    """Anchoring key parsing, both 'two' (older) and 's7' styles
+    (ref: src/blue_phase_rt.c:192-380)."""
+    from ludwig_tpu.ops.lc_anchor import AnchoringParams
+    method = rt.string("lc_anchoring_method", "s7")
+    nfix = rt.double_vector("lc_wall_fixed_orientation", (0.0, 1.0, 0.0))
+    nrm = np.sqrt(sum(c * c for c in nfix)) or 1.0
+    nfix = tuple(c / nrm for c in nfix)
+    if method == "two":
+        coll = rt.string("lc_coll_anchoring", "none")
+        wall = rt.string("lc_wall_anchoring", coll)
+        w1 = rt.double("lc_anchoring_strength", 0.0)
+        w2 = rt.double("lc_anchoring_strength_2", 0.0)
+        w1_wall, w2_wall = w1, (w2 if wall == "planar" else 0.0)
+        w1_coll, w2_coll = w1, w2
+        if coll in ("normal", "fixed"):
+            w2_coll = 0.0
+        wc = rt.double("lc_anchoring_strength_colloid", None)
+        if wc is not None:
+            w1_coll = wc
+            w2_coll = wc if coll == "planar" else 0.0
+        ww = rt.double("lc_anchoring_strength_wall", None)
+        if ww is not None:
+            w1_wall = ww
+            w2_wall = ww if wall == "planar" else 0.0
+    else:
+        wall = rt.string("lc_wall_anchoring", "none")
+        coll = rt.string("lc_coll_anchoring", "none")
+        w1_wall = rt.double("lc_wall_anchoring_w1", 0.0)
+        w2_wall = rt.double("lc_wall_anchoring_w2", 0.0)
+        w1_coll = rt.double("lc_coll_anchoring_w1", 0.0)
+        w2_coll = rt.double("lc_coll_anchoring_w2", 0.0)
+    return AnchoringParams(
+        kappa0=fe.kappa0, kappa1=fe.kappa1, q0=fe.q0,
+        amplitude=fe.amplitude0,
+        wall=wall, wall_w1=w1_wall, wall_w2=w2_wall, wall_nfix=nfix,
+        coll=coll, coll_w1=w1_coll, coll_w2=w2_coll,
+        method="s7" if method == "s7" else "two")
+
+
 def build_system(rt: RunTime) -> System:
     size = tuple(rt.int_vector("size", (64, 64, 64)))
     eta = rt.double("viscosity", 1.0 / 6.0)
@@ -364,6 +404,7 @@ def build_system(rt: RunTime) -> System:
                       state=state, step_fn=step, droplet_cfg=dcfg)
 
     if fe_name == "lc_blue_phase":
+        active = rt.switch("lc_activity", False)
         fe = BluePhaseFE(
             a0=rt.double_required("lc_a0"),
             gamma=rt.double_required("lc_gamma"),
@@ -372,20 +413,32 @@ def build_system(rt: RunTime) -> System:
             kappa1=rt.double_required("lc_kappa1"),
             xi=rt.double("lc_xi", 0.0),
             redshift=rt.double("lc_init_redshift", 1.0),
-            zeta0=rt.double("lc_active_zeta0", 0.0),
-            zeta1=rt.double("lc_active_zeta", 0.0) or
-                  rt.double("lc_active_zeta1", 0.0),
+            zeta0=rt.double("lc_active_zeta0", 0.0) if active else 0.0,
+            zeta1=(rt.double("lc_active_zeta", 0.0) or
+                   rt.double("lc_active_zeta1", 0.0)) if active else 0.0,
             # input is the raw anisotropy; the free energy carries the
             # 1/(12 pi) factor (ref: blue_phase.c:252)
             epsilon=rt.double("lc_dielectric_anisotropy", 0.0)
             / (12.0 * np.pi),
             e0=tuple(rt.double_vector("electric_e0", (0.0, 0.0, 0.0))))
+        gradient = rt.string("fd_gradient_calculation", "3d_7pt_fluid")
+        anchoring = None
+        wallspec = None
+        if any(walls):
+            from ludwig_tpu.ops.walls import WallSpec
+            wallspec = WallSpec(walls=walls)
+            # LC walls live in the halo: all sites stay fluid
+            lb_cfg = dataclasses.replace(lb_cfg, walls=(False,) * 3)
+            solid = None
+        if gradient in ("3d_7pt_solid", "s7_anchoring"):
+            anchoring = _lc_anchoring_params(rt, fe)
         lcfg = LCConfig(
             lb=lb_cfg, fe=fe,
             gamma=rt.double("lc_Gamma", 0.1),
             advection_order=rt.int("fd_advection_scheme_order", 1),
-            gradient=rt.string("fd_gradient_calculation", "3d_7pt_fluid"),
-            hydrodynamics=rt.switch("hydrodynamics", True))
+            gradient=gradient,
+            hydrodynamics=rt.switch("hydrodynamics", True),
+            wallspec=wallspec, anchoring=anchoring, keep_grads=True)
         mode = rt.string("lc_q_initialisation", "nematic")
         amp = rt.double("lc_q_init_amplitude", fe.amplitude0)
         if mode == "o8m":
@@ -526,7 +579,7 @@ def _make_stats_fn(sys_: System):
                    "gc": total_colloid_momentum(V, cpar, f.dtype),
                    "umm": stats.velocity_minmax(u, fl)}
             return res
-        res = {"rho": stats.rho_stats(f, model, mask),
+        res = {"rho": stats.rho_stats_ref(f, model, mask),
                "g": stats.momentum_total(f, model, mask),
                "umm": stats.velocity_minmax(u, mask)}
         if sys_.electro_cfg is not None:
@@ -600,17 +653,39 @@ def _make_stats_fn(sys_: System):
                 fluid = jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask)
             res["fed"] = (mean, fluid)
         if sys_.lc_cfg is not None:
+            lcfg = sys_.lc_cfg
             q5 = state[1]
             res["q5"] = [stats.field_stats(q5[n], mask) for n in range(5)]
-            fields = lc_fields(q5, sys_.lc_cfg.gradient)
-            fed = sys_.lc_cfg.fe.fed(fields)
-            if mask is None:
-                mean = jnp.mean(fed)
-                fluid = mean
+            if lcfg.keep_grads:
+                # the reference computes stats with the gradients from
+                # the top of the step (pre-BE-update q), ludwig.c loop
+                fields = {"q": q5, "grad_q": state[-2],
+                          "delsq_q": state[-1]}
             else:
-                mean = jnp.mean(jnp.where(mask, fed, 0.0))
-                fluid = jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask)
-            res["fed"] = (mean, fluid)
+                w3 = (lcfg.wallspec.walls if lcfg.has_walls
+                      else (False,) * 3)
+                fields = lc_fields(q5, lcfg.gradient,
+                                   anchoring=lcfg.anchoring, walls=w3)
+            fed = lcfg.fe.fed(fields)
+            if mask is None:
+                ftot = jnp.sum(fed)
+                vol = jnp.asarray(float(fed.size), fed.dtype)
+            else:
+                ftot = jnp.sum(jnp.where(mask, fed, 0.0))
+                vol = jnp.sum(mask).astype(fed.dtype)
+            if lcfg.has_walls:
+                from ludwig_tpu.lc import lc_surface_fe
+                fs1, fs2 = lc_surface_fe(lcfg, q5)
+                res["fe_lc"] = (ftot, vol, fs1, fs2)
+                res["gwall"] = state[3]
+            else:
+                bulk, grad = lcfg.fe.fed_bulk_grad(fields)
+                if mask is None:
+                    bsum, gsum = jnp.sum(bulk), jnp.sum(grad)
+                else:
+                    bsum = jnp.sum(jnp.where(mask, bulk, 0.0))
+                    gsum = jnp.sum(jnp.where(mask, grad, 0.0))
+                res["fe_lc"] = (ftot, vol, bsum, gsum)
         return res
 
     return compute
@@ -653,7 +728,20 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
     if sys_.is_lc:
         for n, name in enumerate(("Qxx", "Qxy", "Qxz", "Qyy", "Qyz")):
             out.write(stats.format_phi_line(name, *res["q5"][n]))
-        out.write(stats.format_fed_block(tstep, *res["fed"]))
+        ftot, vol, x3, x4 = (float(v) for v in res["fe_lc"])
+        rs = sys_.lc_cfg.fe.redshift
+        if sys_.lc_cfg.has_walls:
+            out.write("\nFree energies - timestep f v f/v f_s1 fs_s2 "
+                      "redshift\n")
+            out.write(f"[fe] {int(tstep):14d} {ftot:17.10e} {vol:17.10e} "
+                      f"{ftot / vol:17.10e} {x3:17.10e} {x4:17.10e} "
+                      f"{rs:17.10e}\n")
+        else:
+            out.write("\nFree energies - timestep f v f/v f_bulk/v "
+                      "f_grad/v redshift\n")
+            out.write(f"[fe] {int(tstep):14d} {ftot:17.10e} {vol:17.10e} "
+                      f"{ftot / vol:17.10e} {x3 / vol:17.10e} "
+                      f"{x4 / vol:17.10e} {rs:17.10e}\n")
     g = res["g"]
     if "gwall" in res:
         gw = res["gwall"]
@@ -748,7 +836,7 @@ def run_text(text: str, out=sys.stdout) -> System:
         elif (sys_.is_binary or sys_.is_lc or sys_.is_two_field
                 or sys_.is_droplet or sys_.is_polar):
             state, rho = sys_.step_fn(state, t)
-            u = state[-1]
+            u = state[2] if sys_.is_lc else state[-1]
         else:
             f, rho, u = sys_.step_fn(state[0], t)
             state = (f,)

@@ -1,0 +1,177 @@
+"""Plane walls living in the halo beyond the lattice edges.
+
+TPU-native equivalent of the reference wall object (ref: src/wall.c:
+wall_init_map:1225 places MAP_BOUNDARY on the global halo planes, so all
+L sites along a walled axis stay fluid; wall_bbl_kernel:860-980 does
+half-way bounce-back on the links crossing the wall face and accumulates
+the momentum transfer in wall->fnet).
+
+Here the wall never occupies storage: streaming stays pure jnp.roll and
+the wrap planes of each walled axis are overwritten with the bounce-back
+values afterwards - a handful of static plane-slice updates XLA fuses
+into the streaming program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ludwig_tpu.lattice import CS2, LatticeModel
+
+
+@dataclasses.dataclass(frozen=True)
+class WallSpec:
+    """Which axes have walls, and the wall velocities (moving walls,
+    input keys boundary_walls, boundary_speed_bottom/top)."""
+    walls: Tuple[bool, bool, bool]
+    ubot: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    utop: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    @property
+    def any(self) -> bool:
+        return any(self.walls)
+
+
+def wall_bounce_back(f_new: jnp.ndarray, f_post: jnp.ndarray,
+                     model: LatticeModel, spec: WallSpec,
+                     rho0: float = 1.0, g_post: Optional[jnp.ndarray] = None,
+                     g_new: Optional[jnp.ndarray] = None):
+    """Overwrite wrapped-in distributions at wall planes with half-way
+    bounce-back, and return the momentum transferred to the walls.
+
+    f_new: streamed distributions (rolled, so wall planes currently hold
+    wrapped values); f_post: post-collision distributions.
+    g_post/g_new: optional second (order-parameter) distribution for
+    ndist=2 models (ref: wall_bbl_kernel LB_PHI branch).
+
+    Returns (f_new, g_new, gwall_inc) with
+      gwall_inc = sum_links (2 f*_q - 2 w_q rho0 (c_q.u_w)/cs2 - 2 w_q) c_q
+    accumulated per link with the small-constant subtraction exactly as
+    the reference does (anti-roundoff; ref: wall.c:941-949).
+    """
+    cv = model.cv
+    wv = model.wv
+    rev = model.reverse
+    dtype = f_post.dtype
+    gw = jnp.zeros((3,), dtype)
+
+    for ax in range(3):
+        if not spec.walls[ax]:
+            continue
+        for side, uw in ((0, spec.ubot), (1, spec.utop)):
+            # side 0: wall below plane i=0; into-wall dirs have cv[ax]<0
+            plane = 0 if side == 0 else f_post.shape[1 + ax] - 1
+            into = -1 if side == 0 else 1
+            sl = [slice(None)] * 3
+            sl[ax] = plane
+            sl = tuple(sl)
+            for q in range(model.nvel):
+                if cv[q][ax] != int(into):
+                    continue
+                p = int(rev[q])
+                cdotu = float(np.dot(cv[q], uw))
+                corr = 2.0 * wv[q] * rho0 * cdotu / CS2
+                fq = f_post[(q,) + sl]
+                f_new = f_new.at[(p,) + sl].set(fq - corr)
+                if g_post is not None:
+                    gq = g_post[(q,) + sl]
+                    g_new = g_new.at[(p,) + sl].set(gq - corr)
+                link = jnp.sum(2.0 * fq) - (corr + 2.0 * wv[q]) \
+                    * float(np.prod(fq.shape))
+                gw = gw + link * jnp.asarray(np.array(cv[q], np.float64),
+                                             dtype)
+    return f_new, g_new, gw
+
+
+def no_flux_at_walls(fluxes, spec: WallSpec):
+    """Zero the face fluxes crossing a wall: the wrap face (between site
+    N-1 and site 0) of each walled axis (ref: advection_bcs.c
+    advection_bcs_no_normal_flux with the halo-wall map)."""
+    if not spec.any:
+        return fluxes
+    out = []
+    for ax in range(3):
+        fl = fluxes[ax]
+        if spec.walls[ax]:
+            sl = [slice(None)] * 3
+            sl[ax] = fl.shape[fl.ndim - 3 + ax] - 1
+            nlead = fl.ndim - 3
+            fl = fl.at[(slice(None),) * nlead + tuple(sl)].set(0.0)
+        out.append(fl)
+    return out
+
+
+def stress_divergence_force_walls(pth: jnp.ndarray, spec: WallSpec):
+    """Force = -div(pth) with one-sided fluxes at the wall faces, plus
+    the momentum flowing into the walls (ref: phi_force_colloid.c
+    pth_force_map_kernel / pth_force_wall_kernel).
+
+    Face flux between fluid sites: 0.5 (pth(i) + pth(i+1)); at a wall
+    face the one-sided value pth(i) of the adjacent fluid site is used.
+    Wall momentum: each wall-adjacent site contributes -/+ pth(i)[a][ax].
+    Returns (force (3,XYZ), fwall (3,)).
+    """
+    shape = pth.shape[2:]
+    comps = []
+    for a in range(3):
+        acc = None
+        for ax in range(3):
+            pax = pth[a, ax]
+            up = jnp.roll(pax, -1, axis=ax)
+            face = 0.5 * (pax + up)
+            if spec.walls[ax]:
+                hi = [slice(None)] * 3
+                hi[ax] = shape[ax] - 1
+                lo = [slice(None)] * 3
+                lo[ax] = 0
+                # one-sided at both wall faces (the wrap face belongs to
+                # the high plane's up-neighbour and the low plane's down)
+                face = face.at[tuple(hi)].set(pax[tuple(hi)])
+            d = face - jnp.roll(face, 1, axis=ax)
+            if spec.walls[ax]:
+                lo = [slice(None)] * 3
+                lo[ax] = 0
+                # down-face of plane 0 is the wall: one-sided pth(0)
+                d = d.at[tuple(lo)].set(face[tuple(lo)] - pax[tuple(lo)])
+            acc = d if acc is None else acc + d
+        comps.append(-acc)
+    force = jnp.stack(comps)
+    # Momentum absorbed by the walls: minus everything injected into the
+    # fluid (the interior faces telescope; only the one-sided wall-face
+    # fluxes survive, cf. pth_force_wall_kernel feeding wall->fnet, with
+    # the accounting sense of ludwig.c:1076 [total] = g + gwall).
+    fwall = -jnp.sum(force, axis=(1, 2, 3))
+    return force, fwall
+
+
+def wall_velocity_gradient_fix(w, u: jnp.ndarray, spec: WallSpec):
+    """Patch the central-difference velocity gradient tensor at wall
+    planes, where the off-edge neighbour velocity is the wall velocity
+    (ref: wall.c wall_set_wall_velocities; halo u = uw)."""
+    if not spec.any:
+        return w
+    for ax in range(3):
+        if not spec.walls[ax]:
+            continue
+        n = u.shape[1 + ax]
+        lo = [slice(None)] * 3
+        lo[ax] = 0
+        hi = [slice(None)] * 3
+        hi[ax] = n - 1
+        lo, hi = tuple(lo), tuple(hi)
+        lo2 = [slice(None)] * 3
+        lo2[ax] = 1
+        hi2 = [slice(None)] * 3
+        hi2[ax] = n - 2
+        for a in range(3):
+            ub = float(spec.ubot[a])
+            ut = float(spec.utop[a])
+            w[a][ax] = w[a][ax].at[lo].set(
+                0.5 * (u[a][tuple(lo2)] - ub))
+            w[a][ax] = w[a][ax].at[hi].set(
+                0.5 * (ut - u[a][tuple(hi2)]))
+    return w

@@ -61,17 +61,87 @@ def rho_stats(f: jnp.ndarray, model: LatticeModel,
     return _compensated_stats(jnp.sum(f, axis=0), fluid_mask)
 
 
+def rho_stats_ref(f: jnp.ndarray, model: LatticeModel,
+                  fluid_mask: Optional[jnp.ndarray] = None):
+    """Reference-exact density stats: sequential (site-order) naive sums
+    and var = E[rho^2] - E[rho]^2 (ref: stats_distribution.c:62-115).
+
+    The variance there suffers catastrophic cancellation (rho ~ 1), so
+    its last digits are determined by the exact summation ORDER; a
+    pairwise/compensated sum differs by more than the regression diff
+    tolerance.  A lax.scan reproduces the reference's running sums
+    bit-for-bit (adding a masked 0.0 is exact, so masking == skipping).
+    """
+    rho = jnp.sum(f, axis=0)
+    flat = rho.reshape(-1)
+    if fluid_mask is None:
+        w = jnp.ones_like(flat)
+        n = jnp.asarray(float(flat.size), flat.dtype)
+        rmin, rmax = jnp.min(rho), jnp.max(rho)
+    else:
+        w = fluid_mask.reshape(-1).astype(flat.dtype)
+        n = jnp.sum(w)
+        rmin = jnp.min(jnp.where(fluid_mask, rho, jnp.inf))
+        rmax = jnp.max(jnp.where(fluid_mask, rho, -jnp.inf))
+
+    def body(c, xw):
+        s, s2 = c
+        x, wi = xw
+        xm = wi * x
+        return (s + xm, s2 + xm * x), ()
+
+    (total, sumsq), _ = jax.lax.scan(body, (jnp.zeros((), flat.dtype),
+                                            jnp.zeros((), flat.dtype)),
+                                     (flat, w))
+    mean = total / n
+    var = (sumsq / n) - mean * mean
+    return total, mean, var, rmin, rmax
+
+
 def field_stats(phi: jnp.ndarray, fluid_mask: Optional[jnp.ndarray] = None):
     """(total, mean, var, min, max) of a scalar order parameter."""
     return _compensated_stats(phi, fluid_mask)
 
 
+def _two_sum(a, b):
+    """Knuth branch-free exact addition: a + b = s + err."""
+    s = a + b
+    bp = s - a
+    return s, (a - (s - bp)) + (b - bp)
+
+
 def momentum_total(f: jnp.ndarray, model: LatticeModel,
                    fluid_mask: Optional[jnp.ndarray] = None):
-    _, g = hydro_fields(f, model)
-    if fluid_mask is not None:
-        g = jnp.where(fluid_mask[None], g, 0.0)
-    return jnp.sum(g, axis=(1, 2, 3))
+    """Total momentum with a compensated per-site fold over velocities.
+
+    The reference accumulates f_p c_p into a Kahan compensated sum
+    (ref: stats_distribution.c distribution_gm_kernel, util_sum.h), so
+    the printed total is the TRUE sum to ~2 ulps even though the
+    per-site partial sums each round (at rest the +w/-w fold leaves
+    ~1e-17 per site, which would otherwise accumulate coherently to
+    ~1e-11 over a 64^3 lattice - above the regression tolerance).
+    Here: Neumaier over the velocity fold per site, then a pairwise
+    lattice sum of (sum, correction)."""
+    comps = []
+    for a in range(3):
+        s = None
+        c = None
+        for p in range(model.nvel):
+            cpa = float(model.cv[p][a])
+            if cpa == 0.0:
+                continue
+            t = cpa * f[p]
+            if s is None:
+                s = t
+                c = jnp.zeros_like(t)
+            else:
+                s, e = _two_sum(s, t)
+                c = c + e
+        if fluid_mask is not None:
+            s = jnp.where(fluid_mask, s, 0.0)
+            c = jnp.where(fluid_mask, c, 0.0)
+        comps.append(jnp.sum(s) + jnp.sum(c))
+    return jnp.stack(comps)
 
 
 def velocity_minmax(u: jnp.ndarray,
