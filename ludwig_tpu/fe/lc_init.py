@@ -87,11 +87,44 @@ def lc_init_nematic(size, amplitude0, director=(1.0, 0.0, 0.0)):
 
 
 def lc_init_random(size, amplitude0, seed=13):
-    """Random uniform director field (ref: blue_phase_random_q_init)."""
-    rng = np.random.default_rng(seed)
-    phase1 = 2.0 * np.pi * (rng.random(size) - 0.5)
-    phase2 = np.arccos(2.0 * rng.random(size) - 1.0)
-    n = (np.cos(phase1) * np.sin(phase2),
-         np.sin(phase1) * np.sin(phase2),
-         np.cos(phase2))
-    return q_uniaxial(amplitude0, n)
+    """Random uniform director field, reference RNG stream
+    (ref: blue_phase_random_q_init, DEFAULT_SEED=13)."""
+    from ludwig_tpu.ref_rng import random_director_q5
+    return random_director_q5(size, amplitude0, two_d=False, seed=seed)
+
+
+def lc_init_random_xy(size, amplitude0, seed=13):
+    """Random in-plane director field (ref: blue_phase_random_q_2d)."""
+    from ludwig_tpu.ref_rng import random_director_q5
+    return random_director_q5(size, amplitude0, two_d=True, seed=seed)
+
+
+def lc_init_active_nematic_q2d(size, amplitude0, axis=0):
+    """Quasi-2d active nematic: uniform director along the strip axis
+    with a central kinked strip (ref: lc_active_nematic_init_q2d)."""
+    nx, ny, nz = size
+    ang = np.pi / 180.0 * 10.0
+    if axis == 0:
+        nhat = (1.0, 0.0, 0.0)
+        nk1 = (np.sin(ang), np.cos(ang), 0.0)
+        nk2 = (-np.sin(ang), np.cos(ang), 0.0)
+    else:
+        nhat = (0.0, 1.0, 0.0)
+        nk1 = (np.cos(ang), np.sin(ang), 0.0)
+        nk2 = (np.cos(ang), -np.sin(ang), 0.0)
+    ones = np.ones(size)
+    q5 = q_uniaxial(amplitude0, tuple(c * ones for c in nhat))
+    qk1 = q_uniaxial(amplitude0, nk1)
+    qk2 = q_uniaxial(amplitude0, nk2)
+    ix = np.arange(1, nx + 1)[:, None, None] + 0 * ones
+    iy = np.arange(1, ny + 1)[None, :, None] + 0 * ones
+    if axis == 0:
+        strip = np.logical_or(iy == ny // 2, iy == (ny - 1) // 2)
+        lower = ix <= nx // 2
+    else:
+        strip = np.logical_or(ix == nx // 2, ix == (nx - 1) // 2)
+        lower = iy <= ny // 2
+    for n in range(5):
+        q5[n] = np.where(strip & lower, qk1[n], q5[n])
+        q5[n] = np.where(strip & ~lower, qk2[n], q5[n])
+    return q5

@@ -106,7 +106,14 @@ def _phi_init(rt: RunTime, size, fe) -> np.ndarray:
     phi0 = rt.double("phi0", 0.0)
     seed = rt.int("random_seed", 13)
     if mode == "spinodal":
-        return spinodal_phi(size, amplitude=0.05, mean=phi0, seed=seed)
+        from ludwig_tpu.ref_rng import spinodal_ref
+        return spinodal_ref(size, seed, phi0,
+                            amp=rt.double("noise", 0.1))
+    if mode == "patches":
+        from ludwig_tpu.ref_rng import patches_ref
+        return patches_ref(size, seed,
+                           patch=rt.int("phi_init_patch_size", 1),
+                           volminus1=rt.double("phi_init_patch_vol", 0.5))
     if mode == "uniform":
         return np.full(size, phi0)
     if mode in ("drop",):
@@ -445,18 +452,24 @@ def build_system(rt: RunTime) -> System:
             q5 = lc_init.lc_init_o8m(size, fe.q0, amp)
         elif mode == "o2":
             q5 = lc_init.lc_init_o2(size, fe.q0, amp)
-        elif mode in ("twist", "cholesteric"):
-            axis = {"x": 0, "y": 1, "z": 2}[
-                rt.string("lc_init_nematic_axis",
-                          rt.string("lc_q_init_axis", "z")).lower()]
-            q5 = lc_init.lc_init_twist(size, fe.q0, amp, axis=axis)
+        elif mode in ("twist", "cholesteric_z"):
+            q5 = lc_init.lc_init_twist(size, fe.q0, amp, axis=2)
+        elif mode == "cholesteric_x":
+            q5 = lc_init.lc_init_twist(size, fe.q0, amp, axis=0)
+        elif mode == "cholesteric_y":
+            q5 = lc_init.lc_init_twist(size, fe.q0, amp, axis=1)
         elif mode == "nematic":
             director = tuple(rt.double_vector("lc_init_nematic",
                                               (1.0, 0.0, 0.0)))
             q5 = lc_init.lc_init_nematic(size, amp, director)
         elif mode == "random":
-            q5 = lc_init.lc_init_random(size, amp,
-                                        seed=rt.int("random_seed", 13))
+            q5 = lc_init.lc_init_random(size, amp)      # DEFAULT_SEED
+        elif mode == "random_xy":
+            q5 = lc_init.lc_init_random_xy(size, amp)
+        elif mode == "active_nematic_q2d_x":
+            q5 = lc_init.lc_init_active_nematic_q2d(size, amp, axis=0)
+        elif mode == "active_nematic_q2d_y":
+            q5 = lc_init.lc_init_active_nematic_q2d(size, amp, axis=1)
         else:
             raise ValueError(f"lc_q_initialisation '{mode}' not implemented")
         state = initial_lc(lcfg, q5)
@@ -566,7 +579,10 @@ def _make_stats_fn(sys_: System):
     cpar = sys_.colloid_params
 
     @jax.jit
-    def compute(state, u):
+    def compute(state, u, prev):
+        # prev: order-parameter fields from the top of the step - the
+        # reference's statistics mix the CURRENT field values with the
+        # gradients computed before the update (ludwig.c loop order).
         f = state[0]
         if cpar is not None:
             from ludwig_tpu.colloids import (build_map,
@@ -604,7 +620,9 @@ def _make_stats_fn(sys_: System):
         if bcfg is not None:
             phi = state[1]
             res["phi"] = stats.field_stats(phi, mask)
-            fields = fe_fields(phi, bcfg.gradient)
+            fields = fe_fields(prev[0], bcfg.gradient,
+                               fourth_order=bcfg.fourth_order)
+            fields["phi"] = phi
             fed = bcfg.fe.fed(fields)
             if mask is None:
                 mean = jnp.mean(fed)
@@ -619,7 +637,9 @@ def _make_stats_fn(sys_: System):
             phi, psi = state[1], state[2]
             res["phi"] = stats.field_stats(phi, mask)
             res["psi"] = stats.field_stats(psi, mask)
-            fields = two_fields(phi, psi, tcfg.gradient)
+            fields = two_fields(prev[0], prev[1], tcfg.gradient)
+            fields["phi"] = phi
+            fields["psi"] = psi
             fed = tcfg.fe.fed(fields)
             if mask is None:
                 mean = jnp.mean(fed)
@@ -632,7 +652,8 @@ def _make_stats_fn(sys_: System):
             from ludwig_tpu.polar import polar_fields
             p = state[1]
             res["pvec"] = [stats.field_stats(p[a], mask) for a in range(3)]
-            fields = polar_fields(p, sys_.polar_cfg.gradient)
+            fields = polar_fields(prev[0], sys_.polar_cfg.gradient)
+            fields["p"] = p
             fed = sys_.polar_cfg.fe.fed(fields)
             mean = (jnp.mean(fed) if mask is None
                     else jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask))
@@ -643,7 +664,9 @@ def _make_stats_fn(sys_: System):
             phi, q5 = state[1], state[2]
             res["phi"] = stats.field_stats(phi, mask)
             res["q5"] = [stats.field_stats(q5[n], mask) for n in range(5)]
-            fields = droplet_fields(phi, q5, dcfg.gradient)
+            fields = droplet_fields(prev[0], prev[1], dcfg.gradient)
+            fields["phi"] = phi
+            fields["q"] = q5
             fed = dcfg.fe.fed(fields)
             if mask is None:
                 mean = jnp.mean(fed)
@@ -693,11 +716,11 @@ def _make_stats_fn(sys_: System):
 
 def report_statistics(sys_: System, tstep: int, u, stats_fn,
                       with_velocity=True, out=sys.stdout,
-                      in_loop=True):
+                      in_loop=True, prev=()):
     """One statistics block set, reference formats.  The 'Completed
     cycle' trailer only appears inside the time loop (ref:
     ludwig.c:961)."""
-    res = jax.device_get(stats_fn(sys_.state, u))
+    res = jax.device_get(stats_fn(sys_.state, u, prev))
 
     out.write(stats.format_rho_block(*res["rho"]))
     if sys_.is_electro:
@@ -819,15 +842,24 @@ def run_text(text: str, out=sys.stdout) -> System:
                            for n in names)
         out.write(f"Restart from step {n_start}\n")
 
+    def _op_fields(state):
+        # copies: the step donates its input buffers
+        if (sys_.is_binary or sys_.is_two_field or sys_.is_droplet
+                or sys_.is_polar):
+            return tuple(jnp.array(x) for x in state[1:-1])
+        return ()
+
     # initial report (tstep 0) as the reference does before the loop
     u = jnp.zeros((3,) + size, sys_.lb_cfg.jdtype)
     report_statistics(sys_, sys_.n_start, u, stats_fn,
-                      with_velocity=False, out=out, in_loop=False)
+                      with_velocity=False, out=out, in_loop=False,
+                      prev=_op_fields(sys_.state))
 
     out.write("\nStarting time step loop.\n")
     t_init = time.time() - t0
     state = sys_.state
     for t in range(sys_.n_start + 1, sys_.n_start + ncycles + 1):
+        prev = _op_fields(state)
         if sys_.is_colloid:
             state, (rho, u) = sys_.step_fn(state, t)
         elif sys_.is_electro:
@@ -843,7 +875,7 @@ def run_text(text: str, out=sys.stdout) -> System:
         sys_.state = state
         if t % freq == 0:
             report_statistics(sys_, t, u, stats_fn, out=out,
-                              with_velocity=sys_.hydro_on)
+                              with_velocity=sys_.hydro_on, prev=prev)
         if freq_config and t % freq_config == 0:
             _dump(t, state)
 

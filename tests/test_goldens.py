@@ -15,6 +15,8 @@ CASES = [
     "serial-elec-gc1",
     "serial-elec-eo1",
     "serial-elec-lj1",
+    "serial-spin-fd1",
+    "serial-drop-lc1",
 ]
 
 
