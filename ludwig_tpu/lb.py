@@ -134,6 +134,37 @@ def make_step(cfg: LBConfig, solid=None,
     return step
 
 
+def make_wall_step(cfg: LBConfig, wallspec, force_field=None):
+    """Single-fluid step with halo plane walls (ref: wall.c wall_bbl):
+    ((f, gwall), t) -> ((f', gwall'), rho, u).  gwall accumulates the
+    bounce-back momentum transfer for the [walls] statistics row."""
+    from ludwig_tpu.ops.stream import stream
+    from ludwig_tpu.ops.walls import (wall_bounce_back,
+                                      wall_bounce_back_slip)
+    from ludwig_tpu.stats import momentum_total
+    params = cfg.collision_params()
+    model = cfg.model
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, t=0, force=force_field):
+        f, gwall = state
+        shat, ghat = _noise_terms(cfg, params, t)
+        f_post, rho, u = collide(f, params, force=force,
+                                 shat=shat, ghat=ghat)
+        f_new = stream(f_post, model)
+        g_pre = momentum_total(f_new, model)
+        if wallspec.slip_active:
+            f_new = wall_bounce_back_slip(f_new, f_post, model, wallspec,
+                                          rho0=cfg.rho0)
+        else:
+            f_new, _, _ = wall_bounce_back(f_new, f_post, model, wallspec,
+                                           rho0=cfg.rho0)
+        gwall = gwall + (g_pre - momentum_total(f_new, model))
+        return (f_new, gwall), rho, u
+
+    return step
+
+
 def make_nstep(cfg: LBConfig, solid=None, force_field=None, le=None,
                open_bc=None):
     """n fused steps via lax.scan inside one jit (for benchmarking: no

@@ -50,8 +50,10 @@ class System:
     polar_cfg: Optional[object] = None
     colloid_params: Optional[object] = None
     electro_cfg: Optional[object] = None
+    wallspec: Optional[object] = None          # plain-fluid halo walls
     n_start: int = 0
     hydro_on: bool = True
+    vol_flux: bool = False
 
     @property
     def is_binary(self) -> bool:
@@ -185,6 +187,39 @@ def _distribution_init(rt: RunTime, lb_cfg: LBConfig):
     return initial_from_hydro(lb_cfg, rho, u)
 
 
+def _ternary_init(rt: RunTime, size):
+    """(phi0, psi0) ternary composition fields (ref:
+    src/fe_ternary_rt.c:102-160, src/field_ternary_init.c; components
+    c1=(phi +1, psi 0), c2=(-1, 0), c3=(0, 1))."""
+    mode = rt.string("ternary_initialisation", "")
+    nx, ny = size[0], size[1]
+    x = np.arange(1, nx + 1, dtype=np.float64)[:, None, None] \
+        + np.zeros(size)
+    y = np.arange(1, ny + 1, dtype=np.float64)[None, :, None] \
+        + np.zeros(size)
+    if mode == "2d_double_emulsion":
+        x1 = rt.double("2d_double_emulsion_xf1", 0.2) * nx
+        x2 = rt.double("2d_double_emulsion_xf2", 0.5) * nx
+        x3 = rt.double("2d_double_emulsion_xf3", 0.8) * nx
+        y1 = rt.double("2d_double_emulsion_yf1", 0.3) * ny
+        y2 = rt.double("2d_double_emulsion_yf2", 0.7) * ny
+        iny = (y1 < y) & (y < y2)
+        c1 = (x1 < x) & (x < x2) & iny
+        c2 = (x2 <= x) & (x < x3) & iny
+        phi = np.where(c1, 1.0, np.where(c2, -1.0, 0.0))
+        psi = np.where(c1 | c2, 0.0, 1.0)
+        return phi, psi
+    if mode == "2d_tee":
+        x1 = rt.double("ternary_2d_tee_xf1", 0.50) * nx
+        y1 = rt.double("tarnary_2d_tee_yf1", 0.33) * ny  # (sic)
+        c3 = y < y1
+        c1 = ~c3 & (x < x1)
+        phi = np.where(c3, 0.0, np.where(c1, 1.0, -1.0))
+        psi = np.where(c3, 1.0, 0.0)
+        return phi, psi
+    return None
+
+
 def _lc_anchoring_params(rt: RunTime, fe):
     """Anchoring key parsing, both 'two' (older) and 's7' styles
     (ref: src/blue_phase_rt.c:192-380)."""
@@ -315,8 +350,13 @@ def build_system(rt: RunTime) -> System:
             advection_order=rt.int("fd_advection_scheme_order", 1),
             gradient=rt.string("fd_gradient_calculation", "3d_7pt_fluid"),
             hydrodynamics=rt.switch("hydrodynamics", True))
-        phi0 = _phi_init(rt, size, None)
-        psi0 = np.full(size, psi0_mean)
+        tinit = (_ternary_init(rt, size) if fe_name == "ternary"
+                 else None)
+        if tinit is not None:
+            phi0, psi0 = tinit
+        else:
+            phi0 = _phi_init(rt, size, None)
+            psi0 = np.full(size, psi0_mean)
         state = initial_two_field(tcfg, phi0, psi0)
         step = make_two_field_step(tcfg, solid=solid)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
@@ -559,6 +599,28 @@ def build_system(rt: RunTime) -> System:
             le = LeesEdwardsConfig(nplanes=nplanes,
                                    uy=rt.double_required("LE_plane_vel"),
                                    nx=size[0])
+        if any(walls) and le is None and porous is None:
+            # halo plane walls: every stored site stays fluid
+            from ludwig_tpu.lb import make_wall_step
+            from ludwig_tpu.ops.walls import WallSpec
+            ub = rt.double("boundary_speed_bottom", 0.0)
+            ut = rt.double("boundary_speed_top", 0.0)
+            sb = tuple(rt.double_vector(
+                "boundary_walls_slip_fraction_bot", (0.0, 0.0, 0.0)))
+            st_ = tuple(rt.double_vector(
+                "boundary_walls_slip_fraction_top", (0.0, 0.0, 0.0)))
+            slip_on = (rt.switch("boundary_walls_slip_active", False)
+                       or any(sb) or any(st_))
+            ws = WallSpec(walls=walls, ubot=(ub, 0.0, 0.0),
+                          utop=(ut, 0.0, 0.0), slip_bot=sb, slip_top=st_,
+                          slip_active=slip_on)
+            lb_cfg = dataclasses.replace(lb_cfg, walls=(False,) * 3)
+            f = _distribution_init(rt, lb_cfg)
+            step = make_wall_step(lb_cfg, ws)
+            state = (f, jnp.zeros((3,), lb_cfg.jdtype))
+            return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
+                          solid=None, state=state, step_fn=step,
+                          wallspec=ws)
         f = _distribution_init(rt, lb_cfg)
         step = make_step(lb_cfg, solid=solid, le=le)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
@@ -598,6 +660,11 @@ def _make_stats_fn(sys_: System):
         res = {"rho": stats.rho_stats_ref(f, model, mask),
                "g": stats.momentum_total(f, model, mask),
                "umm": stats.velocity_minmax(u, mask)}
+        if sys_.wallspec is not None:
+            res["gwall"] = state[1]
+        if sys_.vol_flux:
+            um = u if mask is None else jnp.where(mask[None], u, 0.0)
+            res["uflux"] = jnp.sum(um, axis=(1, 2, 3))
         if sys_.electro_cfg is not None:
             from ludwig_tpu.electro import fe_electro_fed, rho_elec
             ek = sys_.electro_cfg.ek
@@ -644,10 +711,13 @@ def _make_stats_fn(sys_: System):
             if mask is None:
                 mean = jnp.mean(fed)
                 fluid = mean
+                fsum = jnp.sum(fed)
             else:
                 mean = jnp.mean(jnp.where(mask, fed, 0.0))
                 fluid = jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask)
+                fsum = jnp.sum(jnp.where(mask, fed, 0.0))
             res["fed"] = (mean, fluid)
+            res["fe_sum"] = fsum
         if sys_.polar_cfg is not None:
             from ludwig_tpu.polar import polar_fields
             p = state[1]
@@ -736,9 +806,18 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
         out.write(stats.format_phi_line("phi", *res["phi"]))
         out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_two_field:
+        is_ternary = type(sys_.two_field_cfg.fe).__name__ == "TernaryFE"
         out.write(stats.format_phi_line("phi", *res["phi"]))
-        out.write(stats.format_phi_line("psi", *res["psi"]))
-        out.write(stats.format_fed_block(tstep, *res["fed"]))
+        out.write(stats.format_phi_line("phi" if is_ternary else "psi",
+                                        *res["psi"]))
+        if is_ternary:
+            # ref: fe_ternary_stats.c:80-100 (no walls: surface = 0)
+            fl = float(res["fe_sum"])
+            out.write("\nFree energies\n")
+            out.write(f"[surf/fl/tot]  {int(tstep):9d} {0.0:17.10e} "
+                      f"{fl:17.10e} {fl + 0.0:17.10e}\n")
+        else:
+            out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_polar:
         for a, name in enumerate(("Px ", "Py ", "Pz ")):
             out.write(stats.format_phi_line(name, *res["pvec"][a]))
@@ -784,6 +863,10 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
         out.write(stats.format_momentum_block(g, g))
     if with_velocity:
         out.write(stats.format_velocity_block(*res["umm"]))
+        if "uflux" in res:
+            fx = res["uflux"]
+            out.write(f"[vol flux] {float(fx[0]):14.7e} "
+                      f"{float(fx[1]):14.7e} {float(fx[2]):14.7e}\n")
     if in_loop:
         out.write(f"\nCompleted cycle {tstep}\n")
     out.flush()
@@ -800,6 +883,7 @@ def run_text(text: str, out=sys.stdout) -> System:
 
     sys_ = build_system(rt)
     sys_.hydro_on = rt.switch("hydrodynamics", True)
+    sys_.vol_flux = rt.string("stats_vel_print_vol_flux", "no") == "yes"
     size = sys_.lb_cfg.size
     out.write("System details\n--------------\n")
     out.write(f"System size:    {size[0]} {size[1]} {size[2]}\n")
@@ -862,6 +946,8 @@ def run_text(text: str, out=sys.stdout) -> System:
         prev = _op_fields(state)
         if sys_.is_colloid:
             state, (rho, u) = sys_.step_fn(state, t)
+        elif sys_.wallspec is not None:
+            state, rho, u = sys_.step_fn(state, t)
         elif sys_.is_electro:
             state, rho = sys_.step_fn(state, t)
             u = state[3]

@@ -25,15 +25,30 @@ from ludwig_tpu.lattice import CS2, LatticeModel
 
 @dataclasses.dataclass(frozen=True)
 class WallSpec:
-    """Which axes have walls, and the wall velocities (moving walls,
-    input keys boundary_walls, boundary_speed_bottom/top)."""
+    """Which axes have walls, the wall velocities (moving walls, input
+    keys boundary_walls, boundary_speed_bottom/top), and per-face slip
+    fractions (boundary_walls_slip_fraction_bot/top; ref: wall.c:475-707
+    wall_init_boundaries_slip, wall_slip)."""
     walls: Tuple[bool, bool, bool]
     ubot: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     utop: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    slip_bot: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    slip_top: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    slip_active: bool = False
 
     @property
     def any(self) -> bool:
         return any(self.walls)
+
+    def slip_value(self, sides) -> float:
+        """Slip fraction for a link whose wall normal involves the given
+        (axis, is_top) faces: face value, edge average, corner no-slip
+        (ref: wall.c wall_slip, wall_link_slip)."""
+        if len(sides) >= 3:
+            return 0.0
+        vals = [(self.slip_top if top else self.slip_bot)[ax]
+                for ax, top in sides]
+        return float(sum(vals) / len(vals))
 
 
 def wall_bounce_back(f_new: jnp.ndarray, f_post: jnp.ndarray,
@@ -85,6 +100,64 @@ def wall_bounce_back(f_new: jnp.ndarray, f_post: jnp.ndarray,
                 gw = gw + link * jnp.asarray(np.array(cv[q], np.float64),
                                              dtype)
     return f_new, g_new, gw
+
+
+def wall_bounce_back_slip(f_new: jnp.ndarray, f_post: jnp.ndarray,
+                          model: LatticeModel, spec: WallSpec,
+                          rho0: float = 1.0):
+    """Bounce-back with partial slip: the incoming distribution is the
+    mix (1-s) f_noslip + s f_specular, where the specular partner comes
+    from the tangentially adjacent site (ref: wall.c:475-707
+    wall_init_boundaries_slip + wall_bbl_slip_kernel).
+
+    Handles faces, edges (slip = face average) and corners (no slip)
+    as static plane/edge/corner slice updates, processed in order of
+    increasing normal rank so overlaps resolve to the most solid case.
+    """
+    cv = model.cv
+    wv = model.wv
+    rev = model.reverse
+    shape = f_post.shape[1:]
+
+    def cvidx(vec):
+        for qq in range(model.nvel):
+            if all(int(cv[qq][a]) == int(vec[a]) for a in range(3)):
+                return qq
+        raise ValueError(vec)
+
+    from itertools import combinations
+    for q in range(1, model.nvel):
+        wall_axes = [ax for ax in range(3)
+                     if spec.walls[ax] and cv[q][ax] != 0]
+        if not wall_axes:
+            continue
+        p = int(rev[q])
+        for nsz in range(1, len(wall_axes) + 1):
+            for S in combinations(wall_axes, nsz):
+                sl = [slice(None)] * 3
+                sides = []
+                for ax in S:
+                    into = int(cv[q][ax])
+                    plane = shape[ax] - 1 if into > 0 else 0
+                    sl[ax] = plane
+                    sides.append((ax, into > 0))   # top if stepping up
+                sl = tuple(sl)
+                # the reference slip kernel has no moving-wall term
+                wn = [-int(cv[q][ax]) if ax in S else 0 for ax in range(3)]
+                wt = [int(cv[q][a]) + wn[a] for a in range(3)]
+                s = spec.slip_value(sides)
+                if all(t == 0 for t in wt) or s == 0.0:
+                    val = f_post[(q,) + sl]
+                else:
+                    cq = [-2 * wn[a] - int(cv[q][a]) for a in range(3)]
+                    qs = cvidx(cq)
+                    fk = f_post[qs]
+                    for a in range(3):
+                        if wt[a]:
+                            fk = jnp.roll(fk, -wt[a], axis=a)
+                    val = (1.0 - s) * f_post[(q,) + sl] + s * fk[sl]
+                f_new = f_new.at[(p,) + sl].set(val)
+    return f_new
 
 
 def no_flux_at_walls(fluxes, spec: WallSpec):

@@ -137,6 +137,9 @@ def momentum_total(f: jnp.ndarray, model: LatticeModel,
             else:
                 s, e = _two_sum(s, t)
                 c = c + e
+        if s is None:   # 2-D models: no z links
+            comps.append(jnp.zeros((), f.dtype))
+            continue
         if fluid_mask is not None:
             s = jnp.where(fluid_mask, s, 0.0)
             c = jnp.where(fluid_mask, c, 0.0)

@@ -29,11 +29,19 @@ def find_case(name: str) -> Tuple[str, str]:
 
 
 def run_case(name: str, workdir: Optional[str] = None) -> str:
-    """Run a reference input file; returns our log text."""
+    """Run a reference input file; returns our log text.
+
+    The reference fixes the velocity set at compile time per suite
+    (-D_D3Q19_ etc.), so 2-D inputs in the d3q19 suites still run
+    d3q19; we inject the suite's model explicitly."""
     from ludwig_tpu.ludwig import run_text
     inp, _ = find_case(name)
     with open(inp) as fh:
         text = fh.read()
+    suite = os.path.basename(os.path.dirname(inp))
+    nvel = {"d2q9": 9, "d3q15": 15, "d3q27": 27}.get(
+        suite.split("-")[0], 19)
+    text = f"lb_nvel {nvel}\n" + text
     cwd = os.getcwd()
     try:
         if workdir:
