@@ -1,16 +1,19 @@
 """Sheared binary fluid: symmetric FE + Cahn-Hilliard under Lees-Edwards.
 
 TPU-native equivalent of the reference's LE-aware order-parameter
-machinery (ref: src/leesedwards.c buffer columns, src/advection.c LE
-variants, src/phi_cahn_hilliard.c:618-860 phi_ch_le_fix_fluxes):
-x-neighbour accesses that cross a sliding plane are sampled with the
-time-dependent y displacement (ops.lees_edwards.le_xneighbor); since a
-single face-flux array feeds the divergence on both sides, conservation
-is automatic (the reference's explicit flux fix is re-establishing the
-same single-valued flux across its buffer copies).
+machinery, reproduced at reference precision (ref:
+src/field.c:490-596 4-pt Lagrange buffer columns,
+src/gradient_3d_7pt_fluid.c grad_3d_7pt_fluid_le buffer gradients,
+src/advection.c LE kernels, src/phi_cahn_hilliard.c phi_ch_flux_mu1 and
+phi_ch_le_fix_fluxes (plane-face flux averaging),
+src/phi_force.c phi_force_flux + phi_force_flux_fix_local (two-sided
+stress fluxes with a per-plane mean correction),
+src/model_le.c reproject + displace for the distributions).
 
-This is the "sheared binary fluid with Lees-Edwards" benchmark
-configuration.  LE advection currently supports orders 1 and 2.
+The cross-plane neighbour values are produced by sampling the real
+columns at the time-dependent displacement; the chemical potential and
+stress at 'buffer' columns are evaluated from the displaced fields,
+exactly as the reference computes them on its buffer region.
 """
 
 from __future__ import annotations
@@ -23,65 +26,47 @@ import jax.numpy as jnp
 import numpy as np
 
 from ludwig_tpu.binary import BinaryConfig, initial_binary
-from ludwig_tpu.lb import LBConfig
 from ludwig_tpu.ops.collide import collide
-from ludwig_tpu.ops.force import stress_divergence_force
-from ludwig_tpu.ops.lees_edwards import (LeesEdwardsConfig, apply_lb_le,
-                                         le_xneighbor)
-from ludwig_tpu.ops.stencil import roll3
+from ludwig_tpu.ops.le_ref import (LEContext, le_buffer_fields,
+                                   le_gradient, sample_linear)
+from ludwig_tpu.ops.lees_edwards import LeesEdwardsConfig, apply_lb_le
 from ludwig_tpu.ops.stream import stream
 
 
-def _shift_y(x, s):
-    return roll3(x, (0, s, 0), first_axis=x.ndim - 3)
+def _yzlap(col):
+    """y/z neighbour sum of a (Y, Z) column (for the buffer delsq)."""
+    return (jnp.roll(col, -1, 0) + jnp.roll(col, 1, 0)
+            + jnp.roll(col, -1, 1) + jnp.roll(col, 1, 1))
 
 
-def _shift_z(x, s):
-    return roll3(x, (0, 0, s), first_axis=x.ndim - 3)
-
-
-def le_fe_fields(phi, le: LeesEdwardsConfig, t):
-    """phi gradients with LE-aware x neighbours."""
-    xp = le_xneighbor(phi, le, t, +1)
-    xm = le_xneighbor(phi, le, t, -1)
-    gx = 0.5 * (xp - xm)
-    gy = 0.5 * (_shift_y(phi, -1) - _shift_y(phi, 1))
-    gz = 0.5 * (_shift_z(phi, -1) - _shift_z(phi, 1))
-    delsq = (xp + xm + _shift_y(phi, 1) + _shift_y(phi, -1)
-             + _shift_z(phi, 1) + _shift_z(phi, -1) - 6.0 * phi)
-    return {"phi": phi, "grad_phi": jnp.stack([gx, gy, gz]),
-            "delsq_phi": delsq}
-
-
-def le_ch_update(phi, mu, u, le: LeesEdwardsConfig, t, mobility: float,
-                 order: int = 1):
-    """Cahn-Hilliard step with LE-aware x fluxes (orders 1-2)."""
-    # x faces: between i and i+1, with the cross-plane neighbour sampled
-    # in this block's frame
-    ux_p = le_xneighbor(u[0], le, t, +1)
-    phi_p = le_xneighbor(phi, le, t, +1)
-    mu_p = le_xneighbor(mu, le, t, +1)
-    uf = 0.5 * (u[0] + ux_p)
+def _upwind_face(phi_cols, uf, order):
+    """Advective flux through the face between columns 0 and +1, given
+    a dict of phi columns by offset (ref: advection.c LE kernels)."""
     if order == 1:
-        fx = uf * jnp.where(uf > 0.0, phi, phi_p)
-    else:
-        fx = uf * 0.5 * (phi + phi_p)
-    fx = fx - mobility * (mu_p - mu)
+        return uf * jnp.where(uf > 0.0, phi_cols[0], phi_cols[1])
+    if order == 2:
+        return uf * 0.5 * (phi_cols[0] + phi_cols[1])
+    if order == 3:
+        a1, a2, a3 = -0.213933, 0.927865, 0.286067
+        pos = a1 * phi_cols[-1] + a2 * phi_cols[0] + a3 * phi_cols[1]
+        neg = a1 * phi_cols[2] + a2 * phi_cols[1] + a3 * phi_cols[0]
+        return uf * jnp.where(uf > 0.0, pos, neg)
+    if order == 4:
+        a1, a2 = 1.0 / 16.0, 9.0 / 16.0
+        return uf * (-a1 * phi_cols[-1] + a2 * phi_cols[0]
+                     + a2 * phi_cols[1] - a1 * phi_cols[2])
+    if order == 5:
+        a = (0.055453, -0.305147, 0.916054, 0.361520, -0.027880)
+        pos = (a[0] * phi_cols[-2] + a[1] * phi_cols[-1] + a[2] * phi_cols[0]
+               + a[3] * phi_cols[1] + a[4] * phi_cols[2])
+        neg = (a[0] * phi_cols[3] + a[1] * phi_cols[2] + a[2] * phi_cols[1]
+               + a[3] * phi_cols[0] + a[4] * phi_cols[-1])
+        return uf * jnp.where(uf >= 0.0, pos, neg)
+    raise ValueError(order)
 
-    fluxes_yz = []
-    for ax, shift in ((1, _shift_y), (2, _shift_z)):
-        uf = 0.5 * (u[ax] + shift(u[ax], -1))
-        phi_n = shift(phi, -1)
-        if order == 1:
-            fl = uf * jnp.where(uf > 0.0, phi, phi_n)
-        else:
-            fl = uf * 0.5 * (phi + phi_n)
-        fluxes_yz.append(fl - mobility * (shift(mu, -1) - mu))
 
-    div = (fx - le_xneighbor(fx, le, t, -1)
-           + fluxes_yz[0] - _shift_y(fluxes_yz[0], 1)
-           + fluxes_yz[1] - _shift_z(fluxes_yz[1], 1))
-    return phi - div
+_STENCIL = {1: (0, 1), 2: (0, 1), 3: (-1, 0, 1, 2), 4: (-1, 0, 1, 2),
+            5: (-2, -1, 0, 1, 2, 3)}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,26 +75,159 @@ class BinaryLEConfig:
     le: LeesEdwardsConfig
 
 
-def make_binary_le_step(cfg: BinaryLEConfig):
-    """Jitted sheared-binary step (periodic, planes interior)."""
+def make_binary_le_step(cfg: BinaryLEConfig, keep_grads: bool = False):
+    """Jitted sheared-binary step: (f, phi, u[, grad, delsq]) ->
+    (state, rho).  keep_grads stores the start-of-step gradients for the
+    statistics (the reference's stale-gradient convention)."""
     bcfg = cfg.binary
     params = bcfg.lb.collision_params()
     model = bcfg.lb.model
     le = cfg.le
+    fe = bcfg.fe
+    M = bcfg.mobility
+    order = bcfg.advection_order
+    nx = le.nx
+
+    def mu_of(phi0, delsq0):
+        return fe.mu({"phi": phi0, "delsq_phi": delsq0})
+
+    def pth_of(phi0, grad0, delsq0):
+        return fe.stress({"phi": phi0, "grad_phi": grad0,
+                          "delsq_phi": delsq0})
 
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
+        if keep_grads:
+            state = state[:-2]
         f, phi, u = state
-        fields = le_fe_fields(phi, le, t)
-        mu = bcfg.fe.mu(fields)
-        force = stress_divergence_force(
-            bcfg.fe.stress(fields)).astype(f.dtype)
-        phi = le_ch_update(phi, mu, u, le, t, bcfg.mobility,
-                           order=min(bcfg.advection_order, 2))
+        ctx = LEContext(le, t, phi.dtype)
+
+        grad, delsq = le_gradient(phi, le, t, bcfg.gradient)
+        mu = mu_of(phi, delsq)
+        pth = pth_of(phi, grad, delsq)
+
+        # -- per-plane buffer-frame columns --------------------------------
+        buf = []
+        for c in ctx.cols:
+            cu = (c + 1) % nx
+            # looking up (lower frame): buffer column c+1
+            pb1, grad_b1, dsq_b1 = le_buffer_fields(phi, ctx, c, True,
+                                                    bcfg.gradient)
+            mu_b1 = mu_of(pb1, dsq_b1)
+            pth_b1 = pth_of(pb1, grad_b1, dsq_b1)
+            u_b1 = ctx.col_u(u, c + 1, True, c)
+            # looking down (upper frame): buffer column c
+            pd0, grad_d0, dsq_d0 = le_buffer_fields(phi, ctx, c, False,
+                                                    bcfg.gradient)
+            mu_d0 = mu_of(pd0, dsq_d0)
+            pth_d0 = pth_of(pd0, grad_d0, dsq_d0)
+            u_d0 = ctx.col_u(u, c, False, c)
+            buf.append(dict(c=c, cu=cu, mu_b1=mu_b1,
+                            pth_b1=pth_b1, u_b1=u_b1,
+                            mu_d0=mu_d0, pth_d0=pth_d0, u_d0=u_d0))
+
+        # -- Cahn-Hilliard fluxes -------------------------------------------
+        # periodic east fluxes everywhere, then fix plane neighbourhoods
+        def xs(x, d):
+            return jnp.roll(x, -d, axis=0)
+
+        ufx = 0.5 * (u[0] + xs(u[0], 1))
+        pcols = {d: xs(phi, d) for d in _STENCIL[order]}
+        fe_x = _upwind_face(pcols, ufx, order) - M * (xs(mu, 1) - mu)
+
+        def col_stack(j, lo, c):
+            return {d: ctx.col_field(phi, j + d, lo, c)
+                    for d in _STENCIL[order]}
+
+        for b in buf:
+            c, cu = b["c"], b["cu"]
+            span = max(_STENCIL[order])
+            # lower-frame faces x -> x+1 for x in [c-span+1, c]
+            for x in range(c - span + 1, c + 1):
+                cols = col_stack(x, True, c)
+                uu = 0.5 * (ctx.col_u(u, x, True, c)[0]
+                            + ctx.col_u(u, x + 1, True, c)[0])
+                mu0 = mu[x % nx] if x <= c else b["mu_b1"]
+                mu1 = b["mu_b1"] if x + 1 == c + 1 else mu[(x + 1) % nx]
+                fx = _upwind_face(cols, uu, order) - M * (mu1 - mu0)
+                fe_x = fe_x.at[x % nx].set(fx)
+            # upper-frame faces x -> x+1 for x in [c+1, c+span-1]
+            # (the face at x = c is the plane face, handled as fw below)
+            for x in range(c + 1, c + span):
+                cols = col_stack(x, False, c)
+                uu = 0.5 * (ctx.col_u(u, x, False, c)[0]
+                            + ctx.col_u(u, x + 1, False, c)[0])
+                mu0 = mu[x % nx]
+                mu1 = mu[(x + 1) % nx]
+                fx = _upwind_face(cols, uu, order) - M * (mu1 - mu0)
+                fe_x = fe_x.at[x % nx].set(fx)
+            # the plane face from the upper side (fw of column c+1)
+            cols = col_stack(c, False, c)
+            uu = 0.5 * (b["u_d0"][0] + ctx.col_u(u, c + 1, False, c)[0])
+            fw = _upwind_face(cols, uu, order) - M * (mu[cu] - b["mu_d0"])
+            # average fix (ref: phi_ch_le_fix_fluxes)
+            fe_c = fe_x[c]
+            fe_fix = 0.5 * (fe_c + sample_linear(fw, ctx.dy_field))
+            fw_fix = 0.5 * (fw + sample_linear(fe_c, -ctx.dy_field))
+            b["fe_fix"] = fe_fix
+            b["fw_fix"] = fw_fix
+            fe_x = fe_x.at[c].set(fe_fix)
+
+        ufy = 0.5 * (u[1] + jnp.roll(u[1], -1, 1))
+        ufz = 0.5 * (u[2] + jnp.roll(u[2], -1, 2))
+        ycols = {d: jnp.roll(phi, -d, 1) for d in _STENCIL[order]}
+        zcols = {d: jnp.roll(phi, -d, 2) for d in _STENCIL[order]}
+        fy = _upwind_face(ycols, ufy, order) - M * (jnp.roll(mu, -1, 1) - mu)
+        fz = _upwind_face(zcols, ufz, order) - M * (jnp.roll(mu, -1, 2) - mu)
+
+        div = (fe_x - jnp.roll(fe_x, 1, 0) + fy - jnp.roll(fy, 1, 1)
+               + fz - jnp.roll(fz, 1, 2))
+        for b in buf:
+            cu = b["cu"]
+            div = div.at[cu].set(fe_x[cu] - b["fw_fix"]
+                                 + (fy - jnp.roll(fy, 1, 1))[cu]
+                                 + (fz - jnp.roll(fz, 1, 2))[cu])
+        phi_new = phi - div
+
+        # -- force: two-sided stress fluxes (ref: phi_force_flux) ------------
+        area = float(np.prod(phi.shape[1:]))
+        comps = []
+        fluxe = {}
+        for a in range(3):
+            fea = 0.5 * (pth[a, 0] + xs(pth[a, 0], 1))
+            fluxe[a] = fea
+        # plane-face values + mean fix
+        for b in buf:
+            c, cu = b["c"], b["cu"]
+            for a in range(3):
+                fe_c = 0.5 * (pth[a, 0][c] + b["pth_b1"][a, 0])
+                fw_c = 0.5 * (b["pth_d0"][a, 0] + pth[a, 0][cu])
+                corr = jnp.sum(-fe_c + fw_c) * (0.5 / area)
+                b[f"fe{a}"] = fe_c + corr
+                b[f"fw{a}"] = fw_c - corr
+                fluxe[a] = fluxe[a].at[c].set(b[f"fe{a}"])
+        for a in range(3):
+            fya = 0.5 * (pth[a, 1] + jnp.roll(pth[a, 1], -1, 1))
+            fza = 0.5 * (pth[a, 2] + jnp.roll(pth[a, 2], -1, 2))
+            d = (fluxe[a] - jnp.roll(fluxe[a], 1, 0)
+                 + fya - jnp.roll(fya, 1, 1) + fza - jnp.roll(fza, 1, 2))
+            for b in buf:
+                cu = b["cu"]
+                d = d.at[cu].set(fluxe[a][cu] - b[f"fw{a}"]
+                                 + (fya - jnp.roll(fya, 1, 1))[cu]
+                                 + (fza - jnp.roll(fza, 1, 2))[cu])
+            comps.append(-d)
+        force = jnp.stack(comps).astype(f.dtype)
+
+        # -- LB update --------------------------------------------------------
         f, rho, u_new = collide(f, params, force=force)
         f = apply_lb_le(f, model, le, t)
         f = stream(f, model)
-        return (f, phi, u_new), rho
+
+        out = (f, phi_new, u_new)
+        if keep_grads:
+            out = out + (grad, delsq)
+        return out, rho
 
     return step
 

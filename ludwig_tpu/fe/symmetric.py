@@ -63,6 +63,6 @@ class SymmetricFE:
         g2 = g[0] * g[0] + g[1] * g[1] + g[2] * g[2]
         p0 = (0.5 * self.a * phi * phi + 0.75 * self.b * phi ** 4
               - self.kappa * phi * d2 - 0.5 * self.kappa * g2)
-        eye = jnp.eye(3, dtype=phi.dtype)
-        return (eye[:, :, None, None, None] * p0[None, None]
+        eye = jnp.eye(3, dtype=phi.dtype).reshape((3, 3) + (1,) * phi.ndim)
+        return (eye * p0[None, None]
                 + self.kappa * g[:, None] * g[None, :])

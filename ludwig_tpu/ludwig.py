@@ -51,6 +51,7 @@ class System:
     colloid_params: Optional[object] = None
     electro_cfg: Optional[object] = None
     wallspec: Optional[object] = None          # plain-fluid halo walls
+    le_cfg: Optional[object] = None            # Lees-Edwards planes
     n_start: int = 0
     hydro_on: bool = True
     vol_flux: bool = False
@@ -374,6 +375,33 @@ def build_system(rt: RunTime) -> System:
             gradient=rt.string("fd_gradient_calculation", default_grad),
             hydrodynamics=rt.switch("hydrodynamics", True))
         phi0 = _phi_init(rt, size, fe)
+        nplanes = rt.int("N_LE_plane", 0)
+        if nplanes > 0 and fe_name == "symmetric":
+            from ludwig_tpu.binary_le import (BinaryLEConfig,
+                                              make_binary_le_step)
+            from ludwig_tpu.ops.le_ref import le_gradient
+            from ludwig_tpu.ops.lees_edwards import (LeesEdwardsConfig,
+                                                     le_init_shear_profile)
+            le = LeesEdwardsConfig(nplanes=nplanes,
+                                   uy=rt.double_required("LE_plane_vel"),
+                                   nx=size[0],
+                                   omega=2.0 * np.pi / rt.double(
+                                       "LE_oscillation_period", 0.0)
+                                   if rt.double("LE_oscillation_period",
+                                                0.0) else 0.0)
+            lecfg = BinaryLEConfig(binary=bcfg, le=le)
+            if rt.switch("LE_init_profile", False):
+                f = le_init_shear_profile(lb_cfg, le)
+            else:
+                f = initial_rest(lb_cfg)
+            jd = lb_cfg.jdtype
+            phi = jnp.asarray(phi0, jd)
+            grad, delsq = le_gradient(phi, le, 0, bcfg.gradient)
+            state = (f, phi, jnp.zeros((3,) + size, jd), grad, delsq)
+            step = make_binary_le_step(lecfg, keep_grads=True)
+            return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg,
+                          solid=None, state=state, step_fn=step,
+                          le_cfg=le)
         state = initial_binary(bcfg, phi0)
         step = make_binary_step(bcfg, solid=solid)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg, solid=solid,
@@ -687,9 +715,14 @@ def _make_stats_fn(sys_: System):
         if bcfg is not None:
             phi = state[1]
             res["phi"] = stats.field_stats(phi, mask)
-            fields = fe_fields(prev[0], bcfg.gradient,
-                               fourth_order=bcfg.fourth_order)
-            fields["phi"] = phi
+            if sys_.le_cfg is not None:
+                # LE runs carry the start-of-step (LE-aware) gradients
+                fields = {"phi": phi, "grad_phi": state[-2],
+                          "delsq_phi": state[-1]}
+            else:
+                fields = fe_fields(prev[0], bcfg.gradient,
+                                   fourth_order=bcfg.fourth_order)
+                fields["phi"] = phi
             fed = bcfg.fe.fed(fields)
             if mask is None:
                 mean = jnp.mean(fed)
@@ -928,6 +961,8 @@ def run_text(text: str, out=sys.stdout) -> System:
 
     def _op_fields(state):
         # copies: the step donates its input buffers
+        if sys_.le_cfg is not None:
+            return ()   # LE runs carry stale gradients in the state
         if (sys_.is_binary or sys_.is_two_field or sys_.is_droplet
                 or sys_.is_polar):
             return tuple(jnp.array(x) for x in state[1:-1])
@@ -954,7 +989,8 @@ def run_text(text: str, out=sys.stdout) -> System:
         elif (sys_.is_binary or sys_.is_lc or sys_.is_two_field
                 or sys_.is_droplet or sys_.is_polar):
             state, rho = sys_.step_fn(state, t)
-            u = state[2] if sys_.is_lc else state[-1]
+            u = (state[2] if (sys_.is_lc or sys_.le_cfg is not None)
+                 else state[-1])
         else:
             f, rho, u = sys_.step_fn(state[0], t)
             state = (f,)

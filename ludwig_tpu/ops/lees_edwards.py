@@ -201,3 +201,39 @@ def le_steady_profile(cfg: LeesEdwardsConfig, x: np.ndarray) -> np.ndarray:
     for col in cfg.plane_cols:
         u = u - cfg.uy * (x > col)
     return u - u.mean()
+
+
+def le_init_shear_profile(lb_cfg, cfg: LeesEdwardsConfig):
+    """Initial distributions with the steady sawtooth shear profile and
+    the matching off-equilibrium stress (ref: model_le.c:639-700
+    lb_le_init_shear_profile; input key LE_init_profile)."""
+    model = lb_cfg.model
+    rho0 = lb_cfg.rho0
+    eta = lb_cfg.eta_shear
+    gammadot = cfg.nplanes * cfg.uy / cfg.nx
+    dx_sep = cfg.nx / cfg.nplanes
+    dx_min = 0.5 * dx_sep
+    xglobal = np.arange(1, cfg.nx + 1, dtype=np.float64) - 0.5
+    nplane = np.floor((dx_min + xglobal) / dx_sep)
+    uy = xglobal * gammadot - cfg.uy * nplane          # (NX,)
+
+    size = lb_cfg.size
+    f = np.zeros((model.nvel,) + tuple(size))
+    cs2 = 1.0 / 3.0
+    rcs2 = 3.0
+    for p in range(model.nvel):
+        cy = float(model.cv[p][1])
+        cdotu = cy * uy                                 # (NX,)
+        sdotq = 0.0
+        for i in range(3):
+            for j in range(3):
+                qij = (float(model.cv[p][i] * model.cv[p][j])
+                       - cs2 * (i == j))
+                uij = (uy * uy if (i == 1 and j == 1) else 0.0)
+                gij = gammadot if (i == 0 and j == 1) else 0.0
+                sdotq = sdotq + (rho0 * uij - eta * gij) * qij
+        fp = model.wv[p] * (rho0 + rcs2 * rho0 * cdotu
+                            + 0.5 * rcs2 * rcs2 * sdotq)
+        f[p] = np.broadcast_to(np.asarray(fp).reshape(-1, 1, 1), size)
+    import jax.numpy as jnp
+    return jnp.asarray(f, lb_cfg.jdtype)

@@ -65,42 +65,54 @@ def delsq_2d_5pt(phi: jnp.ndarray) -> jnp.ndarray:
             - 4.0 * phi)
 
 
-def grad_27pt(phi: jnp.ndarray) -> jnp.ndarray:
-    """27-point isotropic gradient (ref: gradient_3d_27pt_fluid.c:
-    weighted over the 3x3x3 cube, normaliser 1/(9*2))."""
+def _grad27_terms(v, phi0):
+    """Reference-exact 27-point gradient + Laplacian given a neighbour
+    fetch v(dx, dy, dz); the term ORDER matches the reference expression
+    chains exactly (ref: gradient_3d_27pt_fluid.c grad/del2 stencils),
+    so round-off agrees term for term."""
     r9 = 1.0 / 9.0
-    gx = jnp.zeros_like(phi)
-    gy = jnp.zeros_like(phi)
-    gz = jnp.zeros_like(phi)
-    for sx in (-1, 0, 1):
-        for sy in (-1, 0, 1):
-            for sz in (-1, 0, 1):
-                if sx == 0 and sy == 0 and sz == 0:
-                    continue
-                # neighbour value at offset (+sx,+sy,+sz) arrives via
-                # roll by (-sx,-sy,-sz)
-                v = _shift(phi, -sx, -sy, -sz)
-                if sx:
-                    gx = gx + 0.5 * r9 * sx * v
-                if sy:
-                    gy = gy + 0.5 * r9 * sy * v
-                if sz:
-                    gz = gz + 0.5 * r9 * sz * v
+    gx = (+ v(1, -1, -1) - v(-1, -1, -1) + v(1, -1, 0) - v(-1, -1, 0)
+          + v(1, -1, 1) - v(-1, -1, 1) + v(1, 0, -1) - v(-1, 0, -1)
+          + v(1, 0, 0) - v(-1, 0, 0) + v(1, 0, 1) - v(-1, 0, 1)
+          + v(1, 1, -1) - v(-1, 1, -1) + v(1, 1, 0) - v(-1, 1, 0)
+          + v(1, 1, 1) - v(-1, 1, 1))
+    gy = (+ v(-1, 1, -1) - v(-1, -1, -1) + v(-1, 1, 0) - v(-1, -1, 0)
+          + v(-1, 1, 1) - v(-1, -1, 1) + v(0, 1, -1) - v(0, -1, -1)
+          + v(0, 1, 0) - v(0, -1, 0) + v(0, 1, 1) - v(0, -1, 1)
+          + v(1, 1, -1) - v(1, -1, -1) + v(1, 1, 0) - v(1, -1, 0)
+          + v(1, 1, 1) - v(1, -1, 1))
+    gz = (+ v(-1, -1, 1) - v(-1, -1, -1) + v(-1, 0, 1) - v(-1, 0, -1)
+          + v(-1, 1, 1) - v(-1, 1, -1) + v(0, -1, 1) - v(0, -1, -1)
+          + v(0, 0, 1) - v(0, 0, -1) + v(0, 1, 1) - v(0, 1, -1)
+          + v(1, -1, 1) - v(1, -1, -1) + v(1, 0, 1) - v(1, 0, -1)
+          + v(1, 1, 1) - v(1, 1, -1))
+    d2 = (+ v(-1, -1, -1) + v(-1, -1, 0) + v(-1, -1, 1)
+          + v(-1, 0, -1) + v(-1, 0, 0) + v(-1, 0, 1)
+          + v(-1, 1, -1) + v(-1, 1, 0) + v(-1, 1, 1)
+          + v(0, -1, -1) + v(0, -1, 0) + v(0, -1, 1)
+          + v(0, 0, -1) + v(0, 0, 1)
+          + v(0, 1, -1) + v(0, 1, 0) + v(0, 1, 1)
+          + v(1, -1, -1) + v(1, -1, 0) + v(1, -1, 1)
+          + v(1, 0, -1) + v(1, 0, 0) + v(1, 0, 1)
+          + v(1, 1, -1) + v(1, 1, 0) + v(1, 1, 1)
+          - 26.0 * phi0)
+    return 0.5 * r9 * gx, 0.5 * r9 * gy, 0.5 * r9 * gz, r9 * d2
+
+
+def grad_27pt(phi: jnp.ndarray) -> jnp.ndarray:
+    """27-point isotropic gradient (ref: gradient_3d_27pt_fluid.c)."""
+    def v(dx, dy, dz):
+        return _shift(phi, -dx, -dy, -dz)
+    gx, gy, gz, _ = _grad27_terms(v, phi)
     return jnp.stack([gx, gy, gz])
 
 
 def delsq_27pt(phi: jnp.ndarray) -> jnp.ndarray:
-    """27-point isotropic Laplacian (ref: gradient_3d_27pt_fluid.c:
-    (1/9)[sum over 26 neighbours] - 26/9 phi, with unit weights)."""
-    r9 = 1.0 / 9.0
-    acc = -26.0 * phi
-    for sx in (-1, 0, 1):
-        for sy in (-1, 0, 1):
-            for sz in (-1, 0, 1):
-                if sx == 0 and sy == 0 and sz == 0:
-                    continue
-                acc = acc + _shift(phi, -sx, -sy, -sz)
-    return r9 * acc
+    """27-point isotropic Laplacian (ref: gradient_3d_27pt_fluid.c)."""
+    def v(dx, dy, dz):
+        return _shift(phi, -dx, -dy, -dz)
+    _, _, _, d2 = _grad27_terms(v, phi)
+    return d2
 
 
 def dab_7pt(phi: jnp.ndarray) -> jnp.ndarray:

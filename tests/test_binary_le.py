@@ -5,11 +5,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ludwig_tpu.binary import BinaryConfig, initial_binary, spinodal_phi
-from ludwig_tpu.binary_le import (BinaryLEConfig, le_xneighbor,
+from ludwig_tpu.binary_le import (BinaryLEConfig,
                                   make_binary_le_nstep, make_binary_le_step)
 from ludwig_tpu.fe.symmetric import SymmetricFE
 from ludwig_tpu.lb import LBConfig, hydro_fields
-from ludwig_tpu.ops.lees_edwards import LeesEdwardsConfig, le_steady_profile
+from ludwig_tpu.ops.lees_edwards import (LeesEdwardsConfig, le_steady_profile,
+                                          le_xneighbor)
 
 FE = SymmetricFE(a=-6.25e-3, b=6.25e-3, kappa=4.0e-3)
 

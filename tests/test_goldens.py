@@ -17,6 +17,13 @@ CASES = [
     "serial-elec-lj1",
     "serial-spin-fd1",
     "serial-drop-lc1",
+    "serial-rect-ct1",
+    "serial-rect-ct3",
+    "serial-rect-ct4",
+    "serial-le3d-st1",
+    "serial-le3d-st5",
+    "serial-le2d-fd1",
+    "serial-dist-2kh",
 ]
 
 
