@@ -142,6 +142,116 @@ def make_lc_step(cfg: LCConfig, solid=None):
     return step
 
 
+def make_lc_le_step(cfg: LCConfig, le, keep_grads: bool = False):
+    """Jitted LC step under Lees-Edwards shear (ref: the q-tensor branch
+    of ludwig.c with lees_edw planes: LE-aware gradients, two-sided
+    stress fluxes with mean fix, Q advection with separate plane west
+    fluxes (no averaging fix, cf. beris_edw_update), LE-aware velocity
+    gradient tensor, LB reproject+displace)."""
+    from ludwig_tpu.dynamics.beris_edwards import corotation_term
+    from ludwig_tpu.fe.blue_phase import q5_to_q33
+    from ludwig_tpu.ops.le_ref import (LEContext, le_advective_fluxes,
+                                       le_buffer_fields,
+                                       le_flux_divergence, le_gradient,
+                                       le_stress_force)
+    from ludwig_tpu.ops.lees_edwards import apply_lb_le
+    params = cfg.lb.collision_params()
+    model = cfg.lb.model
+    fe = cfg.fe
+    gamma = cfg.gamma
+    xi = fe.xi
+    order = cfg.advection_order
+    nx = le.nx
+
+    def h_pth_of(q5c, gradc, dsqc):
+        flds = {"q": q5c, "grad_q": gradc, "delsq_q": dsqc}
+        h = fe.molecular_field(flds)
+        pth = fe.stress(flds, h=h)
+        sa = fe.active_stress(flds)
+        if sa is not None:
+            pth = pth + sa
+        return h, pth
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, t=0):
+        if keep_grads:
+            state = state[:-2]
+        f, q5, u = state
+        ctx = LEContext(le, t, q5.dtype)
+
+        grad, delsq = le_gradient(q5, le, t, cfg.gradient)
+        h, pth = h_pth_of(q5, grad, delsq)
+
+        plane_bufs = {}
+        for c in ctx.cols:
+            qb1, gb1, db1 = le_buffer_fields(q5, ctx, c, True,
+                                             cfg.gradient)
+            _, pth_b1 = h_pth_of(qb1, gb1, db1)
+            qd0, gd0, dd0 = le_buffer_fields(q5, ctx, c, False,
+                                             cfg.gradient)
+            _, pth_d0 = h_pth_of(qd0, gd0, dd0)
+            plane_bufs[c] = (pth_b1, pth_d0)
+        area = float(np.prod(q5.shape[2:]))
+        force = le_stress_force(pth, plane_bufs, ctx, area).astype(f.dtype)
+
+        # Beris-Edwards with LE advection and LE velocity gradients
+        fe_x, fw_p, fy, fz = le_advective_fluxes(q5, u, ctx, order)
+        div = le_flux_divergence(fe_x, fw_p, fy, fz, ctx)
+        w = [[None] * 3 for _ in range(3)]
+        for a in range(3):
+            w[a][0] = 0.5 * (jnp.roll(u[a], -1, 0) - jnp.roll(u[a], 1, 0))
+            w[a][1] = 0.5 * (jnp.roll(u[a], -1, 1) - jnp.roll(u[a], 1, 1))
+            w[a][2] = 0.5 * (jnp.roll(u[a], -1, 2) - jnp.roll(u[a], 1, 2))
+        for c in ctx.cols:
+            cu = (c + 1) % nx
+            ub1 = ctx.col_u(u, c + 1, True, c)
+            ud0 = ctx.col_u(u, c, False, c)
+            for a in range(3):
+                w[a][0] = w[a][0].at[c].set(
+                    0.5 * (ub1[a] - u[a][(c - 1) % nx]))
+                w[a][0] = w[a][0].at[cu].set(
+                    0.5 * (u[a][(c + 2) % nx] - ud0[a]))
+        tr = (w[0][0] + w[1][1] + w[2][2]) / 3.0
+        for a in range(3):
+            w[a][a] = w[a][a] - tr
+        q33 = q5_to_q33(q5)
+        trace_qw = sum(q33[a][b] * w[b][a]
+                       for a in range(3) for b in range(3))
+        d = [[0.5 * (w[a][b] + w[b][a]) for b in range(3)]
+             for a in range(3)]
+        om = [[0.5 * (w[a][b] - w[b][a]) for b in range(3)]
+              for a in range(3)]
+        r3 = 1.0 / 3.0
+        s33 = [[None] * 3 for _ in range(3)]
+        for a in range(3):
+            for b in range(3):
+                val = -2.0 * xi * (q33[a][b]
+                                   + (r3 if a == b else 0.0)) * trace_qw
+                for cc in range(3):
+                    val = val + (xi * d[a][cc] + om[a][cc]) * (
+                        q33[cc][b] + (r3 if cc == b else 0.0))
+                    val = val + (q33[a][cc]
+                                 + (r3 if a == cc else 0.0)) * (
+                        xi * d[cc][b] - om[cc][b])
+                s33[a][b] = val
+        s5 = [s33[0][0], s33[0][1], s33[0][2], s33[1][1], s33[1][2]]
+        rhs = jnp.stack([gamma * h[0][0] + s5[0], gamma * h[0][1] + s5[1],
+                         gamma * h[0][2] + s5[2], gamma * h[1][1] + s5[3],
+                         gamma * h[1][2] + s5[4]]) - div
+        q5_new = q5 + rhs
+
+        f, rho, u_new = collide(f, params, force=force)
+        f = apply_lb_le(f, model, le, t)
+        f = stream(f, model)
+
+        out = (f, q5_new, u_new)
+        if keep_grads:
+            out = out + (grad, delsq)
+        return out, rho
+
+    return step
+
+
 def make_lc_nstep(cfg: LCConfig, solid=None):
     step = make_lc_step(cfg, solid)
 

@@ -514,6 +514,7 @@ def build_system(rt: RunTime) -> System:
             gradient=gradient,
             hydrodynamics=rt.switch("hydrodynamics", True),
             wallspec=wallspec, anchoring=anchoring, keep_grads=True)
+        nplanes_lc = rt.int("N_LE_plane", 0)
         mode = rt.string("lc_q_initialisation", "nematic")
         amp = rt.double("lc_q_init_amplitude", fe.amplitude0)
         if mode == "o8m":
@@ -540,6 +541,27 @@ def build_system(rt: RunTime) -> System:
             q5 = lc_init.lc_init_active_nematic_q2d(size, amp, axis=1)
         else:
             raise ValueError(f"lc_q_initialisation '{mode}' not implemented")
+        if nplanes_lc > 0:
+            from ludwig_tpu.lc import make_lc_le_step
+            from ludwig_tpu.ops.le_ref import le_gradient
+            from ludwig_tpu.ops.lees_edwards import (LeesEdwardsConfig,
+                                                     le_init_shear_profile)
+            le = LeesEdwardsConfig(nplanes=nplanes_lc,
+                                   uy=rt.double_required("LE_plane_vel"),
+                                   nx=size[0])
+            if rt.switch("LE_init_profile", False):
+                f = le_init_shear_profile(lb_cfg, le)
+            else:
+                f = initial_rest(lb_cfg)
+            jd = lb_cfg.jdtype
+            q5j = jnp.asarray(q5, jd)
+            grad, delsq = le_gradient(q5j, le, 0, lcfg.gradient)
+            state = (f, q5j, jnp.zeros((3,) + size, jd), grad, delsq)
+            lcfg = dataclasses.replace(lcfg, keep_grads=True)
+            step = make_lc_le_step(lcfg, le, keep_grads=True)
+            return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
+                          solid=None, state=state, step_fn=step,
+                          lc_cfg=lcfg, le_cfg=le)
         state = initial_lc(lcfg, q5)
         step = make_lc_step(lcfg, solid=solid)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,

@@ -198,6 +198,134 @@ def le_buffer_fields(phi, ctx: LEContext, c: int, up: bool,
     return p0, grad, d2
 
 
+_ADV_STENCIL = {1: (0, 1), 2: (0, 1), 3: (-1, 0, 1, 2), 4: (-1, 0, 1, 2),
+                5: (-2, -1, 0, 1, 2, 3)}
+
+
+def upwind_face(phi_cols, uf, order):
+    """Advective flux through the face between columns 0 and +1, given
+    a dict of field columns by offset (ref: advection.c kernels; the
+    coefficient/branch structure matches each order exactly)."""
+    if order == 1:
+        return uf * jnp.where(uf > 0.0, phi_cols[0], phi_cols[1])
+    if order == 2:
+        return uf * 0.5 * (phi_cols[0] + phi_cols[1])
+    if order == 3:
+        a1, a2, a3 = -0.213933, 0.927865, 0.286067
+        pos = a1 * phi_cols[-1] + a2 * phi_cols[0] + a3 * phi_cols[1]
+        neg = a1 * phi_cols[2] + a2 * phi_cols[1] + a3 * phi_cols[0]
+        return uf * jnp.where(uf > 0.0, pos, neg)
+    if order == 4:
+        a1, a2 = 1.0 / 16.0, 9.0 / 16.0
+        return uf * (-a1 * phi_cols[-1] + a2 * phi_cols[0]
+                     + a2 * phi_cols[1] - a1 * phi_cols[2])
+    if order == 5:
+        a = (0.055453, -0.305147, 0.916054, 0.361520, -0.027880)
+        pos = (a[0] * phi_cols[-2] + a[1] * phi_cols[-1]
+               + a[2] * phi_cols[0] + a[3] * phi_cols[1]
+               + a[4] * phi_cols[2])
+        neg = (a[0] * phi_cols[3] + a[1] * phi_cols[2] + a[2] * phi_cols[1]
+               + a[3] * phi_cols[0] + a[4] * phi_cols[-1])
+        return uf * jnp.where(uf >= 0.0, pos, neg)
+    raise ValueError(order)
+
+
+def le_advective_fluxes(field, u, ctx: LEContext, order: int):
+    """(fe_x, fw_planes, fy, fz): LE-aware advective face fluxes of a
+    (..., X, Y, Z) field (ref: advection.c LE kernels).  fe_x holds the
+    east fluxes with the plane faces evaluated from the lower frame;
+    fw_planes[c] is the plane face evaluated from the upper frame (the
+    advflux fw of column c+1)."""
+    ax = field.ndim - 3
+    nx = ctx.nx
+
+    def xs(x, d):
+        return jnp.roll(x, -d, axis=x.ndim - 3)
+
+    ufx = 0.5 * (u[0] + jnp.roll(u[0], -1, 0))
+    cols = {d: xs(field, d) for d in _ADV_STENCIL[order]}
+    fe_x = upwind_face(cols, ufx, order)
+    span = max(_ADV_STENCIL[order])
+    fw_planes = {}
+
+    def fcol(j, lo, c):
+        return {d: ctx.col_field(field, j + d, lo, c)
+                for d in _ADV_STENCIL[order]}
+
+    fe_m = jnp.moveaxis(fe_x, ax, 0)
+    for c in ctx.cols:
+        for x in range(c - span + 1, c + 1):      # lower frame faces
+            cstack = fcol(x, True, c)
+            uu = 0.5 * (ctx.col_u(u, x, True, c)[0]
+                        + ctx.col_u(u, x + 1, True, c)[0])
+            fe_m = fe_m.at[x % nx].set(upwind_face(cstack, uu, order))
+        for x in range(c + 1, c + span):          # upper frame faces
+            cstack = fcol(x, False, c)
+            uu = 0.5 * (ctx.col_u(u, x, False, c)[0]
+                        + ctx.col_u(u, x + 1, False, c)[0])
+            fe_m = fe_m.at[x % nx].set(upwind_face(cstack, uu, order))
+        cstack = fcol(c, False, c)                # plane face, upper frame
+        uu = 0.5 * (ctx.col_u(u, c, False, c)[0]
+                    + ctx.col_u(u, c + 1, False, c)[0])
+        fw_planes[c] = upwind_face(cstack, uu, order)
+    fe_x = jnp.moveaxis(fe_m, 0, ax)
+
+    ufy = 0.5 * (u[1] + jnp.roll(u[1], -1, 1))
+    ufz = 0.5 * (u[2] + jnp.roll(u[2], -1, 2))
+    ycols = {d: jnp.roll(field, -d, ax + 1) for d in _ADV_STENCIL[order]}
+    zcols = {d: jnp.roll(field, -d, ax + 2) for d in _ADV_STENCIL[order]}
+    fy = upwind_face(ycols, ufy, order)
+    fz = upwind_face(zcols, ufz, order)
+    return fe_x, fw_planes, fy, fz
+
+
+def le_flux_divergence(fe_x, fw_planes, fy, fz, ctx: LEContext):
+    """div at each site with the separate west flux at plane+1 columns
+    (no averaging fix; ref: beris_edwards update divergence)."""
+    ax = fe_x.ndim - 3
+    div = (fe_x - jnp.roll(fe_x, 1, ax) + fy - jnp.roll(fy, 1, ax + 1)
+           + fz - jnp.roll(fz, 1, ax + 2))
+    for c, fw in fw_planes.items():
+        cu = (c + 1) % ctx.nx
+        dm = jnp.moveaxis(div, ax, 0)
+        fe_m = jnp.moveaxis(fe_x, ax, 0)
+        rest = (jnp.moveaxis(fy - jnp.roll(fy, 1, ax + 1), ax, 0)[cu]
+                + jnp.moveaxis(fz - jnp.roll(fz, 1, ax + 2), ax, 0)[cu])
+        dm = dm.at[cu].set(fe_m[cu] - fw + rest)
+        div = jnp.moveaxis(dm, 0, ax)
+    return div
+
+
+def le_stress_force(pth, plane_bufs, ctx: LEContext, area: float):
+    """Force = -div(pth) with two-sided plane fluxes and the per-plane
+    mean correction (ref: phi_force_flux + phi_force_flux_fix_local).
+
+    plane_bufs: {c: (pth_b1, pth_d0)} column stress tensors (3,3,Y,Z)
+    evaluated at the up/down buffer columns."""
+    comps = []
+    for a in range(3):
+        fea = 0.5 * (pth[a, 0] + jnp.roll(pth[a, 0], -1, 0))
+        fixes = {}
+        for c, (pth_b1, pth_d0) in plane_bufs.items():
+            cu = (c + 1) % ctx.nx
+            fe_c = 0.5 * (pth[a, 0][c] + pth_b1[a, 0])
+            fw_c = 0.5 * (pth_d0[a, 0] + pth[a, 0][cu])
+            corr = jnp.sum(-fe_c + fw_c) * (0.5 / area)
+            fea = fea.at[c].set(fe_c + corr)
+            fixes[c] = fw_c - corr
+        fya = 0.5 * (pth[a, 1] + jnp.roll(pth[a, 1], -1, 1))
+        fza = 0.5 * (pth[a, 2] + jnp.roll(pth[a, 2], -1, 2))
+        d = (fea - jnp.roll(fea, 1, 0) + fya - jnp.roll(fya, 1, 1)
+             + fza - jnp.roll(fza, 1, 2))
+        for c, fw_fix in fixes.items():
+            cu = (c + 1) % ctx.nx
+            d = d.at[cu].set(fea[cu] - fw_fix
+                             + (fya - jnp.roll(fya, 1, 1))[cu]
+                             + (fza - jnp.roll(fza, 1, 2))[cu])
+        comps.append(-d)
+    return jnp.stack(comps)
+
+
 def le_gradient_7pt(phi, cfg: LeesEdwardsConfig, t):
     """grad (3,...,X,Y,Z) and delsq with LE-aware x neighbours at the
     plane columns (ref: grad_3d_7pt_fluid_operator + _le)."""

@@ -24,6 +24,8 @@ CASES = [
     "serial-le3d-st5",
     "serial-le2d-fd1",
     "serial-dist-2kh",
+    "serial-chol-st3",
+    "serial-chol-st6",
 ]
 
 
