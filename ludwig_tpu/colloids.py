@@ -358,12 +358,18 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
 
 
 def refresh_inside(f, model: LatticeModel, inside, ub, rho0=1.0):
-    """Reset distributions at interior sites to equilibrium at the local
-    boundary velocity (the role of bbl_pass0 / fluid replacement when
-    the particle moves, ref: bbl.c:248, build.c:735)."""
-    rho = jnp.full(f.shape[1:], rho0, f.dtype)
+    """Reset interior distributions to the solid-body equilibrium.
+
+    Reference bbl_pass0 (ref: bbl.c:294-345) writes, at every interior
+    site, f_p = w_p (1 + c.u/cs2 + Q:uu/(2 cs4)) for p = 1..nvel-1 with
+    unit density and u the local solid-body velocity - and leaves the
+    REST population f_0 untouched, so the interior mass is not reset.
+    """
+    del rho0  # pass0 uses unit density regardless of fluid rho0
+    rho = jnp.ones(f.shape[1:], f.dtype)
     feq = equilibrium(model, rho, ub)
-    return jnp.where(inside[None], feq, f)
+    out = jnp.where(inside[None], feq, f)
+    return out.at[0].set(f[0])
 
 
 def make_colloid_step(cfg: LBConfig, params: ColloidParams):
@@ -380,11 +386,13 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams):
 
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
-        f, R, V, W = state
-        # 1. move particles; rebuild maps (old and new, for the fluid
-        #    remove/replace bookkeeping, ref: build_remove_replace)
+        f, R, V, W, dr = state
+        # 1. move particles by dr = (v_old + v_new)/2 set at the END of
+        #    the previous step's implicit update (ref: bbl.c:912 s.dr,
+        #    colloids.c:1055 position update); rebuild maps (old and
+        #    new, for the fluid remove/replace bookkeeping).
         pid_old, inside_old = build_map(R, params, size)
-        R = jnp.mod(R + V, jnp.asarray(np.array(size, np.float64), R.dtype))
+        R = jnp.mod(R + dr, jnp.asarray(np.array(size, np.float64), R.dtype))
         pid, inside = build_map(R, params, size)
 
         f, deltam, f0c, t0c = remove_replace(
@@ -411,13 +419,15 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams):
         # 3. BBL with implicit velocity update (gravity as ext force,
         #    shape-change corrections from the remove/replace step)
         ext = jnp.tile(grav[None], (params.n, 1))
+        Vold = V
         f, V, W, _ = bbl_step(f, R, V, W, model, params, size,
                               ext_force=ext, rho0=cfg.rho0,
                               deltam=deltam, f0_corr=f0c, t0_corr=t0c)
+        dr = 0.5 * (Vold + V)   # deferred position update (ref: bbl.c:912)
 
         # 4. propagate (periodic; BBL already wrote boundary values)
         f = stream(f, model)
-        return (f, R, V, W), (rho, u)
+        return (f, R, V, W, dr), (rho, u)
 
     return step
 

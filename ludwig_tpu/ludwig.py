@@ -467,6 +467,12 @@ def build_system(rt: RunTime) -> System:
             axis = {"x": 0, "y": 1, "z": 2}[mode[-1]] \
                 if mode[-1] in "xyz" else 2
             q5 = lc_init.lc_init_twist(size, lcfe.q0, amp, axis=axis)
+        elif mode == "o8m":
+            q5 = lc_init.lc_init_o8m(size, lcfe.q0, amp)
+        elif mode == "o2":
+            q5 = lc_init.lc_init_o2(size, lcfe.q0, amp)
+        elif mode == "random":
+            q5 = lc_init.lc_init_random(size, amp)
         elif mode == "nematic":
             q5 = lc_init.lc_init_nematic(
                 size, amp, tuple(rt.double_vector("lc_init_nematic",
@@ -636,7 +642,8 @@ def build_system(rt: RunTime) -> System:
         f = _distribution_init(rt, lb_cfg)
         state = (f, jnp.asarray(np.array(rr), lb_cfg.jdtype),
                  jnp.asarray(np.array(vv), lb_cfg.jdtype),
-                 jnp.zeros((nc, 3), lb_cfg.jdtype))
+                 jnp.zeros((nc, 3), lb_cfg.jdtype),
+                 jnp.zeros((nc, 3), lb_cfg.jdtype))   # dr (deferred move)
         step = make_colloid_step(lb_cfg, cparams)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=None,
                       state=state, step_fn=step, colloid_params=cparams)
@@ -706,6 +713,11 @@ def _make_stats_fn(sys_: System):
                    "g": stats.momentum_total(f, model, fl),
                    "gc": total_colloid_momentum(V, cpar, f.dtype),
                    "umm": stats.velocity_minmax(u, fl)}
+            # The reference prints "Particle statistics" from
+            # interact_compute at the TOP of the step (ludwig.c:543),
+            # i.e. with the PREVIOUS step's velocities (prev[0]).
+            vstat = prev[0] if prev else V
+            res["vcol"] = (jnp.min(vstat, axis=0), jnp.max(vstat, axis=0))
             return res
         res = {"rho": stats.rho_stats_ref(f, model, mask),
                "g": stats.momentum_total(f, model, mask),
@@ -847,6 +859,14 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
     ludwig.c:961)."""
     res = jax.device_get(stats_fn(sys_.state, u, prev))
 
+    if "vcol" in res and in_loop:
+        vmin, vmax = res["vcol"]
+        out.write("\nParticle statistics:\n\n")
+        out.write("Colloid velocities - x y z\n")
+        out.write(f"[minimum ] {float(vmin[0]):14.7e} "
+                  f"{float(vmin[1]):14.7e} {float(vmin[2]):14.7e}\n")
+        out.write(f"[maximum ] {float(vmax[0]):14.7e} "
+                  f"{float(vmax[1]):14.7e} {float(vmax[2]):14.7e}\n\n")
     out.write(stats.format_rho_block(*res["rho"]))
     if sys_.is_electro:
         def _3(tot, mn, mx):
@@ -985,6 +1005,8 @@ def run_text(text: str, out=sys.stdout) -> System:
         # copies: the step donates its input buffers
         if sys_.le_cfg is not None:
             return ()   # LE runs carry stale gradients in the state
+        if sys_.is_colloid:
+            return (jnp.array(state[2]),)   # start-of-step velocities
         if (sys_.is_binary or sys_.is_two_field or sys_.is_droplet
                 or sys_.is_polar):
             return tuple(jnp.array(x) for x in state[1:-1])

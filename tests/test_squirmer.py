@@ -18,7 +18,8 @@ def test_squirmer_swims_along_m():
                            b1=(b1,), b2=(0.0,), m=((1.0, 0.0, 0.0),))
     step = make_colloid_step(cfg, params)
     state = (initial_rest(cfg), jnp.asarray([[12.0, 12.0, 12.0]]),
-             jnp.zeros((1, 3)), jnp.zeros((1, 3)))
+             jnp.zeros((1, 3)), jnp.zeros((1, 3)),
+             jnp.zeros((1, 3)))
     vx = []
     for t in range(100):
         state, _ = step(state, t)
