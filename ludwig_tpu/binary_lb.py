@@ -83,7 +83,7 @@ def make_binary_lb_step(cfg: BinaryLBConfig):
 
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
-        f, g = state
+        f, g = state[0], state[1]
         phi, _ = g_moments(g, model)
         fields = fe_fields(phi, cfg.gradient)
         mu = cfg.fe.mu(fields)
@@ -96,7 +96,7 @@ def make_binary_lb_step(cfg: BinaryLBConfig):
 
         f = stream(f, model)
         g = stream(g, model)
-        return (f, g), (rho, phi, u)
+        return (f, g, u), (rho, phi)
 
     return step
 
@@ -116,10 +116,11 @@ def make_binary_lb_nstep(cfg: BinaryLBConfig):
 
 
 def initial_binary_lb(cfg: BinaryLBConfig, phi0: np.ndarray):
-    """f at rest; g carries phi in the rest distribution."""
+    """(f at rest, g carrying phi in the rest distribution, u = 0)."""
     f = initial_rest(cfg.lb)
     model = cfg.lb.model
     phi = jnp.asarray(phi0, cfg.lb.jdtype)
     rows = [phi if p == 0 else jnp.zeros_like(phi)
             for p in range(model.nvel)]
-    return (f, jnp.stack(rows))
+    u = jnp.zeros((3,) + tuple(cfg.lb.size), cfg.lb.jdtype)
+    return (f, jnp.stack(rows), u)

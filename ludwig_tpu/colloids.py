@@ -372,32 +372,42 @@ def refresh_inside(f, model: LatticeModel, inside, ub, rho0=1.0):
     return out.at[0].set(f[0])
 
 
-def make_colloid_step(cfg: LBConfig, params: ColloidParams):
+def make_colloid_step(cfg: LBConfig, params: ColloidParams,
+                      rebuild_freq: int = 1):
     """Jitted colloid+fluid step.
 
-    State: (f, R, V, W).  Sequence per reference ludwig.c:
-    position update + rebuild -> collide (fluid only) -> BBL (implicit
-    velocity update + boundary distributions) -> propagate.
+    State: (f, R, V, W, dr).  Sequence per reference ludwig.c:
+    position update + rebuild (only on steps with t % rebuild_freq == 0,
+    ref: ludwig.c:542 colloid_rebuild_freq) -> collide (fluid only) ->
+    BBL (implicit velocity update + boundary distributions) -> propagate.
     """
     model = cfg.model
     cparams = cfg.collision_params()
     size = cfg.size
     grav = jnp.asarray(np.array(params.gravity, np.float64), cfg.jdtype)
 
-    @partial(jax.jit, donate_argnums=0)
-    def step(state, t=0):
-        f, R, V, W, dr = state
+    @partial(jax.jit, static_argnums=2, donate_argnums=0)
+    def _step(state, t, rebuild):
+        f, R, V, W, dr, Rmap = state
         # 1. move particles by dr = (v_old + v_new)/2 set at the END of
         #    the previous step's implicit update (ref: bbl.c:912 s.dr,
-        #    colloids.c:1055 position update); rebuild maps (old and
-        #    new, for the fluid remove/replace bookkeeping).
-        pid_old, inside_old = build_map(R, params, size)
-        R = jnp.mod(R + dr, jnp.asarray(np.array(size, np.float64), R.dtype))
-        pid, inside = build_map(R, params, size)
-
-        f, deltam, f0c, t0c = remove_replace(
-            f, R, V, W, inside_old, pid_old, inside, pid, model, params,
-            size, rho0=cfg.rho0)
+        #    colloids.c:1055 position update - this happens EVERY step,
+        #    ludwig.c:2063 low-freq path included).  The solid map and
+        #    link geometry are rebuilt only on rebuild steps
+        #    (ludwig.c:542 colloid_rebuild_freq); between rebuilds they
+        #    stay frozen at Rmap, the position of the last rebuild.
+        R = jnp.mod(R + dr, jnp.asarray(np.array(size, np.float64),
+                                        R.dtype))
+        if rebuild:
+            pid_old, inside_old = build_map(Rmap, params, size)
+            Rmap = R
+            pid, inside = build_map(R, params, size)
+            f, deltam, f0c, t0c = remove_replace(
+                f, R, V, W, inside_old, pid_old, inside, pid, model,
+                params, size, rho0=cfg.rho0)
+        else:
+            pid, inside = build_map(Rmap, params, size)
+            deltam = f0c = t0c = None
 
         # interior sites track the solid-body velocity (ref: bbl pass0)
         coords = site_coords(size, f.dtype)
@@ -413,21 +423,39 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams):
             ub = jnp.where(mask, V[n][:, None, None, None] + wxr, ub)
         f = refresh_inside(f, model, inside, ub, cfg.rho0)
 
-        # 2. collide on fluid sites
-        f, rho, u = collide(f, cparams, fluid_mask=jnp.logical_not(inside))
+        # 2. collide on fluid sites (fluctuations via the usual hooks).
+        #    Colloid gravity is balanced by a uniform counter-force on
+        #    the fluid so total momentum is conserved (ref:
+        #    interaction.c:448 colloids_update_forces_fluid_gravity).
+        from ludwig_tpu.lb import _noise_terms
+        shat, ghat = _noise_terms(cfg, cparams, t)
+        force = None
+        if any(v != 0.0 for v in params.gravity):
+            nfluid = jnp.sum(jnp.logical_not(inside).astype(f.dtype))
+            # same op order as the reference: f = -g * (1/n) * nc
+            fb = (-grav) * (1.0 / nfluid) * float(params.n)
+            force = jnp.broadcast_to(fb[:, None, None, None],
+                                     (3,) + size).astype(f.dtype)
+        f, rho, u = collide(f, cparams, force=force,
+                            fluid_mask=jnp.logical_not(inside),
+                            shat=shat, ghat=ghat)
 
         # 3. BBL with implicit velocity update (gravity as ext force,
         #    shape-change corrections from the remove/replace step)
         ext = jnp.tile(grav[None], (params.n, 1))
         Vold = V
-        f, V, W, _ = bbl_step(f, R, V, W, model, params, size,
+        # link geometry is from the last rebuild position Rmap
+        f, V, W, _ = bbl_step(f, Rmap, V, W, model, params, size,
                               ext_force=ext, rho0=cfg.rho0,
                               deltam=deltam, f0_corr=f0c, t0_corr=t0c)
         dr = 0.5 * (Vold + V)   # deferred position update (ref: bbl.c:912)
 
         # 4. propagate (periodic; BBL already wrote boundary values)
         f = stream(f, model)
-        return (f, R, V, W, dr), (rho, u)
+        return (f, R, V, W, dr, Rmap), (rho, u)
+
+    def step(state, t=0):
+        return _step(state, t, int(t) % rebuild_freq == 0)
 
     return step
 

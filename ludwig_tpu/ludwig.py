@@ -50,6 +50,7 @@ class System:
     polar_cfg: Optional[object] = None
     colloid_params: Optional[object] = None
     electro_cfg: Optional[object] = None
+    lb2_cfg: Optional[object] = None           # symmetric_lb (ndist = 2)
     wallspec: Optional[object] = None          # plain-fluid halo walls
     le_cfg: Optional[object] = None            # Lees-Edwards planes
     n_start: int = 0
@@ -83,6 +84,10 @@ class System:
     @property
     def is_electro(self) -> bool:
         return self.electro_cfg is not None
+
+    @property
+    def is_binary_lb(self) -> bool:
+        return self.lb2_cfg is not None
 
     @property
     def fluid_mask(self):
@@ -363,6 +368,26 @@ def build_system(rt: RunTime) -> System:
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
                       state=state, step_fn=step, two_field_cfg=tcfg)
 
+    if (fe_name == "symmetric_lb"
+            and rt.string("colloid_init", "") in ("", "none",
+                                                  "no_colloids")):
+        # two-distribution binary fluid (ref: collision.c
+        # lb_collision_mrt2, ludwig.c ndist == 2 path)
+        from ludwig_tpu.binary_lb import (BinaryLBConfig, initial_binary_lb,
+                                          make_binary_lb_step)
+        fe = SymmetricFE(a=rt.double_required("A"),
+                         b=rt.double_required("B"),
+                         kappa=rt.double_required("K"))
+        l2cfg = BinaryLBConfig(
+            lb=lb_cfg, fe=fe,
+            mobility=rt.double("mobility", 0.15),
+            gradient=rt.string("fd_gradient_calculation", "3d_27pt_fluid"))
+        phi0 = _phi_init(rt, size, fe)
+        state = initial_binary_lb(l2cfg, phi0)
+        step = make_binary_lb_step(l2cfg)
+        return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
+                      state=state, step_fn=step, lb2_cfg=l2cfg)
+
     if fe_name in ("symmetric", "symmetric_noise", "symmetric_lb"):
         fe = SymmetricFE(a=rt.double_required("A"),
                          b=rt.double_required("B"),
@@ -625,26 +650,64 @@ def build_system(rt: RunTime) -> System:
                       hydro_on=ecfg.hydrodynamics)
 
     cinit = rt.string("colloid_init", "none")
-    if fe_name == "none" and cinit.startswith("input_"):
+    if fe_name == "none" and (cinit.startswith("input_")
+                              or cinit == "from_file"):
         from ludwig_tpu.colloids import ColloidParams, make_colloid_step
-        nc = {"input_one": 1, "input_two": 2, "input_three": 3}[cinit]
-        names = ["one", "two", "three"][:nc]
         a0, ah, rr, vv = [], [], [], []
-        for nm in names:
-            a0.append(rt.double_required(f"colloid_{nm}_a0"))
-            ah.append(rt.double(f"colloid_{nm}_ah", a0[-1]))
-            rv = rt.double_vector(f"colloid_{nm}_r", (0.0, 0.0, 0.0))
-            rr.append([c - 1.0 for c in rv])   # 1-based -> 0-based coords
-            vv.append(rt.double_vector(f"colloid_{nm}_v", (0.0, 0.0, 0.0)))
+        if cinit == "input_random":
+            # serial random placement (ref: colloids_init.c:82-123
+            # colloids_init_random_set; ran.c serial stream seeded by
+            # random_seed).  Positions are 1-based lattice coords there;
+            # ours are 0-based (shift by lmin = 0.5 ... +1).
+            from ludwig_tpu.ref_rng import RanSerial
+            nc = rt.int("colloid_random_no", 0)
+            dh = rt.double("colloid_random_dh", 0.0)
+            ra0 = rt.double_required("colloid_random_a0")
+            rah = rt.double("colloid_random_ah", ra0)
+            rng = RanSerial(rt.int("random_seed", 7361237))
+            amax = rah + dh
+            lex = [amax * (0.0 if p else 1.0)
+                   for p in rt.int_vector("periodicity", (1, 1, 1))]
+            for _ in range(nc):
+                r0 = [0.5 + lex[a] + rng.uniform() * (size[a] - 2.0 * lex[a])
+                      for a in range(3)]
+                rr.append([c - 1.0 for c in r0])
+                a0.append(ra0)
+                ah.append(rah)
+                vv.append((0.0, 0.0, 0.0))
+        elif cinit == "from_file":
+            from ludwig_tpu.io.colloid_io import read_colloid_file
+            recs = read_colloid_file(rt.string("colloid_file_stub",
+                                               "config.cds") + ".init")
+            for rec in recs:
+                a0.append(rec["a0"])
+                ah.append(rec["ah"])
+                rr.append([c - 1.0 for c in rec["r"]])
+                vv.append(tuple(rec["v"]))
+            nc = len(recs)
+        else:
+            nc = {"input_one": 1, "input_two": 2, "input_three": 3}[cinit]
+            names = ["one", "two", "three"][:nc]
+            for nm in names:
+                a0.append(rt.double_required(f"colloid_{nm}_a0"))
+                ah.append(rt.double(f"colloid_{nm}_ah", a0[-1]))
+                rv = rt.double_vector(f"colloid_{nm}_r", (0.0, 0.0, 0.0))
+                rr.append([c - 1.0 for c in rv])  # 1-based -> 0-based
+                vv.append(rt.double_vector(f"colloid_{nm}_v",
+                                           (0.0, 0.0, 0.0)))
         grav = tuple(rt.double_vector("colloid_gravity", (0.0, 0.0, 0.0)))
         cparams = ColloidParams(a0=tuple(a0), ah=tuple(ah),
                                 rho0=rho0, gravity=grav)
         f = _distribution_init(rt, lb_cfg)
-        state = (f, jnp.asarray(np.array(rr), lb_cfg.jdtype),
+        R0 = jnp.asarray(np.array(rr), lb_cfg.jdtype)
+        state = (f, R0,
                  jnp.asarray(np.array(vv), lb_cfg.jdtype),
                  jnp.zeros((nc, 3), lb_cfg.jdtype),
-                 jnp.zeros((nc, 3), lb_cfg.jdtype))   # dr (deferred move)
-        step = make_colloid_step(lb_cfg, cparams)
+                 jnp.zeros((nc, 3), lb_cfg.jdtype),   # dr (deferred move)
+                 jnp.array(R0))                       # map/link positions
+        step = make_colloid_step(lb_cfg, cparams,
+                                 rebuild_freq=rt.int("colloid_rebuild_freq",
+                                                     1))
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=None,
                       state=state, step_fn=step, colloid_params=cparams)
 
@@ -746,6 +809,17 @@ def _make_stats_fn(sys_: System):
             res["fed"] = (jnp.mean(fed), fluid)
             if mask is not None:
                 res["gwall"] = gwall
+        if sys_.lb2_cfg is not None:
+            from ludwig_tpu.binary_lb import g_moments
+            l2 = sys_.lb2_cfg
+            phi, _ = g_moments(state[1], model)
+            res["phi"] = stats.field_stats(phi)
+            # current phi with the start-of-step gradients (the
+            # reference's ludwig_report_statistics convention)
+            fields = fe_fields(prev[0] if prev else phi, l2.gradient)
+            fields["phi"] = phi
+            fed = l2.fe.fed(fields)
+            res["fed"] = (jnp.mean(fed), jnp.mean(fed))
         if bcfg is not None:
             phi = state[1]
             res["phi"] = stats.field_stats(phi, mask)
@@ -877,7 +951,7 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
             out.write("[rho] " + _3(*res["rhok"][k]))
         out.write("[elc] " + _3(*res["elc"]))
         out.write(stats.format_fed_block(tstep, *res["fed"]))
-    if sys_.is_binary:
+    if sys_.is_binary or sys_.is_binary_lb:
         out.write(stats.format_phi_line("phi", *res["phi"]))
         out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_two_field:
@@ -1007,6 +1081,9 @@ def run_text(text: str, out=sys.stdout) -> System:
             return ()   # LE runs carry stale gradients in the state
         if sys_.is_colloid:
             return (jnp.array(state[2]),)   # start-of-step velocities
+        if sys_.is_binary_lb:
+            from ludwig_tpu.binary_lb import g_moments
+            return (g_moments(state[1], sys_.lb_cfg.model)[0],)
         if (sys_.is_binary or sys_.is_two_field or sys_.is_droplet
                 or sys_.is_polar):
             return tuple(jnp.array(x) for x in state[1:-1])
@@ -1030,6 +1107,9 @@ def run_text(text: str, out=sys.stdout) -> System:
         elif sys_.is_electro:
             state, rho = sys_.step_fn(state, t)
             u = state[3]
+        elif sys_.is_binary_lb:
+            state, (rho, _phi) = sys_.step_fn(state, t)
+            u = state[2]
         elif (sys_.is_binary or sys_.is_lc or sys_.is_two_field
                 or sys_.is_droplet or sys_.is_polar):
             state, rho = sys_.step_fn(state, t)

@@ -26,7 +26,7 @@ def test_phi_and_mass_conserved():
     tphi = float(jnp.sum(state[1]))
     nstep = make_binary_lb_nstep(cfg)
     state = nstep(state, 100)
-    f, g = state
+    f, g = state[0], state[1]
     phi, _ = g_moments(g, cfg.lb.model)
     assert abs(float(jnp.sum(phi)) - tphi) < 1e-9
     np.testing.assert_allclose(float(jnp.sum(f)), 16 ** 3, rtol=1e-12)

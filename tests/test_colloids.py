@@ -47,14 +47,14 @@ def test_fixed_sphere_stokes_drag():
     R = jnp.asarray([[8.0, 8.0, 8.0]])
     V = jnp.zeros((1, 3))
     W = jnp.zeros((1, 3))
-    state = (f, R, V, W, jnp.zeros((1, 3)))
+    state = (f, R, V, W, jnp.zeros((1, 3)), jnp.array(R))
     for t in range(120):
         state, (rho, u) = step(state, t)
         # hold the particle: re-zero position/velocity (fixed obstacle);
         # fresh arrays each pass since step donates its inputs
         state = (state[0], jnp.asarray([[8.0, 8.0, 8.0]]),
                  jnp.zeros((1, 3)), jnp.zeros((1, 3)),
-                 jnp.zeros((1, 3)))
+                 jnp.zeros((1, 3)), jnp.asarray([[8.0, 8.0, 8.0]]))
     # fluid accelerates; obstacle resists: fluid u_x positive, finite
     f = state[0]
     assert np.isfinite(np.asarray(f)).all()
@@ -76,12 +76,12 @@ def test_momentum_exchange_fluid_colloid():
     R = jnp.asarray([[12.0, 8.0, 8.0]])
     V = jnp.asarray([[1e-3, 0.0, 0.0]])
     W = jnp.zeros((1, 3))
-    state = (f, R, V, W, jnp.zeros((1, 3)))
+    state = (f, R, V, W, jnp.zeros((1, 3)), jnp.array(R))
 
     v0 = float(V[0, 0])
     for t in range(50):
         state, _ = step(state, t)
-    f, R, V, W, _dr = state
+    f, R, V, W, _dr, _Rm = state
     v1 = float(V[0, 0])
     # particle decelerates monotonically toward co-motion
     assert 0.0 < v1 < v0
@@ -106,7 +106,7 @@ def test_sedimentation_terminal_velocity():
     step = make_colloid_step(cfg, params)
     state = (initial_rest(cfg), jnp.asarray([[12.0, 12.0, 12.0]]),
              jnp.zeros((1, 3)), jnp.zeros((1, 3)),
-             jnp.zeros((1, 3)))
+             jnp.zeros((1, 3)), jnp.asarray([[12.0, 12.0, 12.0]]))
     vs = []
     for t in range(300):
         state, _ = step(state, t)

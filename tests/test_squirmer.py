@@ -19,7 +19,7 @@ def test_squirmer_swims_along_m():
     step = make_colloid_step(cfg, params)
     state = (initial_rest(cfg), jnp.asarray([[12.0, 12.0, 12.0]]),
              jnp.zeros((1, 3)), jnp.zeros((1, 3)),
-             jnp.zeros((1, 3)))
+             jnp.zeros((1, 3)), jnp.asarray([[12.0, 12.0, 12.0]]))
     vx = []
     for t in range(100):
         state, _ = step(state, t)
