@@ -27,7 +27,7 @@ from ludwig_tpu.lb import LBConfig, initial_rest
 from ludwig_tpu.ops.collide import collide
 from ludwig_tpu.ops.force import stress_divergence_force
 from ludwig_tpu.ops.stencil import gradient_ops
-from ludwig_tpu.ops.stream import stream_bounce_back
+from ludwig_tpu.ops.stream import stream, stream_bounce_back
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,14 +66,39 @@ def fe_fields(phi, gradient: str, fourth_order: bool = False,
     return out
 
 
-def make_binary_step(cfg: BinaryConfig, solid=None):
-    """Jitted step: (f, phi, u) -> (f, phi, u, rho).
+def binary_solid_ops(cfg: BinaryConfig, solid=None, wallspec=None):
+    """Wetting-aware (grad, delsq) stencil pair for a *_solid gradient
+    selection, or None for fluid stencils (shared by the step and the
+    statistics program)."""
+    fluid = None if solid is None else jnp.logical_not(solid)
+    if cfg.gradient == "3d_27pt_solid" and (solid is not None
+                                            or wallspec is not None):
+        from ludwig_tpu.ops.solid_stencil import solid27_scalar_ops
+        return solid27_scalar_ops(
+            cfg.lb.size, fluid=fluid,
+            walls=wallspec.walls if wallspec is not None else (False,) * 3,
+            rkappa=1.0 / cfg.fe.kappa, c=cfg.wetting[0], h=cfg.wetting[1])
+    if solid is not None and cfg.gradient.endswith("_solid"):
+        from ludwig_tpu.ops.stencil import solid_gradient_ops
+        return solid_gradient_ops(solid, cfg.fe.kappa,
+                                  cfg.wetting[0], cfg.wetting[1])
+    return None
+
+
+def make_binary_step(cfg: BinaryConfig, solid=None, wallspec=None):
+    """Jitted step: (f, phi, u[, gwall]) -> state, rho.
 
     Order per reference time step (ludwig.c:551-860):
       1. gradients of phi
       2. thermodynamic force (stress divergence)
       3. Cahn-Hilliard update of phi (advected by previous-step u)
       4. LB collide with the force; 5. stream + bounce-back.
+
+    With wallspec (halo plane walls, ref: wall.c): all stored sites
+    stay fluid, the stress-divergence force switches to one-sided wall
+    fluxes, CH fluxes vanish at the walls, and streaming is followed by
+    half-way bounce-back at the wall planes; the state gains a gwall
+    momentum accumulator for the [walls] statistics row.
     """
     params = cfg.lb.collision_params()
     model = cfg.lb.model
@@ -84,33 +109,85 @@ def make_binary_step(cfg: BinaryConfig, solid=None):
               else None)
 
     nz = cfg.lb.noise
-    solid_ops = None
-    if solid is not None and cfg.gradient.endswith("_solid"):
-        from ludwig_tpu.ops.stencil import solid_gradient_ops
-        solid_ops = solid_gradient_ops(solid, cfg.fe.kappa,
-                                       cfg.wetting[0], cfg.wetting[1])
+    solid_ops = binary_solid_ops(cfg, solid=solid, wallspec=wallspec)
+
+    # Reference-exact noise: the reference keeps TWO independent
+    # per-site KISS generators - noise_phi for the CH flux noise
+    # (extended by a 1-halo ring for mid-point fluxes) and noise_rho
+    # for the LB fluctuations - both seeded with the DEFAULT master
+    # seed (noise_init(obj, 0), ref: ludwig.c:243,1215).  They ride at
+    # the end of the state tuple: (..., nstate_phi?, nstate_rho?).
+    kiss_phi = nz is not None and nz.kiss and nz.phi
+    kiss_rho = nz is not None and nz.kiss and nz.rho
+    has_kiss = kiss_phi or kiss_rho
 
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
         from ludwig_tpu.lb import _noise_terms
         from ludwig_tpu import noise as noise_mod
-        f, phi, u = state
+        f, phi, u = state[0], state[1], state[2]
         fields = fe_fields(phi, cfg.gradient, cfg.fourth_order,
                            solid_ops=solid_ops)
         mu = cfg.fe.mu(fields)
 
+        nstate_rho = state[-1] if kiss_rho else None
+        nstate_phi = state[-2 if kiss_rho else -1] if kiss_phi else None
         rflux = None
         if nz is not None and nz.phi:
-            rflux = noise_mod.ch_random_flux(nz.seed, t, cfg.lb.size,
-                                             nz.kt, cfg.mobility,
-                                             dtype=cfg.lb.jdtype)
+            if kiss_phi:
+                from ludwig_tpu import noise_kiss
+                nstate_phi, r3 = noise_kiss.reap(nstate_phi, 3,
+                                                 cfg.lb.jdtype)
+                rflux = noise_mod.ch_flux_from_deviates(r3, nz.kt,
+                                                        cfg.mobility)
+            else:
+                rflux = noise_mod.ch_random_flux(nz.seed, t, cfg.lb.size,
+                                                 nz.kt, cfg.mobility,
+                                                 dtype=cfg.lb.jdtype)
+
+        def lb_noise(t):
+            if not kiss_rho:
+                return _noise_terms(cfg.lb, params, t) + (nstate_rho,)
+            return _noise_terms(cfg.lb, params, t, nstate=nstate_rho)
+
+        def pack(*core):
+            out = core
+            if kiss_phi:
+                out = out + (nstate_phi,)
+            if kiss_rho:
+                out = out + (nstate_rho,)
+            return out
 
         if cfg.hydrodynamics:
+            if wallspec is not None:
+                from ludwig_tpu.ops.walls import (
+                    no_flux_at_walls, stress_divergence_force_walls,
+                    wall_bounce_back)
+                from ludwig_tpu.stats import momentum_total
+                gwall = state[3]
+                force, fwall = stress_divergence_force_walls(
+                    cfg.fe.stress(fields), wallspec)
+                force = force.astype(f.dtype)
+                phi = cahn_hilliard_update(phi, mu, u, ch,
+                                           random_flux=rflux,
+                                           wallspec=wallspec)
+                shat, ghat, nstate_rho = lb_noise(t)
+                eta_loc = (cfg.visc_model.eta(phi)
+                           if cfg.visc_model is not None else None)
+                f_post, rho, u_new = collide(f, params, force=force,
+                                             shat=shat, ghat=ghat,
+                                             eta_local=eta_loc)
+                f = stream(f_post, model)
+                f, _, gw = wall_bounce_back(f, f_post, model, wallspec,
+                                            rho0=cfg.lb.rho0)
+                gwall = gwall + gw + fwall
+                return pack(f, phi, u_new, gwall), rho
             force = stress_divergence_force(cfg.fe.stress(fields))
             force = force.astype(f.dtype)
             phi = cahn_hilliard_update(phi, mu, u, ch, solid=solid,
-                                       random_flux=rflux)
-            shat, ghat = _noise_terms(cfg.lb, params, t)
+                                       random_flux=rflux,
+                                       noise_stencil=rflux is not None)
+            shat, ghat, nstate_rho = lb_noise(t)
             eta_loc = (cfg.visc_model.eta(phi)
                        if cfg.visc_model is not None else None)
             f, rho, u_new = collide(f, params, force=force,
@@ -120,11 +197,12 @@ def make_binary_step(cfg: BinaryConfig, solid=None):
                                    rho0=cfg.lb.rho0)
         else:
             phi = cahn_hilliard_update(phi, mu, None, ch, solid=solid,
-                                       random_flux=rflux)
+                                       random_flux=rflux,
+                                       noise_stencil=rflux is not None)
             rho = jnp.ones_like(phi)
             u_new = jnp.zeros_like(u)
 
-        return (f, phi, u_new), rho
+        return pack(f, phi, u_new), rho
 
     return step
 
@@ -144,11 +222,23 @@ def make_binary_nstep(cfg: BinaryConfig, solid=None):
 
 
 def initial_binary(cfg: BinaryConfig, phi0: np.ndarray):
-    """(f at rest, phi0, u=0) state pytree."""
+    """(f at rest, phi0, u=0[, nstate_phi][, nstate_rho]) state pytree.
+
+    The KISS noise states ride at the end when fluctuations are on,
+    both default-seeded like the reference's two noise objects
+    (noise_init(obj, 0); ref: ludwig.c:243,1215)."""
     f = initial_rest(cfg.lb)
     phi = jnp.asarray(phi0, cfg.lb.jdtype)
     u = jnp.zeros((3,) + tuple(cfg.lb.size), cfg.lb.jdtype)
-    return (f, phi, u)
+    state = (f, phi, u)
+    nz = cfg.lb.noise
+    if nz is not None and nz.kiss:
+        from ludwig_tpu.noise_kiss import kiss_init
+        if nz.phi:
+            state = state + (kiss_init(0, cfg.lb.size, extended=True),)
+        if nz.rho:
+            state = state + (kiss_init(0, cfg.lb.size),)
+    return state
 
 
 def spinodal_phi(size, amplitude=0.05, mean=0.0, seed=13):

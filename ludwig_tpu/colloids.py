@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,20 +44,81 @@ class ColloidParams:
     ah: Optional[Tuple[float, ...]] = None   # hydrodynamic radius
     rho0: float = 1.0                   # colloid density
     gravity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
-    # squirmer (active) parameters; m is the swimming direction
-    # (orientation dynamics pending - fixed per run)
+    # squirmer (active) parameters; m is the INITIAL swimming direction
+    # (carried dynamically in ColloidState.M and rotated by omega)
     b1: Tuple[float, ...] = ()
     b2: Tuple[float, ...] = ()
     m: Tuple[Tuple[float, float, float], ...] = ()
+    types: Tuple[str, ...] = ()      # "default" | "active" | "subgrid"
 
     @property
     def n(self) -> int:
         return len(self.a0)
 
     def is_active(self, n: int) -> bool:
+        if len(self.types) > n:
+            return self.types[n] == "active"
         return len(self.b1) > n and (self.b1[n] != 0.0 or
                                      (len(self.b2) > n and
                                       self.b2[n] != 0.0))
+
+
+class ColloidState(NamedTuple):
+    """Dynamic per-particle state carried through the step (a pytree;
+    indexable like the old plain tuple)."""
+    f: jnp.ndarray        # distributions (nvel, X, Y, Z)
+    R: jnp.ndarray        # positions (N, 3), 0-based lattice coords
+    V: jnp.ndarray        # velocities (N, 3)
+    W: jnp.ndarray        # angular velocities (N, 3)
+    dr: jnp.ndarray       # deferred position update (ref: bbl.c:912)
+    Rmap: jnp.ndarray     # positions at the last map/link rebuild
+    M: jnp.ndarray        # swimming directions (N, 3) (squirmers)
+
+
+def rotate_vector(v, w):
+    """Rodrigues rotation of v by the vector angle w (ref: util.c:118
+    rotate_vector); w = 0 leaves v untouched."""
+    theta = jnp.sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2])
+    safe = jnp.where(theta == 0.0, 1.0, theta)
+    what = w / safe
+    st = jnp.sin(theta)
+    ct = jnp.cos(theta)
+    vdotw = v[0] * what[0] + v[1] * what[1] + v[2] * what[2]
+    vrot = jnp.stack([ct * v[0] + st * (what[1] * v[2] - what[2] * v[1]),
+                      ct * v[1] + st * (what[2] * v[0] - what[0] * v[2]),
+                      ct * v[2] + st * (what[0] * v[1] - what[1] * v[0])])
+    out = (1.0 - ct) * vdotw * what + vrot
+    return jnp.where(theta == 0.0, v, out)
+
+
+def solve6(A, b):
+    """6x6 Gaussian elimination with partial pivoting (ref: bbl.c
+    bbl_update_colloids, 'bog-standard').
+
+    Hand-rolled because TPU XLA cannot lower f64 LuDecomposition
+    (jnp.linalg.solve fails to compile); a 6x6 unrolls to pure vector
+    arithmetic.  Row swaps are applied explicitly, which is equivalent
+    to the reference's ipivot bookkeeping (the drag matrix is
+    mass-dominated, so in practice the pivot is the diagonal).
+    """
+    n = 6
+    M = jnp.concatenate([A, b[:, None]], axis=1)   # (6, 7) augmented
+    for k in range(n):
+        ip = k + jnp.argmax(jnp.abs(M[k:, k]))
+        rows = jnp.arange(n)
+        swap = jnp.where(rows == k, ip, jnp.where(rows == ip, k, rows))
+        M = M[swap]
+        piv = M[k] / M[k, k]
+        fac = jnp.where(rows > k, M[:, k], 0.0)
+        M = jnp.where((rows == k)[:, None], piv,
+                      M - fac[:, None] * piv[None, :])
+    x = jnp.zeros((n,), A.dtype)
+    for k in range(n - 1, -1, -1):
+        rhs = M[k, n]
+        for j in range(k + 1, n):
+            rhs = rhs - M[k, j] * x[j]
+        x = x.at[k].set(rhs)
+    return x
 
 
 def site_coords(size, dtype=jnp.float64):
@@ -165,12 +226,15 @@ def remove_replace(f, R, V, W, inside_old, pid_old, inside_new, pid_new,
 def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
              params: ColloidParams, size,
              ext_force=None, ext_torque=None, rho0: float = 1.0,
-             deltam=None, f0_corr=None, t0_corr=None):
+             deltam=None, f0_corr=None, t0_corr=None, M=None):
     """Bounce-back on links with the implicit velocity update.
 
-    Returns (f_after_bbl, V_new, W_new, momentum_to_fluid_diag).
+    Returns (f_after_bbl, V_new, W_new, M_new, diag).
     f is post-collision; the BBL writes the boundary distributions at
     inside sites so that the subsequent propagation carries them out.
+    M (N, 3) is the squirmer swimming direction, rotated by the new
+    angular velocity at the end of the update (ref: bbl.c:917
+    rotate_vector(pc->s.m, xb+3)).
     """
     N = params.n
     rcs2 = 1.0 / CS2
@@ -241,17 +305,25 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
             msk = any_m.astype(f.dtype)
 
             if active:
-                # squirmer surface slip (ref: bbl.c pass1 squirmer
-                # section): dm_a = -delta P_l(cost) t_hat . c
-                mv = np.asarray(params.m[n], np.float64)
-                mv = mv / np.linalg.norm(mv)
+                # squirmer surface slip, arithmetic per the reference
+                # (ref: bbl.c pass1 squirmer section):
+                # mod = |rb||m|; cost = rb.m/mod (clamped cost^2 <= 1);
+                # tans = (rb x m) x rb; dm_a = -delta P_1(cost) t.c/|t|
+                mv = (M[n] if M is not None
+                      else jnp.asarray(np.asarray(params.m[n], np.float64)
+                                       / np.linalg.norm(params.m[n]),
+                                       f.dtype))
                 b1 = float(params.b1[n])
                 b2 = float(params.b2[n]) if len(params.b2) > n else 0.0
                 rbmod = jnp.sqrt(rb[0] ** 2 + rb[1] ** 2 + rb[2] ** 2)
+                mmod = jnp.sqrt(mv[0] ** 2 + mv[1] ** 2 + mv[2] ** 2)
+                mod = rbmod * mmod
+                rmod = jnp.where(mod == 0.0, 0.0,
+                                 1.0 / jnp.where(mod == 0.0, 1.0, mod))
                 rdotm = rb[0] * mv[0] + rb[1] * mv[1] + rb[2] * mv[2]
-                cost = jnp.clip(rdotm / jnp.maximum(rbmod, 1e-12),
-                                -1.0, 1.0)
-                sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 0.0))
+                cost = rmod * rdotm
+                cost = jnp.where(cost * cost > 1.0, 1.0, cost)
+                sint = jnp.sqrt(1.0 - cost * cost)
                 v1 = [rb[1] * mv[2] - rb[2] * mv[1],
                       rb[2] * mv[0] - rb[0] * mv[2],
                       rb[0] * mv[1] - rb[1] * mv[0]]
@@ -259,11 +331,15 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
                         v1[2] * rb[0] - v1[0] * rb[2],
                         v1[0] * rb[1] - v1[1] * rb[0]]
                 tmod = jnp.sqrt(tans[0] ** 2 + tans[1] ** 2 + tans[2] ** 2)
-                rmod = jnp.where(tmod > 1e-12, 1.0 / jnp.maximum(tmod,
-                                                                 1e-12), 0.0)
+                rmod = jnp.where(tmod == 0.0, 0.0,
+                                 1.0 / jnp.where(tmod == 0.0, 1.0, tmod))
                 pleg = -sint * (b2 * cost + b1)
-                tdotc = sum(tans[a] * float(c[a]) for a in range(3))
-                dm_a = -delta * pleg * rmod * tdotc
+                dm_a = 0.0
+                for a in range(3):
+                    if c[a]:
+                        dm_a = dm_a + (-delta) * pleg * rmod * tans[a] \
+                            * float(c[a])
+                dm_a = dm_a * msk   # only defined on this particle's links
                 dm = dm + dm_a
                 dma_updates.append((q, jnp.where(m, dm_a, 0.0)))
                 sump_n = sump_n + jnp.sum(msk * dm_a)
@@ -280,11 +356,17 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
         # apply the slip to the outgoing distributions (ref: fdist += dm_a)
         for (q, upd) in dma_updates:
             f = f.at[q].add(upd)
-        sump_all.append(sump_n)
 
         rsumw = 1.0 / jnp.maximum(sumw, 1e-30)
         cbarn = [cb * rsumw for cb in cbar]
         rxcbarn = [rx * rsumw for rx in rxcbar]
+        # active mass conservation: sump /= sumw, and the compensating
+        # force/torque fc0/tc0 = sum_links (-w sump) (c, rb x c) enter
+        # the implicit solve (ref: bbl.c bbl_active_conservation)
+        sump_n = sump_n * rsumw
+        sump_all.append(sump_n)
+        fc0 = [-sump_n * cbar[a] for a in range(3)]
+        tc0 = [-sump_n * rxcbar[a] for a in range(3)]
 
         # drag matrix with missing-link corrections c -> c - cbar
         zrows = [[0.0] * 6 for _ in range(6)]
@@ -314,15 +396,21 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
         if t0_corr is not None:
             te = te + t0_corr[n]
         b = jnp.concatenate([
-            mass[n] * V[n] + jnp.stack([f0[0], f0[1], f0[2]]) + fe,
-            moment[n] * W[n] + jnp.stack([t0[0], t0[1], t0[2]]) + te])
-        x = jnp.linalg.solve(A, b)
+            mass[n] * V[n] + jnp.stack([f0[0], f0[1], f0[2]]) + fe
+            + jnp.stack(fc0),
+            moment[n] * W[n] + jnp.stack([t0[0], t0[1], t0[2]]) + te
+            + jnp.stack(tc0)])
+        x = solve6(A, b)
         Vn.append(x[:3])
         Wn.append(x[3:])
         dfs.append((geoms, cbarn, rxcbarn))
 
     Vn = jnp.stack(Vn)
     Wn = jnp.stack(Wn)
+    # rotate swimming direction by the new angular velocity
+    # (ref: bbl.c:917 rotate_vector(pc->s.m, xb + 3))
+    Mn = (jnp.stack([rotate_vector(M[n], Wn[n]) for n in range(N)])
+          if M is not None else None)
 
     # Pass 2: apply BBL with the new velocities.  For each link (q at
     # fluid site i, inside j = i + c_q): f[rev q](j) = f[q](i) - df.
@@ -354,7 +442,7 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
             fout = fout.at[qr].set(
                 jnp.where(mask_at_j, val_at_j, fout[qr]))
 
-    return fout, Vn, Wn, (pid, inside)
+    return fout, Vn, Wn, Mn, (pid, inside)
 
 
 def refresh_inside(f, model: LatticeModel, inside, ub, rho0=1.0):
@@ -388,7 +476,7 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
 
     @partial(jax.jit, static_argnums=2, donate_argnums=0)
     def _step(state, t, rebuild):
-        f, R, V, W, dr, Rmap = state
+        f, R, V, W, dr, Rmap, Msw = state
         # 1. move particles by dr = (v_old + v_new)/2 set at the END of
         #    the previous step's implicit update (ref: bbl.c:912 s.dr,
         #    colloids.c:1055 position update - this happens EVERY step,
@@ -445,16 +533,21 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         ext = jnp.tile(grav[None], (params.n, 1))
         Vold = V
         # link geometry is from the last rebuild position Rmap
-        f, V, W, _ = bbl_step(f, Rmap, V, W, model, params, size,
-                              ext_force=ext, rho0=cfg.rho0,
-                              deltam=deltam, f0_corr=f0c, t0_corr=t0c)
+        f, V, W, Msw, _ = bbl_step(f, Rmap, V, W, model, params, size,
+                                   ext_force=ext, rho0=cfg.rho0,
+                                   deltam=deltam, f0_corr=f0c,
+                                   t0_corr=t0c, M=Msw)
         dr = 0.5 * (Vold + V)   # deferred position update (ref: bbl.c:912)
 
         # 4. propagate (periodic; BBL already wrote boundary values)
         f = stream(f, model)
-        return (f, R, V, W, dr, Rmap), (rho, u)
+        return ColloidState(f, R, V, W, dr, Rmap, Msw), (rho, u)
 
     def step(state, t=0):
+        if len(state) == 6:   # legacy tuple without swim directions
+            mm = (np.array(params.m, np.float64) if params.m
+                  else np.tile([1.0, 0.0, 0.0], (params.n, 1)))
+            state = ColloidState(*state, jnp.asarray(mm, state[0].dtype))
         return _step(state, t, int(t) % rebuild_freq == 0)
 
     return step

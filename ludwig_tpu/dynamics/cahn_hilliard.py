@@ -34,7 +34,9 @@ def cahn_hilliard_update(phi: jnp.ndarray,
                          u: Optional[jnp.ndarray],
                          params: CahnHilliardParams,
                          solid: Optional[jnp.ndarray] = None,
-                         random_flux: Optional[list] = None) -> jnp.ndarray:
+                         random_flux: Optional[list] = None,
+                         wallspec=None,
+                         noise_stencil: bool = False) -> jnp.ndarray:
     """One forward-Euler CH step; returns updated phi.
 
     Args:
@@ -44,6 +46,11 @@ def cahn_hilliard_update(phi: jnp.ndarray,
             `hydrodynamics off`).
       solid: (X, Y, Z) bool mask - no-flux condition at solid faces.
       random_flux: optional [fx, fy, fz] fluctuating face fluxes.
+      noise_stencil: with flux noise the reference switches the
+        diffusive flux to the expanded Sumesh et al. form
+          fe(i -> i+1) = -0.25 M (mu(i+2) + mu(i+1) - mu(i) - mu(i-1))
+        whose Nyquist damping vanishes (ref: phi_cahn_hilliard.c
+        phi_ch_dif_flux_kernel).
     """
     if u is not None:
         fluxes = advective_fluxes(u, phi, params.advection_order)
@@ -51,12 +58,28 @@ def cahn_hilliard_update(phi: jnp.ndarray,
         fluxes = [jnp.zeros_like(phi) for _ in range(3)]
 
     m = params.mobility
-    fluxes = [fluxes[ax] - m * (_up(mu, ax) - mu) for ax in range(3)]
+    if noise_stencil:
+        def up2(x, ax):
+            return _up(_up(x, ax), ax)
+
+        def down(x, ax):
+            s = [0, 0, 0]
+            s[ax] = 1
+            return jnp.roll(x, tuple(s), axis=(0, 1, 2))
+
+        fluxes = [fluxes[ax] - 0.25 * m * (up2(mu, ax) + _up(mu, ax)
+                                           - mu - down(mu, ax))
+                  for ax in range(3)]
+    else:
+        fluxes = [fluxes[ax] - m * (_up(mu, ax) - mu) for ax in range(3)]
 
     if random_flux is not None:
         fluxes = [fluxes[ax] + random_flux[ax] for ax in range(3)]
 
     if solid is not None:
         fluxes = no_flux_at_solid(fluxes, solid)
+    if wallspec is not None:
+        from ludwig_tpu.ops.walls import no_flux_at_walls
+        fluxes = no_flux_at_walls(fluxes, wallspec)
 
     return phi - flux_divergence(fluxes)

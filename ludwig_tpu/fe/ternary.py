@@ -19,6 +19,11 @@ class TernaryFE:
     kappa1: float
     kappa2: float
     kappa3: float
+    # Solid wetting parameters; only h1, h2 are independent, h3 from
+    # h1/k1 + h2/k2 + h3/k3 = 0 (ref: fe_ternary_rt.c:63-77)
+    h1: float = 0.0
+    h2: float = 0.0
+    h3: float = 0.0
 
     # fields: phi, psi, grad_phi, grad_psi, delsq_phi, delsq_psi
 

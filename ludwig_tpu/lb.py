@@ -82,14 +82,30 @@ def solid_mask(cfg: LBConfig, porous: Optional[np.ndarray] = None):
     return jnp.asarray(m)
 
 
-def _noise_terms(cfg: LBConfig, params, t):
-    """(shat, ghat) fluctuation terms for timestep t, or (None, None)."""
+def _noise_terms(cfg: LBConfig, params, t, nstate=None):
+    """(shat, ghat[, nstate']) fluctuation terms for timestep t.
+
+    With nstate (a per-site KISS state array, interior-shaped), draws
+    the reference-exact stream and returns the advanced state as a
+    third element; callers not carrying a state keep the stateless
+    2-tuple form."""
     from ludwig_tpu import noise as noise_mod
     nz = cfg.noise
     if nz is None or not nz.rho:
-        return None, None
+        return (None, None) if nstate is None else (None, None, nstate)
     ve = noise_mod.var_eta(1.0 / params.rtau_shear, nz.kt)
     vb = noise_mod.var_bulk(1.0 / params.rtau_bulk, nz.kt)
+    if nstate is not None:
+        from ludwig_tpu import noise_kiss
+        nstate, r6 = noise_kiss.reap(nstate, 6, cfg.jdtype)
+        shat = noise_mod.stress_from_deviates(r6, ve, vb, cfg.model.ndim)
+        ghat = None
+        if cfg.ghost_modes_on:
+            vg = noise_mod.var_ghost(cfg.model, params.rtau_ghost, nz.kt)
+            nstate, rg = noise_kiss.reap(
+                nstate, cfg.model.nvel - cfg.model.nhydro, cfg.jdtype)
+            ghat = noise_mod.ghost_from_deviates(rg, cfg.model, vg)
+        return shat, ghat, nstate
     shat = noise_mod.fluctuating_stress(nz.seed, t, cfg.size, ve, vb,
                                         ndim=cfg.model.ndim,
                                         dtype=cfg.jdtype)
@@ -145,10 +161,17 @@ def make_wall_step(cfg: LBConfig, wallspec, force_field=None):
     params = cfg.collision_params()
     model = cfg.model
 
+    kiss_rho = (cfg.noise is not None and cfg.noise.kiss
+                and cfg.noise.rho)
+
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0, force=force_field):
-        f, gwall = state
-        shat, ghat = _noise_terms(cfg, params, t)
+        f, gwall = state[0], state[1]
+        if kiss_rho:
+            shat, ghat, nstate = _noise_terms(cfg, params, t,
+                                              nstate=state[2])
+        else:
+            shat, ghat = _noise_terms(cfg, params, t)
         f_post, rho, u = collide(f, params, force=force,
                                  shat=shat, ghat=ghat)
         f_new = stream(f_post, model)
@@ -160,7 +183,8 @@ def make_wall_step(cfg: LBConfig, wallspec, force_field=None):
             f_new, _, _ = wall_bounce_back(f_new, f_post, model, wallspec,
                                            rho0=cfg.rho0)
         gwall = gwall + (g_pre - momentum_total(f_new, model))
-        return (f_new, gwall), rho, u
+        out = ((f_new, gwall, nstate) if kiss_rho else (f_new, gwall))
+        return out, rho, u
 
     return step
 

@@ -56,6 +56,8 @@ class System:
     n_start: int = 0
     hydro_on: bool = True
     vol_flux: bool = False
+    fe_solid_ops: Optional[object] = None      # two-field wetting stencils
+    has_kiss: bool = False    # per-site KISS noise state rides the state
 
     @property
     def is_binary(self) -> bool:
@@ -290,7 +292,8 @@ def build_system(rt: RunTime) -> System:
         nz = NoiseConfig(kt=kt,
                          seed=rt.int("random_seed", 8361235),
                          rho=rt.switch("isothermal_fluctuations", False),
-                         phi=(fe_name_peek == "symmetric_noise"))
+                         phi=(fe_name_peek == "symmetric_noise"
+                              and rt.int("fd_phi_fluctuations", 0) != 0))
         if not (nz.rho or nz.phi):
             nz = None
 
@@ -343,19 +346,30 @@ def build_system(rt: RunTime) -> System:
             psi0_mean = rt.double("surf_psi0", 0.01)
         else:
             from ludwig_tpu.fe.ternary import TernaryFE
+            _h1 = rt.double("ternary_h1", 0.0)
+            _h2 = rt.double("ternary_h2", 0.0)
+            _k3 = rt.double_required("ternary_kappa3")
             fe = TernaryFE(alpha=rt.double_required("ternary_alpha"),
                            kappa1=rt.double_required("ternary_kappa1"),
                            kappa2=rt.double_required("ternary_kappa2"),
-                           kappa3=rt.double_required("ternary_kappa3"))
+                           kappa3=_k3,
+                           h1=_h1, h2=_h2,
+                           h3=-_k3 * (_h1
+                                      / rt.double_required("ternary_kappa1")
+                                      + _h2
+                                      / rt.double_required("ternary_kappa2")))
             m0 = rt.double("mobility", 1.0)
             mob = (rt.double("ternary_mobility_phi", m0),
                    rt.double("ternary_mobility_psi", m0))
             psi0_mean = rt.double("ternary_psi0", 0.0)
+        default_method = ("phi_gradmu" if fe_name == "ternary"
+                          else "stress_divergence")
         tcfg = TwoFieldConfig(
             lb=lb_cfg, fe=fe, mobilities=mob,
             advection_order=rt.int("fd_advection_scheme_order", 1),
             gradient=rt.string("fd_gradient_calculation", "3d_7pt_fluid"),
-            hydrodynamics=rt.switch("hydrodynamics", True))
+            hydrodynamics=rt.switch("hydrodynamics", True),
+            force_method=rt.string("fe_force_method", default_method))
         tinit = (_ternary_init(rt, size) if fe_name == "ternary"
                  else None)
         if tinit is not None:
@@ -363,10 +377,46 @@ def build_system(rt: RunTime) -> System:
         else:
             phi0 = _phi_init(rt, size, None)
             psi0 = np.full(size, psi0_mean)
+        solid_ops = None
+        ws = None
+        if tcfg.gradient.endswith("ternary_solid"):
+            # Semprebon wetting gradients hrka (Eq. 24-26; ref:
+            # gradient_2d_ternary_solid.c:104-106, h3 from the
+            # constraint h1/k1 + h2/k2 + h3/k3 = 0, fe_ternary_rt.c:77)
+            from ludwig_tpu.ops.solid_stencil import ternary_solid_ops
+            k1, k2, k3 = fe.kappa1, fe.kappa2, fe.kappa3
+            a2 = fe.alpha * fe.alpha
+            hrka = ((-fe.h1 / k1 + fe.h2 / k2) / a2,
+                    (-fe.h3 / k3) / a2)
+            two_d = tcfg.gradient.startswith("2d")
+            if any(walls) and porous is None:
+                from ludwig_tpu.ops.walls import WallSpec
+                ws = WallSpec(walls=walls)
+                lb_cfg = dataclasses.replace(lb_cfg, walls=(False,) * 3)
+                tcfg = dataclasses.replace(tcfg, lb=lb_cfg)
+            fl = None if solid is None else jnp.logical_not(solid)
+            if solid is not None or ws is not None:
+                solid_ops = tuple(
+                    ternary_solid_ops(size, hrka[n], fluid=fl,
+                                      walls=(ws.walls if ws is not None
+                                             else (False,) * 3),
+                                      two_d=two_d)
+                    for n in range(2))
+            else:
+                # no solid anywhere: reduces to the fluid stencil of
+                # the same shape (ref: serial-tern-st2.inp comment)
+                solid_ops = tuple(
+                    ternary_solid_ops(size, 0.0, fluid=None,
+                                      walls=(False,) * 3, two_d=two_d)
+                    for n in range(2))
         state = initial_two_field(tcfg, phi0, psi0)
-        step = make_two_field_step(tcfg, solid=solid)
+        if ws is not None:
+            state = state + (jnp.zeros((3,), tcfg.lb.jdtype),)
+        step = make_two_field_step(tcfg, solid=solid, wallspec=ws,
+                                   solid_ops=solid_ops)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
-                      state=state, step_fn=step, two_field_cfg=tcfg)
+                      state=state, step_fn=step, two_field_cfg=tcfg,
+                      wallspec=ws, fe_solid_ops=solid_ops)
 
     if (fe_name == "symmetric_lb"
             and rt.string("colloid_init", "") in ("", "none",
@@ -399,7 +449,26 @@ def build_system(rt: RunTime) -> System:
             advection_order=rt.int("fd_advection_scheme_order", 1),
             gradient=rt.string("fd_gradient_calculation", default_grad),
             hydrodynamics=rt.switch("hydrodynamics", True))
+        if (bcfg.gradient == "3d_27pt_solid" and solid is None
+                and not any(walls)):
+            # no solid sites anywhere: the solid stencil reduces to the
+            # fluid 27pt one (ref: gradient_3d_27pt_solid.c:5-7)
+            bcfg = dataclasses.replace(bcfg, gradient="3d_27pt_fluid")
         phi0 = _phi_init(rt, size, fe)
+        if any(walls) and porous is None:
+            # halo plane walls: every stored site stays fluid
+            from ludwig_tpu.ops.walls import WallSpec
+            ws = WallSpec(walls=walls)
+            lb_cfg = dataclasses.replace(lb_cfg, walls=(False,) * 3)
+            bcfg = dataclasses.replace(bcfg, lb=lb_cfg)
+            f = initial_rest(lb_cfg)
+            state = (f, jnp.asarray(phi0, lb_cfg.jdtype),
+                     jnp.zeros((3,) + size, lb_cfg.jdtype),
+                     jnp.zeros((3,), lb_cfg.jdtype))
+            step = make_binary_step(bcfg, wallspec=ws)
+            return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg,
+                          solid=None, state=state, step_fn=step,
+                          wallspec=ws)
         nplanes = rt.int("N_LE_plane", 0)
         if nplanes > 0 and fe_name == "symmetric":
             from ludwig_tpu.binary_le import (BinaryLEConfig,
@@ -427,10 +496,11 @@ def build_system(rt: RunTime) -> System:
             return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg,
                           solid=None, state=state, step_fn=step,
                           le_cfg=le)
-        state = initial_binary(bcfg, phi0)
+        state = initial_binary(bcfg, phi0)   # appends KISS noise states
+        has_kiss = nz is not None and nz.kiss and (nz.phi or nz.rho)
         step = make_binary_step(bcfg, solid=solid)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg, solid=solid,
-                      state=state, step_fn=step)
+                      state=state, step_fn=step, has_kiss=has_kiss)
 
     if fe_name == "polar_active":
         from ludwig_tpu.fe.polar_active import PolarActiveFE
@@ -654,6 +724,7 @@ def build_system(rt: RunTime) -> System:
                               or cinit == "from_file"):
         from ludwig_tpu.colloids import ColloidParams, make_colloid_step
         a0, ah, rr, vv = [], [], [], []
+        b1, b2, mm, typ = [], [], [], []
         if cinit == "input_random":
             # serial random placement (ref: colloids_init.c:82-123
             # colloids_init_random_set; ran.c serial stream seeded by
@@ -675,6 +746,10 @@ def build_system(rt: RunTime) -> System:
                 a0.append(ra0)
                 ah.append(rah)
                 vv.append((0.0, 0.0, 0.0))
+                b1.append(0.0)
+                b2.append(0.0)
+                mm.append((1.0, 0.0, 0.0))
+                typ.append(rt.string("colloid_random_type", "default"))
         elif cinit == "from_file":
             from ludwig_tpu.io.colloid_io import read_colloid_file
             recs = read_colloid_file(rt.string("colloid_file_stub",
@@ -684,6 +759,12 @@ def build_system(rt: RunTime) -> System:
                 ah.append(rec["ah"])
                 rr.append([c - 1.0 for c in rec["r"]])
                 vv.append(tuple(rec["v"]))
+                b1.append(rec["b1"])
+                b2.append(rec["b2"])
+                mv = rec["m"]
+                mm.append(tuple(mv) if any(mv) else (1.0, 0.0, 0.0))
+                typ.append({0: "default", 1: "active",
+                            2: "subgrid"}.get(rec["type"], "default"))
             nc = len(recs)
         else:
             nc = {"input_one": 1, "input_two": 2, "input_three": 3}[cinit]
@@ -695,16 +776,27 @@ def build_system(rt: RunTime) -> System:
                 rr.append([c - 1.0 for c in rv])  # 1-based -> 0-based
                 vv.append(rt.double_vector(f"colloid_{nm}_v",
                                            (0.0, 0.0, 0.0)))
+                b1.append(rt.double(f"colloid_{nm}_b1", 0.0))
+                b2.append(rt.double(f"colloid_{nm}_b2", 0.0))
+                mv = rt.double_vector(f"colloid_{nm}_m", (1.0, 0.0, 0.0))
+                nrm = np.sqrt(sum(c * c for c in mv)) or 1.0
+                mm.append(tuple(c / nrm for c in mv))
+                typ.append(rt.string(f"colloid_{nm}_type", "default"))
         grav = tuple(rt.double_vector("colloid_gravity", (0.0, 0.0, 0.0)))
         cparams = ColloidParams(a0=tuple(a0), ah=tuple(ah),
-                                rho0=rho0, gravity=grav)
+                                rho0=rho0, gravity=grav,
+                                b1=tuple(b1), b2=tuple(b2), m=tuple(mm),
+                                types=tuple(typ))
         f = _distribution_init(rt, lb_cfg)
+        from ludwig_tpu.colloids import ColloidState
         R0 = jnp.asarray(np.array(rr), lb_cfg.jdtype)
-        state = (f, R0,
-                 jnp.asarray(np.array(vv), lb_cfg.jdtype),
-                 jnp.zeros((nc, 3), lb_cfg.jdtype),
-                 jnp.zeros((nc, 3), lb_cfg.jdtype),   # dr (deferred move)
-                 jnp.array(R0))                       # map/link positions
+        state = ColloidState(
+            f, R0,
+            jnp.asarray(np.array(vv), lb_cfg.jdtype),
+            jnp.zeros((nc, 3), lb_cfg.jdtype),
+            jnp.zeros((nc, 3), lb_cfg.jdtype),    # dr (deferred move)
+            jnp.array(R0),                        # map/link positions
+            jnp.asarray(np.array(mm), lb_cfg.jdtype))
         step = make_colloid_step(lb_cfg, cparams,
                                  rebuild_freq=rt.int("colloid_rebuild_freq",
                                                      1))
@@ -738,9 +830,13 @@ def build_system(rt: RunTime) -> System:
             f = _distribution_init(rt, lb_cfg)
             step = make_wall_step(lb_cfg, ws)
             state = (f, jnp.zeros((3,), lb_cfg.jdtype))
+            has_kiss = nz is not None and nz.kiss and nz.rho
+            if has_kiss:
+                from ludwig_tpu.noise_kiss import kiss_init
+                state = state + (kiss_init(0, size),)
             return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
                           solid=None, state=state, step_fn=step,
-                          wallspec=ws)
+                          wallspec=ws, has_kiss=has_kiss)
         f = _distribution_init(rt, lb_cfg)
         step = make_step(lb_cfg, solid=solid, le=le)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
@@ -757,6 +853,11 @@ def _make_stats_fn(sys_: System):
     model = sys_.lb_cfg.model
     mask = sys_.fluid_mask
     bcfg = sys_.binary_cfg
+    bsolid_ops = None
+    if bcfg is not None:
+        from ludwig_tpu.binary import binary_solid_ops
+        bsolid_ops = binary_solid_ops(bcfg, solid=sys_.solid,
+                                      wallspec=sys_.wallspec)
 
     cpar = sys_.colloid_params
 
@@ -786,7 +887,12 @@ def _make_stats_fn(sys_: System):
                "g": stats.momentum_total(f, model, mask),
                "umm": stats.velocity_minmax(u, mask)}
         if sys_.wallspec is not None:
-            res["gwall"] = state[1]
+            if sys_.is_binary:
+                res["gwall"] = state[3]
+            elif sys_.is_two_field:
+                res["gwall"] = state[4]
+            else:
+                res["gwall"] = state[1]
         if sys_.vol_flux:
             um = u if mask is None else jnp.where(mask[None], u, 0.0)
             res["uflux"] = jnp.sum(um, axis=(1, 2, 3))
@@ -829,7 +935,8 @@ def _make_stats_fn(sys_: System):
                           "delsq_phi": state[-1]}
             else:
                 fields = fe_fields(prev[0], bcfg.gradient,
-                                   fourth_order=bcfg.fourth_order)
+                                   fourth_order=bcfg.fourth_order,
+                                   solid_ops=bsolid_ops)
                 fields["phi"] = phi
             fed = bcfg.fe.fed(fields)
             if mask is None:
@@ -839,13 +946,24 @@ def _make_stats_fn(sys_: System):
                 mean = jnp.mean(jnp.where(mask, fed, 0.0))
                 fluid = jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask)
             res["fed"] = (mean, fluid)
+            if sys_.wallspec is not None:
+                # wall report needs the un-normalised fluid sum and
+                # volume (ref: stats_free_energy.c:103-105; the
+                # surface terms f_s1/f_s2 are never accumulated there
+                # and print as zero)
+                fsum = (jnp.sum(fed) if mask is None
+                        else jnp.sum(jnp.where(mask, fed, 0.0)))
+                vol = (float(np.prod(fed.shape)) if mask is None
+                       else jnp.sum(mask))
+                res["fe_sum_v"] = (fsum, vol)
         if sys_.two_field_cfg is not None:
             from ludwig_tpu.two_field import two_fields
             tcfg = sys_.two_field_cfg
             phi, psi = state[1], state[2]
             res["phi"] = stats.field_stats(phi, mask)
             res["psi"] = stats.field_stats(psi, mask)
-            fields = two_fields(prev[0], prev[1], tcfg.gradient)
+            fields = two_fields(prev[0], prev[1], tcfg.gradient,
+                                solid_ops=sys_.fe_solid_ops)
             fields["phi"] = phi
             fields["psi"] = psi
             fed = tcfg.fe.fed(fields)
@@ -859,6 +977,23 @@ def _make_stats_fn(sys_: System):
                 fsum = jnp.sum(jnp.where(mask, fed, 0.0))
             res["fed"] = (mean, fluid)
             res["fe_sum"] = fsum
+            if (sys_.wallspec is not None
+                    and type(tcfg.fe).__name__ == "TernaryFE"):
+                # surface free energy terms, counted per fluid-site
+                # nearest-neighbour link into a wall (ref:
+                # fe_ternary_stats.c fe_ternary_surf_kernel; 2-D only)
+                from ludwig_tpu.ops.force import _edge_plane
+                sz = phi.shape
+                nb = jnp.zeros(sz, phi.dtype)
+                for ax in range(2):
+                    if sys_.wallspec.walls[ax]:
+                        nb = nb + _edge_plane(sz, ax, +1) \
+                            + _edge_plane(sz, ax, -1)
+                h1, h2, h3 = tcfg.fe.h1, tcfg.fe.h2, tcfg.fe.h3
+                res["tern_surf"] = (
+                    jnp.sum(nb) * 0.5 * (-h1 - h2),
+                    jnp.sum(phi * nb) * 0.5 * (-h1 + h2),
+                    jnp.sum(psi * nb) * 0.5 * (h1 + h2 - 2.0 * h3))
         if sys_.polar_cfg is not None:
             from ludwig_tpu.polar import polar_fields
             p = state[1]
@@ -953,18 +1088,33 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
         out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_binary or sys_.is_binary_lb:
         out.write(stats.format_phi_line("phi", *res["phi"]))
-        out.write(stats.format_fed_block(tstep, *res["fed"]))
+        if "fe_sum_v" in res:
+            # walls present (ref: stats_free_energy.c:103-105)
+            fsum, vol = (float(v) for v in res["fe_sum_v"])
+            out.write("\nFree energies - timestep f v f/v f_s1 fs_s2 \n")
+            out.write(f"[fe] {int(tstep):14d} {fsum:17.10e} {vol:17.10e} "
+                      f"{fsum / vol:17.10e} {0.0:17.10e} {0.0:17.10e}\n")
+        else:
+            out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_two_field:
         is_ternary = type(sys_.two_field_cfg.fe).__name__ == "TernaryFE"
         out.write(stats.format_phi_line("phi", *res["phi"]))
         out.write(stats.format_phi_line("phi" if is_ternary else "psi",
                                         *res["psi"]))
         if is_ternary:
-            # ref: fe_ternary_stats.c:80-100 (no walls: surface = 0)
+            # ref: fe_ternary_stats.c:80-100
             fl = float(res["fe_sum"])
             out.write("\nFree energies\n")
-            out.write(f"[surf/fl/tot]  {int(tstep):9d} {0.0:17.10e} "
-                      f"{fl:17.10e} {fl + 0.0:17.10e}\n")
+            if "tern_surf" in res:
+                fr, fp, fs = (float(v) for v in res["tern_surf"])
+                fes = fr + fp + fs
+                out.write(f"[rho/phi/psi]  {int(tstep):9d} {fr:17.10e} "
+                          f"{fp:17.10e} {fs:17.10e}\n")
+                out.write(f"[surf/fl/tot]  {int(tstep):9d} {fes:17.10e} "
+                          f"{fl:17.10e} {fl + fes:17.10e}\n")
+            else:
+                out.write(f"[surf/fl/tot]  {int(tstep):9d} {0.0:17.10e} "
+                          f"{fl:17.10e} {fl + 0.0:17.10e}\n")
         else:
             out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_polar:
@@ -1102,7 +1252,8 @@ def run_text(text: str, out=sys.stdout) -> System:
         prev = _op_fields(state)
         if sys_.is_colloid:
             state, (rho, u) = sys_.step_fn(state, t)
-        elif sys_.wallspec is not None:
+        elif (sys_.wallspec is not None and not sys_.is_binary
+                and not sys_.is_two_field):
             state, rho, u = sys_.step_fn(state, t)
         elif sys_.is_electro:
             state, rho = sys_.step_fn(state, t)
@@ -1113,8 +1264,13 @@ def run_text(text: str, out=sys.stdout) -> System:
         elif (sys_.is_binary or sys_.is_lc or sys_.is_two_field
                 or sys_.is_droplet or sys_.is_polar):
             state, rho = sys_.step_fn(state, t)
-            u = (state[2] if (sys_.is_lc or sys_.le_cfg is not None)
-                 else state[-1])
+            if sys_.is_two_field:
+                u = state[3]
+            elif (sys_.is_lc or sys_.le_cfg is not None
+                    or sys_.wallspec is not None or sys_.has_kiss):
+                u = state[2]
+            else:
+                u = state[-1]
         else:
             f, rho, u = sys_.step_fn(state[0], t)
             state = (f,)

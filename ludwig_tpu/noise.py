@@ -44,6 +44,10 @@ class NoiseConfig:
     seed: int = 8361235
     rho: bool = False     # isothermal fluctuations (LB)
     phi: bool = False     # CH flux noise
+    # reference-exact per-site KISS99 stream (ludwig_tpu.noise_kiss),
+    # carried as a state array through the step; False = stateless
+    # threefry stream (same variances, different realisation)
+    kiss: bool = True
 
 
 def discrete_deviates(seed: int, step, n: int, shape, dtype=jnp.float32):
@@ -77,6 +81,52 @@ def var_ghost(model: LatticeModel, rtau_ghost: np.ndarray,
         tau = 1.0 / rtau_ghost[m]
         out[m] = math.sqrt(kt * rna[m]) * math.sqrt(
             (2.0 * tau - 1.0) / (tau * tau))
+    return out
+
+
+def stress_from_deviates(r, v_eta: float, v_bulk: float, ndim: int = 3):
+    """shat (3, 3, ...) from 6 unit-variance deviates (the construction
+    shared by both RNG streams; ref: lb_collision_fluctuations)."""
+    s = [[None] * 3 for _ in range(3)]
+    s[0][0], s[0][1], s[0][2] = r[0], r[1], r[2]
+    s[1][1], s[1][2], s[2][2] = r[3], r[4], r[5]
+    s[1][0], s[2][0], s[2][1] = s[0][1], s[0][2], s[1][2]
+
+    tr = (1.0 / ndim) * (s[0][0] + s[1][1] + (ndim - 2.0) * s[2][2])
+    sq2 = math.sqrt(2.0)
+    out = [[None] * 3 for _ in range(3)]
+    for a in range(3):
+        for b in range(3):
+            v = s[a][b] - (tr if a == b else 0.0)
+            v = v * (v_eta * sq2 if a == b else v_eta)
+            if a == b:
+                v = v + tr * v_bulk
+            out[a][b] = v
+    return jnp.stack([jnp.stack(row) for row in out])
+
+
+def ghost_from_deviates(r, model: LatticeModel, v_ghost: np.ndarray):
+    """ghat (nvel, ...) from (nvel - nhydro) unit-variance deviates."""
+    shape = r.shape[1:]
+    rows = [jnp.zeros(shape, r.dtype)] * model.nhydro
+    for i, m in enumerate(range(model.nhydro, model.nvel)):
+        rows.append(float(v_ghost[m]) * r[i])
+    return jnp.stack(rows)
+
+
+def ch_flux_from_deviates(r_ext, kt: float, mobility: float):
+    """Face random fluxes [fe_x, fe_y, fe_z] (east faces) from 3
+    deviates on the EXTENDED (1-halo) lattice: mid-point average of
+    site-centred var*r (ref: phi_ch_random_flux mid-point accumulate).
+    """
+    var = math.sqrt(2.0 * kt * mobility)
+    out = []
+    for ax in range(3):
+        r = var * r_ext[ax]
+        int_sl = [slice(1, -1)] * 3
+        up_sl = [slice(1, -1)] * 3
+        up_sl[ax] = slice(2, None)
+        out.append(0.5 * (r[tuple(int_sl)] + r[tuple(up_sl)]))
     return out
 
 

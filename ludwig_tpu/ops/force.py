@@ -47,3 +47,44 @@ def stress_divergence_force(pth: jnp.ndarray) -> jnp.ndarray:
 def grad_mu_force(phi: jnp.ndarray, grad_mu: jnp.ndarray) -> jnp.ndarray:
     """F = -phi grad(mu)  (ref: src/phi_grad_mu.c fd method)."""
     return -phi[None] * grad_mu
+
+
+def _edge_plane(shape, ax: int, side: int):
+    """Static bool mask: the first (side=-1) or last (side=+1) plane
+    along ax (a step off that side crosses a halo wall)."""
+    import numpy as np
+    m = np.zeros(shape, bool)
+    sl = [slice(None)] * 3
+    sl[ax] = shape[ax] - 1 if side > 0 else 0
+    m[tuple(sl)] = True
+    return jnp.asarray(m)
+
+
+def phi_grad_mu_force(phis, mus, walls=(False, False, False),
+                      solid=None) -> jnp.ndarray:
+    """F_a(i) = -sum_n phi_n(i) * 0.5*(mu_n(i+a) - mu_n(i-a)).
+
+    The centred phi-grad-mu force (ref: src/phi_grad_mu.c
+    phi_grad_mu_fluid_kernel).  phis/mus are sequences of (X,Y,Z)
+    fields (ternary uses two, ref comment: 'force only involves the
+    first two chemical potentials').  Across a boundary - a stored
+    solid site, or a walled face of the halo-wall scheme - the
+    neighbour's mu is replaced by the central value, i.e. zero normal
+    chemical-potential gradient (ref: phi_grad_mu_solid_kernel).
+    """
+    shape = phis[0].shape
+    comps = []
+    for a in range(3):
+        acc = 0.0
+        for phi, mu in zip(phis, mus):
+            mup = _up(mu, a)
+            mum = _down(mu, a)
+            if solid is not None:
+                mup = jnp.where(_up(solid, a), mu, mup)
+                mum = jnp.where(_down(solid, a), mu, mum)
+            if walls[a]:
+                mup = jnp.where(_edge_plane(shape, a, +1), mu, mup)
+                mum = jnp.where(_edge_plane(shape, a, -1), mu, mum)
+            acc = acc + (-phi) * 0.5 * (mup - mum)
+        comps.append(acc)
+    return jnp.stack(comps)

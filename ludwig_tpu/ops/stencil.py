@@ -168,9 +168,13 @@ def delsq_d3q27(phi):
     return _d3q27_terms(phi)[3]
 
 
-def _tomita_terms(phi, epsilon=0.5, epsilon1=0.25):
-    """2-D Tomita stencil (ref: gradient_2d_tomita_fluid.c:283-333:
-    delsq with epsilon = 0.5, gradient with epsilon1 = 0.25)."""
+def _tomita_terms(phi, epsilon=0.25, epsilon1=0.25):
+    """2-D Tomita stencil.
+
+    Without Lees-Edwards the reference dispatches to grad_cs_kernel
+    with GRAD_EPSILON = DEL2_EPSILON = 0.25 (ref:
+    gradient_2d_tomita_fluid.c:58-66,109) - NOT the epsilon = 0.5
+    operator, which only runs on the LE path (same file :96-107)."""
     rf = 1.0 / (1.0 + 2.0 * epsilon)
     rf1 = 1.0 / (1.0 + 2.0 * epsilon1)
 

@@ -70,12 +70,36 @@ def run_case(name: str, workdir: Optional[str] = None,
 
 
 def check_case(name: str, mode: str = "stats",
-               workdir: Optional[str] = None):
-    """(ok, diffs, our_log) for one golden case."""
-    from ludwig_tpu.utils.fpdiff import compare_logs
+               workdir: Optional[str] = None, strict_fp="auto"):
+    """(ok, diffs, our_log) for one golden case.
+
+    strict_fp: True = always run un-jitted (bitwise reference
+    arithmetic, see run_case); False = always jitted; "auto" = jitted
+    first, and only on a NEAR-miss (every diff within 100x the
+    tolerance) re-run un-jitted - jit compilation dominates short runs
+    while eager dominates long ones, so pay the second run only when
+    FMA-contraction noise is plausibly the whole story.
+    """
+    from ludwig_tpu.utils.fpdiff import TOLERANCE, compare_logs, lines_equal
     _, log = find_case(name)
     with open(log) as fh:
         ref_text = fh.read()
-    out_text = run_case(name, workdir=workdir)
+    if strict_fp != "auto":
+        out_text = run_case(name, workdir=workdir, strict_fp=strict_fp)
+        ok, diffs = compare_logs(ref_text, out_text, mode=mode)
+        return ok, diffs, out_text
+    out_text = run_case(name, workdir=workdir, strict_fp=False)
+    ok, diffs = compare_logs(ref_text, out_text, mode=mode)
+    if ok:
+        return ok, diffs, out_text
+    # near-miss: same line structure, numbers off by < 100x tolerance
+    ref_only = [d[d.index("< ") + 2:] for d in diffs if " < " in d]
+    out_only = [d[d.index("> ") + 2:] for d in diffs if " > " in d]
+    near = (len(ref_only) == len(out_only)
+            and all(lines_equal(a, b, tol=100 * TOLERANCE)
+                    for a, b in zip(ref_only, out_only)))
+    if not near:
+        return ok, diffs, out_text
+    out_text = run_case(name, workdir=workdir, strict_fp=True)
     ok, diffs = compare_logs(ref_text, out_text, mode=mode)
     return ok, diffs, out_text

@@ -81,7 +81,7 @@ def test_momentum_exchange_fluid_colloid():
     v0 = float(V[0, 0])
     for t in range(50):
         state, _ = step(state, t)
-    f, R, V, W, _dr, _Rm = state
+    f, R, V, W = state[0], state[1], state[2], state[3]
     v1 = float(V[0, 0])
     # particle decelerates monotonically toward co-motion
     assert 0.0 < v1 < v0
