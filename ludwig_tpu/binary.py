@@ -42,6 +42,10 @@ class BinaryConfig:
     hydrodynamics: bool = True
     visc_model: object = None      # e.g. ViscArrhenius (eta(phi))
     wetting: Tuple[float, float] = (0.0, 0.0)   # (C, H) for solid stencils
+    force_method: str = "stress_divergence"     # or "phi_gradmu"
+    # external chemical potential gradient (ref: physics grad_mu key):
+    # adds F = -phi grad_mu to the fluid and -M grad_mu to the CH flux
+    gradmu_ex: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
     @property
     def fourth_order(self) -> bool:
@@ -182,11 +186,21 @@ def make_binary_step(cfg: BinaryConfig, solid=None, wallspec=None):
                                             rho0=cfg.lb.rho0)
                 gwall = gwall + gw + fwall
                 return pack(f, phi, u_new, gwall), rho
-            force = stress_divergence_force(cfg.fe.stress(fields))
+            if cfg.force_method == "phi_gradmu":
+                from ludwig_tpu.ops.force import phi_grad_mu_force
+                force = phi_grad_mu_force((phi,), (mu,), solid=solid)
+            else:
+                force = stress_divergence_force(cfg.fe.stress(fields))
+            if any(g != 0.0 for g in cfg.gradmu_ex):
+                # F = -phi grad_mu (ref: phi_grad_mu_external_kernel)
+                gm = jnp.asarray(np.array(cfg.gradmu_ex, np.float64),
+                                 phi.dtype)
+                force = force - phi[None] * gm[:, None, None, None]
             force = force.astype(f.dtype)
             phi = cahn_hilliard_update(phi, mu, u, ch, solid=solid,
                                        random_flux=rflux,
-                                       noise_stencil=rflux is not None)
+                                       noise_stencil=rflux is not None,
+                                       gradmu_ex=cfg.gradmu_ex)
             shat, ghat, nstate_rho = lb_noise(t)
             eta_loc = (cfg.visc_model.eta(phi)
                        if cfg.visc_model is not None else None)

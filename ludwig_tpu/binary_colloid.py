@@ -1,0 +1,170 @@
+"""Binary fluid (finite-difference Cahn-Hilliard) with resolved
+colloids.
+
+TPU-native equivalent of the reference's colloid+free-energy coupling
+(ref: src/ludwig.c ncolloid > 0 branch of the force calculation;
+src/phi_force_colloid.c pth_force_colloid - map-aware stress divergence
+with one-sided fluxes at solid faces plus the particle reaction force;
+src/advection_bcs.c no-flux at solid faces for the CH update;
+src/gradient_3d_27pt_solid.c wetting gradients around particles).
+
+Per reference time step: colloid update (move + rebuild) -> solid-aware
+phi gradients -> pth stress -> map force on fluid + FE reaction force on
+particles -> CH update (no flux into solid) -> collide (fluid only) ->
+BBL (implicit velocity update, gravity + FE force as external force) ->
+propagate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ludwig_tpu.binary import BinaryConfig
+from ludwig_tpu.colloids import (ColloidParams, ColloidState, _min_image,
+                                 bbl_step, build_map, refresh_inside,
+                                 remove_replace, site_coords)
+from ludwig_tpu.dynamics.cahn_hilliard import (CahnHilliardParams,
+                                               cahn_hilliard_update)
+from ludwig_tpu.ops.collide import collide
+from ludwig_tpu.ops.force import stress_divergence_force_map
+from ludwig_tpu.ops.solid_stencil import solid27_scalar_ops
+from ludwig_tpu.ops.stencil import roll3
+from ludwig_tpu.ops.stream import stream
+
+
+def colloid_fe_force(pth, pid, inside, model, n_part):
+    """(N, 3) reaction force on each particle from the thermodynamic
+    stress: for every FLUID link with |c| == 1, force += c_id *
+    pth(i)[:, id] evaluated at the outside (fluid) site (ref:
+    phi_force_colloid.c pth_force_driver 'COLLOID KERNEL')."""
+    fluid = jnp.logical_not(inside)
+    out = []
+    per_axis = []
+    for q in range(1, model.nvel):
+        c = model.cv[q]
+        if int(np.sum(np.abs(c))) != 1:
+            continue
+        ax = int(np.argmax(np.abs(c)))
+        sgn = float(c[ax])
+        # link: outside site i with i + c inside particle n
+        ins_n = roll3(inside, tuple(-int(v) for v in c))
+        pid_n = roll3(pid, tuple(-int(v) for v in c))
+        per_axis.append((ax, sgn, jnp.logical_and(fluid, ins_n), pid_n))
+    for n in range(n_part):
+        fn = [0.0, 0.0, 0.0]
+        for (ax, sgn, m, pid_n) in per_axis:
+            msk = jnp.logical_and(m, pid_n == n).astype(pth.dtype)
+            for ia in range(3):
+                fn[ia] = fn[ia] + sgn * jnp.sum(msk * pth[ia, ax])
+        out.append(jnp.stack(fn))
+    return jnp.stack(out)
+
+
+def make_binary_colloid_step(bcfg: BinaryConfig, params: ColloidParams,
+                             rebuild_freq: int = 1, force_fn=None):
+    """Jitted step for (ColloidState..., phi, u)."""
+    cfg = bcfg.lb
+    model = cfg.model
+    cparams = cfg.collision_params()
+    size = cfg.size
+    ch = CahnHilliardParams(mobility=bcfg.mobility,
+                            advection_order=bcfg.advection_order)
+    grav = jnp.asarray(np.array(params.gravity, np.float64), cfg.jdtype)
+
+    @partial(jax.jit, static_argnums=2, donate_argnums=0)
+    def _step(state, t, rebuild):
+        f, R, V, W, dr, Rmap, Msw, phi, u = state
+        L = jnp.asarray(np.array(size, np.float64), R.dtype)
+        R = jnp.mod(R + dr, L)
+        if rebuild:
+            pid_old, inside_old = build_map(Rmap, params, size)
+            Rmap = R
+            pid, inside = build_map(R, params, size)
+            f, deltam, f0c, t0c = remove_replace(
+                f, R, V, W, inside_old, pid_old, inside, pid, model,
+                params, size, rho0=cfg.rho0)
+        else:
+            pid, inside = build_map(Rmap, params, size)
+            deltam = f0c = t0c = None
+        fluid = jnp.logical_not(inside)
+
+        # interior sites track the solid-body velocity (bbl pass0)
+        coords = site_coords(size, f.dtype)
+        ub = jnp.zeros((3,) + size, f.dtype)
+        for n in range(params.n):
+            d = _min_image(coords - R[n][:, None, None, None],
+                           L[:, None, None, None])
+            wxr = jnp.stack([W[n][1] * d[2] - W[n][2] * d[1],
+                             W[n][2] * d[0] - W[n][0] * d[2],
+                             W[n][0] * d[1] - W[n][1] * d[0]])
+            mask = (pid == n)[None]
+            ub = jnp.where(mask, V[n][:, None, None, None] + wxr, ub)
+        f = refresh_inside(f, model, inside, ub, cfg.rho0)
+
+        # solid-aware gradients with (uniform) colloid wetting
+        grad, delsq = solid27_scalar_ops(
+            size, fluid=fluid, rkappa=1.0 / bcfg.fe.kappa,
+            c=bcfg.wetting[0], h=bcfg.wetting[1])
+        fields = {"phi": phi, "grad_phi": grad(phi),
+                  "delsq_phi": delsq(phi)}
+        mu = bcfg.fe.mu(fields)
+        pth = bcfg.fe.stress(fields)
+
+        force = stress_divergence_force_map(pth, fluid).astype(f.dtype)
+        fe_part = colloid_fe_force(pth, pid, inside, model, params.n)
+
+        phi = cahn_hilliard_update(phi, mu, u, ch, solid=inside)
+
+        # fluid gravity compensation (ref: interaction.c
+        # colloids_update_forces_fluid_gravity)
+        if any(v != 0.0 for v in params.gravity):
+            nfluid = jnp.sum(fluid.astype(f.dtype))
+            fb = (-grav) * (1.0 / nfluid) * float(params.n)
+            force = force + jnp.where(
+                fluid[None], fb[:, None, None, None], 0.0).astype(f.dtype)
+
+        f, rho, u_new = collide(f, cparams, force=force, fluid_mask=fluid)
+
+        ext = jnp.tile(grav[None], (params.n, 1)) + fe_part
+        if force_fn is not None:
+            ext = ext + force_fn(R, V).astype(ext.dtype)
+        Vold = V
+        f, V, W, Msw, _ = bbl_step(f, Rmap, V, W, model, params, size,
+                                   ext_force=ext, rho0=cfg.rho0,
+                                   deltam=deltam, f0_corr=f0c,
+                                   t0_corr=t0c, M=Msw)
+        dr = 0.5 * (Vold + V)
+
+        f = stream(f, model)
+        return (f, R, V, W, dr, Rmap, Msw, phi, u_new), (rho, u_new)
+
+    def step(state, t=0):
+        return _step(state, t, int(t) % rebuild_freq == 0)
+
+    return step
+
+
+def initial_binary_colloid(bcfg: BinaryConfig, params: ColloidParams,
+                           phi0, R0, V0=None):
+    cfg = bcfg.lb
+    from ludwig_tpu.lb import initial_rest
+    nc = params.n
+    jd = cfg.jdtype
+    f = initial_rest(cfg)
+    R = jnp.asarray(np.array(R0), jd)
+    V = (jnp.asarray(np.array(V0), jd) if V0 is not None
+         else jnp.zeros((nc, 3), jd))
+    mm = (np.array(params.m, np.float64) if params.m
+          else np.tile([1.0, 0.0, 0.0], (nc, 1)))
+    return (f, R, V, jnp.zeros((nc, 3), jd), jnp.zeros((nc, 3), jd),
+            jnp.array(R), jnp.asarray(mm, jd),
+            jnp.asarray(phi0, jd), jnp.zeros((3,) + size_of(cfg), jd))
+
+
+def size_of(cfg):
+    return tuple(cfg.size)

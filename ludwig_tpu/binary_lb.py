@@ -77,26 +77,42 @@ def g_collide(g: jnp.ndarray, phi, u, mu, cfg: BinaryLBConfig):
 
 
 def make_binary_lb_step(cfg: BinaryLBConfig):
-    """Jitted step for (f, g): full symmetric_lb update."""
+    """Jitted step for (f, g): full symmetric_lb update.
+
+    With fluctuations on, the f-collision takes the same stress/ghost
+    noise as the single-fluid MRT (ref: lb_collision_mrt2_site noise
+    branch); the KISS state rides as the 4th state element.
+    """
     params = dataclasses.replace(cfg.lb).collision_params()
     model = cfg.lb.model
+    nz = cfg.lb.noise
+    kiss_rho = nz is not None and nz.kiss and nz.rho
 
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
+        from ludwig_tpu.lb import _noise_terms
         f, g = state[0], state[1]
         phi, _ = g_moments(g, model)
         fields = fe_fields(phi, cfg.gradient)
         mu = cfg.fe.mu(fields)
         sth = cfg.fe.stress(fields)
 
+        if kiss_rho:
+            shat, ghat, nstate = _noise_terms(cfg.lb, params, t,
+                                              nstate=state[3])
+        else:
+            shat, ghat = _noise_terms(cfg.lb, params, t)
+
         # f-collision with the thermodynamic stress in the equilibrium
         # (the FE_FORCE_METHOD_RELAXATION path)
-        f, rho, u = collide(f, params, seq_extra=sth)
+        f, rho, u = collide(f, params, seq_extra=sth,
+                            shat=shat, ghat=ghat)
         g = g_collide(g, phi, u, mu, cfg)
 
         f = stream(f, model)
         g = stream(g, model)
-        return (f, g, u), (rho, phi)
+        out = ((f, g, u, nstate) if kiss_rho else (f, g, u))
+        return out, (rho, phi)
 
     return step
 
@@ -116,11 +132,17 @@ def make_binary_lb_nstep(cfg: BinaryLBConfig):
 
 
 def initial_binary_lb(cfg: BinaryLBConfig, phi0: np.ndarray):
-    """(f at rest, g carrying phi in the rest distribution, u = 0)."""
+    """(f at rest, g carrying phi in the rest distribution, u = 0
+    [, noise state])."""
     f = initial_rest(cfg.lb)
     model = cfg.lb.model
     phi = jnp.asarray(phi0, cfg.lb.jdtype)
     rows = [phi if p == 0 else jnp.zeros_like(phi)
             for p in range(model.nvel)]
     u = jnp.zeros((3,) + tuple(cfg.lb.size), cfg.lb.jdtype)
-    return (f, jnp.stack(rows), u)
+    state = (f, jnp.stack(rows), u)
+    nz = cfg.lb.noise
+    if nz is not None and nz.kiss and nz.rho:
+        from ludwig_tpu.noise_kiss import kiss_init
+        state = state + (kiss_init(0, cfg.lb.size),)
+    return state

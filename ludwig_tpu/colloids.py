@@ -73,6 +73,7 @@ class ColloidState(NamedTuple):
     dr: jnp.ndarray       # deferred position update (ref: bbl.c:912)
     Rmap: jnp.ndarray     # positions at the last map/link rebuild
     M: jnp.ndarray        # swimming directions (N, 3) (squirmers)
+    noise: Optional[jnp.ndarray] = None   # KISS fluctuation state
 
 
 def rotate_vector(v, w):
@@ -243,15 +244,21 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
     L = jnp.asarray(np.array(size, np.float64), f.dtype)
     fluid = jnp.logical_not(inside)
 
-    # Per-link geometry for each q: link at fluid site i with i+c_q inside.
+    # Per-link geometry for each q: link at outside site i with i+c_q
+    # inside.  LINK_FLUID when i is fluid; LINK_COLLOID when i belongs
+    # to another particle (virtual momentum transfer, no drag; ref:
+    # bbl.c pass1 'else' branch, build.c:415-422)
     nvel = model.nvel
-    link_mask = []     # (q) -> (X,Y,Z) bool
+    link_mask = []     # (q) -> (X,Y,Z) bool: fluid links
+    link_cc = []       # (q) -> (X,Y,Z) bool: solid-solid links
     link_pid = []      # owning particle at the inside end
     for q in range(1, nvel):
         c = model.cv[q]
         inside_n = roll3(inside, tuple(-int(v) for v in c))
         pid_n = roll3(pid, tuple(-int(v) for v in c))
         link_mask.append(jnp.logical_and(fluid, inside_n))
+        link_cc.append(jnp.logical_and(
+            jnp.logical_and(inside, pid != pid_n), inside_n))
         link_pid.append(pid_n)
 
     # Gather per-particle link sums (loop over N: small fixed capacity).
@@ -351,6 +358,16 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
                 rxcbar[a] = rxcbar[a] + w * jnp.sum(msk * rbxc[a])
                 f0[a] = f0[a] + float(c[a]) * jnp.sum(msk * dm)
                 t0[a] = t0[a] + jnp.sum(msk * dm * rbxc[a])
+            # solid-solid links: dm = f(i, q) + f(j, rev q), force and
+            # torque only (delta = 0 - no drag, no sumw/cbar; ref:
+            # bbl.c pass1 'else' virtual momentum transfer)
+            mcc = jnp.logical_and(link_cc[qi], link_pid[qi] == n)
+            mskc = mcc.astype(f.dtype)
+            dmcc = f[q] + roll3(f[int(model.reverse[q])],
+                                tuple(-int(v) for v in model.cv[q]))
+            for a in range(3):
+                f0[a] = f0[a] + float(c[a]) * jnp.sum(mskc * dmcc)
+                t0[a] = t0[a] + jnp.sum(mskc * dmcc * rbxc[a])
             geoms.append((m, c, w, rb, rbxc))
 
         # apply the slip to the outgoing distributions (ref: fdist += dm_a)
@@ -461,22 +478,29 @@ def refresh_inside(f, model: LatticeModel, inside, ub, rho0=1.0):
 
 
 def make_colloid_step(cfg: LBConfig, params: ColloidParams,
-                      rebuild_freq: int = 1):
+                      rebuild_freq: int = 1, force_fn=None):
     """Jitted colloid+fluid step.
 
-    State: (f, R, V, W, dr).  Sequence per reference ludwig.c:
+    State: ColloidState.  Sequence per reference ludwig.c:
     position update + rebuild (only on steps with t % rebuild_freq == 0,
     ref: ludwig.c:542 colloid_rebuild_freq) -> collide (fluid only) ->
     BBL (implicit velocity update + boundary distributions) -> propagate.
+
+    force_fn(R, V) -> (N, 3): extra per-particle forces evaluated at the
+    start-of-step (post-move) positions - pair potentials, bonds, wall
+    forces (ref: interact_compute, interaction.c:182).
     """
     model = cfg.model
     cparams = cfg.collision_params()
     size = cfg.size
     grav = jnp.asarray(np.array(params.gravity, np.float64), cfg.jdtype)
+    kiss_rho = (cfg.noise is not None and cfg.noise.kiss
+                and cfg.noise.rho)
 
     @partial(jax.jit, static_argnums=2, donate_argnums=0)
     def _step(state, t, rebuild):
-        f, R, V, W, dr, Rmap, Msw = state
+        f, R, V, W, dr, Rmap, Msw = state[:7]
+        nstate = state[7] if kiss_rho else None
         # 1. move particles by dr = (v_old + v_new)/2 set at the END of
         #    the previous step's implicit update (ref: bbl.c:912 s.dr,
         #    colloids.c:1055 position update - this happens EVERY step,
@@ -516,7 +540,12 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         #    the fluid so total momentum is conserved (ref:
         #    interaction.c:448 colloids_update_forces_fluid_gravity).
         from ludwig_tpu.lb import _noise_terms
-        shat, ghat = _noise_terms(cfg, cparams, t)
+        if kiss_rho:
+            shat, ghat, nstate = _noise_terms(cfg, cparams, t,
+                                              nstate=nstate,
+                                              fluid=jnp.logical_not(inside))
+        else:
+            shat, ghat = _noise_terms(cfg, cparams, t)
         force = None
         if any(v != 0.0 for v in params.gravity):
             nfluid = jnp.sum(jnp.logical_not(inside).astype(f.dtype))
@@ -531,6 +560,8 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         # 3. BBL with implicit velocity update (gravity as ext force,
         #    shape-change corrections from the remove/replace step)
         ext = jnp.tile(grav[None], (params.n, 1))
+        if force_fn is not None:
+            ext = ext + force_fn(R, V).astype(ext.dtype)
         Vold = V
         # link geometry is from the last rebuild position Rmap
         f, V, W, Msw, _ = bbl_step(f, Rmap, V, W, model, params, size,
@@ -541,13 +572,17 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
 
         # 4. propagate (periodic; BBL already wrote boundary values)
         f = stream(f, model)
-        return ColloidState(f, R, V, W, dr, Rmap, Msw), (rho, u)
+        return ColloidState(f, R, V, W, dr, Rmap, Msw,
+                            noise=nstate), (rho, u)
 
     def step(state, t=0):
         if len(state) == 6:   # legacy tuple without swim directions
             mm = (np.array(params.m, np.float64) if params.m
                   else np.tile([1.0, 0.0, 0.0], (params.n, 1)))
-            state = ColloidState(*state, jnp.asarray(mm, state[0].dtype))
+            state = state + (jnp.asarray(mm, state[0].dtype),)
+        if kiss_rho and (len(state) < 8 or state[7] is None):
+            from ludwig_tpu.noise_kiss import kiss_init
+            state = ColloidState(*state[:7], noise=kiss_init(0, size))
         return _step(state, t, int(t) % rebuild_freq == 0)
 
     return step

@@ -36,7 +36,8 @@ def cahn_hilliard_update(phi: jnp.ndarray,
                          solid: Optional[jnp.ndarray] = None,
                          random_flux: Optional[list] = None,
                          wallspec=None,
-                         noise_stencil: bool = False) -> jnp.ndarray:
+                         noise_stencil: bool = False,
+                         gradmu_ex=(0.0, 0.0, 0.0)) -> jnp.ndarray:
     """One forward-Euler CH step; returns updated phi.
 
     Args:
@@ -72,6 +73,11 @@ def cahn_hilliard_update(phi: jnp.ndarray,
                   for ax in range(3)]
     else:
         fluxes = [fluxes[ax] - m * (_up(mu, ax) - mu) for ax in range(3)]
+
+    if any(g != 0.0 for g in gradmu_ex):
+        # constant flux from the external chemical-potential gradient
+        # (ref: phi_ch_flux_mu_ext_kernel)
+        fluxes = [fluxes[ax] - m * gradmu_ex[ax] for ax in range(3)]
 
     if random_flux is not None:
         fluxes = [fluxes[ax] + random_flux[ax] for ax in range(3)]

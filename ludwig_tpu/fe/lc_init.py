@@ -35,10 +35,36 @@ def q_uniaxial(amplitude, n):
     return q5
 
 
-def lc_init_o8m(size, q0, amplitude0):
-    """BPI high-chirality O8M structure (ref: blue_phase_O8M_init, no
-    Euler rotation)."""
+def _m_rot(dim, alpha):
+    """Single-axis rotation matrix (ref: blue_phase_M_rot)."""
+    c, s = np.cos(alpha), np.sin(alpha)
+    if dim == 0:
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+    if dim == 1:
+        return np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+
+def _euler_rotate(size, X, Y, Z, euler_deg):
+    """Coordinates rotated about the box centre by ZXZ Euler angles in
+    degrees, with the reference's sign convention (ref:
+    blue_phase_O8M_init:84-93, rotation_create(Z, X, Z), angles
+    negated)."""
+    if euler_deg is None or not any(euler_deg):
+        return X, Y, Z
+    th = [-np.pi * a / 180.0 for a in euler_deg]
+    M = _m_rot(2, th[2]) @ _m_rot(0, th[1]) @ _m_rot(2, th[0])
+    cx, cy, cz = (0.5 * size[0], 0.5 * size[1], 0.5 * size[2])
+    r = np.stack([X - cx, Y - cy, Z - cz])
+    rr = np.einsum("ab,b...->a...", M, r)
+    return rr[0] + cx, rr[1] + cy, rr[2] + cz
+
+
+def lc_init_o8m(size, q0, amplitude0, euler=None):
+    """BPI high-chirality O8M structure (ref: blue_phase_O8M_init),
+    optionally Euler-rotated about the box centre."""
     X, Y, Z = _coords(size)
+    X, Y, Z = _euler_rotate(size, X, Y, Z, euler)
     cx, cy, cz = (np.cos(SQRT2 * q0 * X), np.cos(SQRT2 * q0 * Y),
                   np.cos(SQRT2 * q0 * Z))
     sx, sy, sz = (np.sin(SQRT2 * q0 * X), np.sin(SQRT2 * q0 * Y),
@@ -52,9 +78,11 @@ def lc_init_o8m(size, q0, amplitude0):
     return np.stack([qxx, qxy, qxz, qyy, qyz])
 
 
-def lc_init_o2(size, q0, amplitude0):
-    """BPII O2 structure (ref: blue_phase_O2_init)."""
+def lc_init_o2(size, q0, amplitude0, euler=None):
+    """BPII O2 structure (ref: blue_phase_O2_init), optionally
+    Euler-rotated about the box centre."""
     X, Y, Z = _coords(size)
+    X, Y, Z = _euler_rotate(size, X, Y, Z, euler)
     a = amplitude0
     qxx = a * (np.cos(2.0 * q0 * Z) - np.cos(2.0 * q0 * Y))
     qxy = a * np.sin(2.0 * q0 * Z)
@@ -77,6 +105,32 @@ def lc_init_twist(size, q0, amplitude0, axis=0):
     else:
         n = (np.cos(q0 * c), np.sin(q0 * c), zero)
     return q_uniaxial(amplitude0, n)
+
+
+def lc_init_random_rectangle(size, q5_base, rmin, rmax, seed=13):
+    """Superpose a rectangle of random uniaxial Q (fixed a0 = 0.01) on
+    an existing field, drawn from the site-seeded KISS stream with the
+    DEFAULT_SEED (ref: blue_phase_random_q_rectangle; two
+    noise_uniform_double_reap per site, uniform = kiss/UINT_MAX)."""
+    import numpy as _np
+
+    from ludwig_tpu.noise_kiss import _uniform, kiss_init
+    st = kiss_init(seed, size)
+    st, u1 = _uniform(st)
+    st, u2 = _uniform(st)
+    ruint = 1.0 / 4294967295.0
+    ran1 = _np.asarray(u1, _np.float64) * ruint
+    ran2 = _np.asarray(u2, _np.float64) * ruint
+    phase1 = 2.0 * _np.pi * (0.5 - ran1)
+    phase2 = _np.arccos(2.0 * ran2 - 1.0)
+    n = (_np.cos(phase1) * _np.sin(phase2),
+         _np.sin(phase1) * _np.sin(phase2),
+         _np.cos(phase2))
+    qr = q_uniaxial(0.01, n)
+    X, Y, Z = _coords(size)
+    mask = ((X >= rmin[0]) & (X <= rmax[0]) & (Y >= rmin[1])
+            & (Y <= rmax[1]) & (Z >= rmin[2]) & (Z <= rmax[2]))
+    return np.where(mask[None], qr, q5_base)
 
 
 def lc_init_nematic(size, amplitude0, director=(1.0, 0.0, 0.0)):

@@ -57,6 +57,32 @@ def soft_sphere_forces(R: jnp.ndarray, ah: jnp.ndarray, box,
     return jnp.sum(fvec, axis=1), vtotal
 
 
+def soft_sphere_ij_forces(R: jnp.ndarray, ah: jnp.ndarray, box,
+                          eps_pp: np.ndarray, sig_pp: np.ndarray,
+                          nu_pp: np.ndarray, hc_pp: np.ndarray):
+    """Per-pair-type cut-and-shifted soft-sphere forces (ref:
+    pair_ss_cut_ij.c).  *_pp are static (N, N) per-particle-pair
+    parameter matrices built from the type table."""
+    n = R.shape[0]
+    r12 = pair_separations(R, box)
+    r = jnp.sqrt(jnp.sum(r12 * r12, axis=-1))
+    r = jnp.where(_pair_mask(n), r, 1.0)
+    h = jnp.maximum(r - ah[:, None] - ah[None, :], 1e-12)
+    eps = jnp.asarray(eps_pp)
+    sig = jnp.asarray(sig_pp)
+    nu = jnp.asarray(nu_pp)
+    hc = jnp.asarray(hc_pp)
+    vcut = eps * (sig / hc) ** nu
+    dvcut = -eps * nu / sig * (sig / hc) ** (nu + 1.0)
+    act = jnp.logical_and(jnp.logical_and(_pair_mask(n), h < hc), eps > 0.0)
+    fmod = -(-eps * nu / sig * (sig / h) ** (nu + 1.0) - dvcut)
+    fvec = jnp.where(act[..., None], -fmod[..., None] * r12 / r[..., None],
+                     0.0)
+    v = eps * (sig / h) ** nu - vcut - (h - hc) * dvcut
+    vtotal = 0.5 * jnp.sum(jnp.where(act, v, 0.0))
+    return jnp.sum(fvec, axis=1), vtotal
+
+
 def yukawa_forces(R, box, epsilon: float, kappa: float, rc: float):
     """V = eps exp(-kappa r)/r, cut-and-shifted (ref: pair_yukawa.c)."""
     n = R.shape[0]

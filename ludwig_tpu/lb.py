@@ -82,13 +82,16 @@ def solid_mask(cfg: LBConfig, porous: Optional[np.ndarray] = None):
     return jnp.asarray(m)
 
 
-def _noise_terms(cfg: LBConfig, params, t, nstate=None):
+def _noise_terms(cfg: LBConfig, params, t, nstate=None, fluid=None):
     """(shat, ghat[, nstate']) fluctuation terms for timestep t.
 
     With nstate (a per-site KISS state array, interior-shaped), draws
     the reference-exact stream and returns the advanced state as a
     third element; callers not carrying a state keep the stateless
-    2-tuple form."""
+    2-tuple form.  fluid: bool mask - the reference reaps only at
+    MAP_FLUID sites ('mask ... to maintain results in regression
+    tests', ref: collision.c noise branch), so the state at solid
+    sites must NOT advance and their deviates are zero."""
     from ludwig_tpu import noise as noise_mod
     nz = cfg.noise
     if nz is None or not nz.rho:
@@ -97,13 +100,20 @@ def _noise_terms(cfg: LBConfig, params, t, nstate=None):
     vb = noise_mod.var_bulk(1.0 / params.rtau_bulk, nz.kt)
     if nstate is not None:
         from ludwig_tpu import noise_kiss
-        nstate, r6 = noise_kiss.reap(nstate, 6, cfg.jdtype)
+
+        def reap(st, n):
+            st2, r = noise_kiss.reap(st, n, cfg.jdtype)
+            if fluid is not None:
+                st2 = jnp.where(fluid[None], st2, st)
+                r = jnp.where(fluid[None], r, 0.0)
+            return st2, r
+
+        nstate, r6 = reap(nstate, 6)
         shat = noise_mod.stress_from_deviates(r6, ve, vb, cfg.model.ndim)
         ghat = None
         if cfg.ghost_modes_on:
             vg = noise_mod.var_ghost(cfg.model, params.rtau_ghost, nz.kt)
-            nstate, rg = noise_kiss.reap(
-                nstate, cfg.model.nvel - cfg.model.nhydro, cfg.jdtype)
+            nstate, rg = reap(nstate, cfg.model.nvel - cfg.model.nhydro)
             ghat = noise_mod.ghost_from_deviates(rg, cfg.model, vg)
         return shat, ghat, nstate
     shat = noise_mod.fluctuating_stress(nz.seed, t, cfg.size, ve, vb,
@@ -150,7 +160,8 @@ def make_step(cfg: LBConfig, solid=None,
     return step
 
 
-def make_wall_step(cfg: LBConfig, wallspec, force_field=None):
+def make_wall_step(cfg: LBConfig, wallspec, force_field=None,
+                   open_bc=None, open_axis=0):
     """Single-fluid step with halo plane walls (ref: wall.c wall_bbl):
     ((f, gwall), t) -> ((f', gwall'), rho, u).  gwall accumulates the
     bounce-back momentum transfer for the [walls] statistics row."""
@@ -183,6 +194,10 @@ def make_wall_step(cfg: LBConfig, wallspec, force_field=None):
             f_new, _, _ = wall_bounce_back(f_new, f_post, model, wallspec,
                                            rho0=cfg.rho0)
         gwall = gwall + (g_pre - momentum_total(f_new, model))
+        if open_bc is not None:
+            from ludwig_tpu.ops.open_bc import apply_open_bc
+            f_new = apply_open_bc(f_new, f_post, model, open_bc,
+                                  axis=open_axis)
         out = ((f_new, gwall, nstate) if kiss_rho else (f_new, gwall))
         return out, rho, u
 

@@ -276,7 +276,9 @@ def build_system(rt: RunTime) -> System:
     force = tuple(rt.double_vector("force", (0.0, 0.0, 0.0)))
     walls = tuple(bool(w) for w in rt.int_vector("boundary_walls",
                                                  (0, 0, 0)))
-    ghosts = rt.switch("ghost_modes", True)
+    # old key "ghost_modes", new preferred "lb_ghost_modes"
+    # (ref: collision_rt.c:87-92)
+    ghosts = rt.switch("ghost_modes", rt.switch("lb_ghost_modes", True))
     dtype = rt.string("dtype", "float64")  # our extension key
 
     # 2-D inputs use size Z=1 with d2q9
@@ -291,7 +293,9 @@ def build_system(rt: RunTime) -> System:
     if kt > 0.0:
         nz = NoiseConfig(kt=kt,
                          seed=rt.int("random_seed", 8361235),
-                         rho=rt.switch("isothermal_fluctuations", False),
+                         rho=rt.switch(
+                             "isothermal_fluctuations",
+                             rt.switch("lb_fluctuations", False)),
                          phi=(fe_name_peek == "symmetric_noise"
                               and rt.int("fd_phi_fluctuations", 0) != 0))
         if not (nz.rho or nz.phi):
@@ -394,6 +398,7 @@ def build_system(rt: RunTime) -> System:
                 ws = WallSpec(walls=walls)
                 lb_cfg = dataclasses.replace(lb_cfg, walls=(False,) * 3)
                 tcfg = dataclasses.replace(tcfg, lb=lb_cfg)
+                solid = None   # halo walls: no stored solid sites
             fl = None if solid is None else jnp.logical_not(solid)
             if solid is not None or ws is not None:
                 solid_ops = tuple(
@@ -438,7 +443,10 @@ def build_system(rt: RunTime) -> System:
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
                       state=state, step_fn=step, lb2_cfg=l2cfg)
 
-    if fe_name in ("symmetric", "symmetric_noise", "symmetric_lb"):
+    _has_colloids = rt.string("colloid_init", "none") not in (
+        "none", "no_colloids", "")
+    if (fe_name in ("symmetric", "symmetric_noise", "symmetric_lb")
+            and not (fe_name == "symmetric" and _has_colloids)):
         fe = SymmetricFE(a=rt.double_required("A"),
                          b=rt.double_required("B"),
                          kappa=rt.double_required("K"))
@@ -448,7 +456,9 @@ def build_system(rt: RunTime) -> System:
             mobility=rt.double("mobility", 1.0),
             advection_order=rt.int("fd_advection_scheme_order", 1),
             gradient=rt.string("fd_gradient_calculation", default_grad),
-            hydrodynamics=rt.switch("hydrodynamics", True))
+            hydrodynamics=rt.switch("hydrodynamics", True),
+            force_method=rt.string("fe_force_method", "stress_divergence"),
+            gradmu_ex=tuple(rt.double_vector("grad_mu", (0.0, 0.0, 0.0))))
         if (bcfg.gradient == "3d_27pt_solid" and solid is None
                 and not any(walls)):
             # no solid sites anywhere: the solid stencil reduces to the
@@ -618,10 +628,12 @@ def build_system(rt: RunTime) -> System:
         nplanes_lc = rt.int("N_LE_plane", 0)
         mode = rt.string("lc_q_initialisation", "nematic")
         amp = rt.double("lc_q_init_amplitude", fe.amplitude0)
+        euler = tuple(rt.double_vector("lc_q_init_euler_angles",
+                                       (0.0, 0.0, 0.0)))
         if mode == "o8m":
-            q5 = lc_init.lc_init_o8m(size, fe.q0, amp)
+            q5 = lc_init.lc_init_o8m(size, fe.q0, amp, euler=euler)
         elif mode == "o2":
-            q5 = lc_init.lc_init_o2(size, fe.q0, amp)
+            q5 = lc_init.lc_init_o2(size, fe.q0, amp, euler=euler)
         elif mode in ("twist", "cholesteric_z"):
             q5 = lc_init.lc_init_twist(size, fe.q0, amp, axis=2)
         elif mode == "cholesteric_x":
@@ -642,6 +654,11 @@ def build_system(rt: RunTime) -> System:
             q5 = lc_init.lc_init_active_nematic_q2d(size, amp, axis=1)
         else:
             raise ValueError(f"lc_q_initialisation '{mode}' not implemented")
+        rect_min = rt.int_vector("lc_q_init_rectangle_min", None)
+        rect_max = rt.int_vector("lc_q_init_rectangle_max", None)
+        if rect_min is not None and rect_max is not None:
+            q5 = lc_init.lc_init_random_rectangle(size, q5, rect_min,
+                                                  rect_max)
         if nplanes_lc > 0:
             from ludwig_tpu.lc import make_lc_le_step
             from ludwig_tpu.ops.le_ref import le_gradient
@@ -720,11 +737,12 @@ def build_system(rt: RunTime) -> System:
                       hydro_on=ecfg.hydrodynamics)
 
     cinit = rt.string("colloid_init", "none")
-    if fe_name == "none" and (cinit.startswith("input_")
-                              or cinit == "from_file"):
+    if fe_name in ("none", "symmetric") and (cinit.startswith("input_")
+                                             or cinit == "from_file"):
         from ludwig_tpu.colloids import ColloidParams, make_colloid_step
         a0, ah, rr, vv = [], [], [], []
         b1, b2, mm, typ = [], [], [], []
+        al, bonds, itypes = [], [], []
         if cinit == "input_random":
             # serial random placement (ref: colloids_init.c:82-123
             # colloids_init_random_set; ran.c serial stream seeded by
@@ -769,9 +787,10 @@ def build_system(rt: RunTime) -> System:
         else:
             nc = {"input_one": 1, "input_two": 2, "input_three": 3}[cinit]
             names = ["one", "two", "three"][:nc]
-            for nm in names:
+            for ni, nm in enumerate(names):
                 a0.append(rt.double_required(f"colloid_{nm}_a0"))
                 ah.append(rt.double(f"colloid_{nm}_ah", a0[-1]))
+                al.append(rt.double(f"colloid_{nm}_al", 0.0))
                 rv = rt.double_vector(f"colloid_{nm}_r", (0.0, 0.0, 0.0))
                 rr.append([c - 1.0 for c in rv])  # 1-based -> 0-based
                 vv.append(rt.double_vector(f"colloid_{nm}_v",
@@ -782,14 +801,116 @@ def build_system(rt: RunTime) -> System:
                 nrm = np.sqrt(sum(c * c for c in mv)) or 1.0
                 mm.append(tuple(c / nrm for c in mv))
                 typ.append(rt.string(f"colloid_{nm}_type", "default"))
+                itypes.append(rt.int(f"colloid_{nm}_interact_type", 0))
+                for bi in range(rt.int(f"colloid_{nm}_nbonds", 0)):
+                    other = rt.int(f"colloid_{nm}_bond{bi + 1}", 0) - 1
+                    if other > ni:   # record each bond once
+                        bonds.append((ni, other))
         grav = tuple(rt.double_vector("colloid_gravity", (0.0, 0.0, 0.0)))
+        if rt.switch("calibration", False):
+            # hydrodynamic-radius calibration: drive the single particle
+            # with a fixed force in the reference's literal random
+            # direction (ref: stats_calibration.c:120-143)
+            a_ = max(ah)
+            L_ = float(size[2])
+            fh = (1.0 - 2.837 * (a_ / L_) + 4.19 * (a_ / L_) ** 3
+                  - 27.4 * (a_ / L_) ** 6)
+            utarget = eta * 0.05 / (a_ * rho0)
+            ftarget = 6.0 * np.pi * eta * a_ * utarget / fh
+            grav = (+5.02274083742018e-01 * ftarget,
+                    -1.05061333197473e-01 * ftarget,
+                    -8.58302313330149e-01 * ftarget)
         cparams = ColloidParams(a0=tuple(a0), ah=tuple(ah),
                                 rho0=rho0, gravity=grav,
                                 b1=tuple(b1), b2=tuple(b2), m=tuple(mm),
                                 types=tuple(typ))
+        # pairwise/bond interactions -> per-particle force callback
+        # (ref: interact_compute, interaction.c:182)
+        force_terms = []
+        if rt.int("bond_fene_on", 0) and bonds:
+            from ludwig_tpu.interactions import fene_bond_forces
+            fk = rt.double_required("bond_fene_k")
+            fr0 = rt.double_required("bond_fene_r0")
+            barr = np.array(bonds, np.int32)
+            force_terms.append(lambda R, V: fene_bond_forces(
+                R, size, barr, fk, fr0))
+        if rt.switch("pair_ss_cut_ij", False) and nc > 1:
+            # per-pair-type soft sphere (ref: pair_ss_cut_ij.c; vector
+            # keys hold the upper triangle by type pair)
+            from ludwig_tpu.interactions import soft_sphere_ij_forces
+            nt = rt.int("pair_ss_cut_ij_ntypes", 1)
+            tri = [(i, j) for i in range(nt) for j in range(i, nt)]
+
+            def _mat(key):
+                vals = rt.double_vector(key, (0.0,) * len(tri))
+                m = np.zeros((nt, nt))
+                for (i, j), v in zip(tri, vals):
+                    m[i, j] = m[j, i] = v
+                return m
+            eps_m, sig_m = _mat("pair_ss_cut_ij_epsilon"), \
+                _mat("pair_ss_cut_ij_sigma")
+            nu_m, hc_m = _mat("pair_ss_cut_ij_nu"), \
+                _mat("pair_ss_cut_ij_hc")
+            it = np.array(itypes + [0] * (nc - len(itypes)), int)
+            epp, spp = eps_m[np.ix_(it, it)], sig_m[np.ix_(it, it)]
+            npp, hpp = nu_m[np.ix_(it, it)], hc_m[np.ix_(it, it)]
+            # guard zeros to keep the arithmetic finite where eps == 0
+            spp = np.where(spp == 0.0, 1.0, spp)
+            hpp = np.where(hpp == 0.0, 1.0, hpp)
+            ah_arr2 = jnp.asarray(np.array(ah))
+            force_terms.append(lambda R, V: soft_sphere_ij_forces(
+                R, ah_arr2, size, epp, spp, npp, hpp)[0])
+        if rt.int("soft_sphere_on", 0) and nc > 1:
+            from ludwig_tpu.interactions import soft_sphere_forces
+            eps_ = rt.double_required("soft_sphere_epsilon")
+            sig_ = rt.double_required("soft_sphere_sigma")
+            nu_ = rt.double_required("soft_sphere_nu")
+            hc_ = rt.double_required("soft_sphere_cutoff")
+            ah_arr = jnp.asarray(np.array(ah))
+            force_terms.append(lambda R, V: soft_sphere_forces(
+                R, ah_arr, size, eps_, sig_, nu_, hc_)[0])
+        force_fn = None
+        if force_terms:
+            def force_fn(R, V):
+                out = force_terms[0](R, V)
+                for ft in force_terms[1:]:
+                    out = out + ft(R, V)
+                return out
         f = _distribution_init(rt, lb_cfg)
         from ludwig_tpu.colloids import ColloidState
         R0 = jnp.asarray(np.array(rr), lb_cfg.jdtype)
+        if typ and all(tp == "subgrid" for tp in typ):
+            from ludwig_tpu.subgrid import make_subgrid_step
+            state = (f, R0, jnp.asarray(np.array(vv), lb_cfg.jdtype))
+            step = make_subgrid_step(lb_cfg, cparams, al,
+                                     force_fn=force_fn)
+            return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
+                          solid=None, state=state, step_fn=step,
+                          colloid_params=cparams)
+        if fe_name == "symmetric":
+            # binary fluid with resolved colloids (ref: phi_force_colloid)
+            from ludwig_tpu.binary_colloid import (initial_binary_colloid,
+                                                   make_binary_colloid_step)
+            fe_s = SymmetricFE(a=rt.double_required("A"),
+                               b=rt.double_required("B"),
+                               kappa=rt.double_required("K"))
+            bcfg = BinaryConfig(
+                lb=lb_cfg, fe=fe_s,
+                mobility=rt.double("mobility", 1.0),
+                advection_order=rt.int("fd_advection_scheme_order", 1),
+                gradient=rt.string("fd_gradient_calculation",
+                                   "3d_27pt_solid"),
+                wetting=(rt.double("colloid_one_c", 0.0),
+                         rt.double("colloid_one_h", 0.0)))
+            phi0 = _phi_init(rt, size, fe_s)
+            state = initial_binary_colloid(bcfg, cparams, phi0, rr, vv)
+            step = make_binary_colloid_step(
+                bcfg, cparams,
+                rebuild_freq=rt.int("colloid_rebuild_freq", 1),
+                force_fn=force_fn)
+            return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg,
+                          solid=None, state=state, step_fn=step,
+                          colloid_params=cparams)
         state = ColloidState(
             f, R0,
             jnp.asarray(np.array(vv), lb_cfg.jdtype),
@@ -797,9 +918,13 @@ def build_system(rt: RunTime) -> System:
             jnp.zeros((nc, 3), lb_cfg.jdtype),    # dr (deferred move)
             jnp.array(R0),                        # map/link positions
             jnp.asarray(np.array(mm), lb_cfg.jdtype))
+        if nz is not None and nz.kiss and nz.rho:
+            from ludwig_tpu.noise_kiss import kiss_init
+            state = ColloidState(*state[:7], noise=kiss_init(0, size))
         step = make_colloid_step(lb_cfg, cparams,
                                  rebuild_freq=rt.int("colloid_rebuild_freq",
-                                                     1))
+                                                     1),
+                                 force_fn=force_fn)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=None,
                       state=state, step_fn=step, colloid_params=cparams)
 
@@ -828,7 +953,16 @@ def build_system(rt: RunTime) -> System:
                           slip_active=slip_on)
             lb_cfg = dataclasses.replace(lb_cfg, walls=(False,) * 3)
             f = _distribution_init(rt, lb_cfg)
-            step = make_wall_step(lb_cfg, ws)
+            obc = None
+            oax = 0
+            if rt.switch("lb_bc_open", False):
+                from ludwig_tpu.ops.open_bc import OpenBCConfig
+                obc = OpenBCConfig(
+                    u0=tuple(rt.double_vector("lb_bc_inflow_rhou_u0",
+                                              (0.0, 0.0, 0.0))),
+                    rho0=rt.double("lb_bc_outflow_rhou_rho0", 1.0))
+                oax = next((a for a in range(3) if not walls[a]), 0)
+            step = make_wall_step(lb_cfg, ws, open_bc=obc, open_axis=oax)
             state = (f, jnp.zeros((3,), lb_cfg.jdtype))
             has_kiss = nz is not None and nz.kiss and nz.rho
             if has_kiss:
@@ -871,17 +1005,43 @@ def _make_stats_fn(sys_: System):
             from ludwig_tpu.colloids import (build_map,
                                              total_colloid_momentum)
             R, V = state[1], state[2]
-            pid, inside = build_map(R, cpar, sys_.lb_cfg.size)
-            fl = jnp.logical_not(inside)
+            subgrid = (len(cpar.types) == cpar.n
+                       and all(tp == "subgrid" for tp in cpar.types))
+            if subgrid:
+                # point particles: no excluded sites, and zero mass in
+                # the momentum account (ref: stats_colloid.c:69)
+                fl = None
+                gc = jnp.zeros((3,), f.dtype)
+            else:
+                pid, inside = build_map(R, cpar, sys_.lb_cfg.size)
+                fl = jnp.logical_not(inside)
+                gc = total_colloid_momentum(V, cpar, f.dtype)
             res = {"rho": stats.rho_stats(f, model, fl),
                    "g": stats.momentum_total(f, model, fl),
-                   "gc": total_colloid_momentum(V, cpar, f.dtype),
+                   "gc": gc,
                    "umm": stats.velocity_minmax(u, fl)}
             # The reference prints "Particle statistics" from
             # interact_compute at the TOP of the step (ludwig.c:543),
             # i.e. with the PREVIOUS step's velocities (prev[0]).
             vstat = prev[0] if prev else V
             res["vcol"] = (jnp.min(vstat, axis=0), jnp.max(vstat, axis=0))
+            if bcfg is not None:
+                # binary + colloids: phi stats and the ncolloid > 0
+                # free-energy block (ref: stats_free_energy.c:112-124,
+                # fluid-masked, stale start-of-step gradients)
+                from ludwig_tpu.ops.solid_stencil import solid27_scalar_ops
+                phi = state[7]
+                res["phi"] = stats.field_stats(phi, fl)
+                grad, delsq = solid27_scalar_ops(
+                    sys_.lb_cfg.size, fluid=fl,
+                    rkappa=1.0 / bcfg.fe.kappa, c=bcfg.wetting[0],
+                    h=bcfg.wetting[1])
+                pphi = prev[1] if prev and len(prev) > 1 else phi
+                fields = {"phi": phi, "grad_phi": grad(pphi),
+                          "delsq_phi": delsq(pphi)}
+                fed = bcfg.fe.fed(fields)
+                res["fe_colloid"] = (jnp.sum(jnp.where(fl, fed, 0.0)),
+                                     jnp.sum(fl.astype(fed.dtype)))
             return res
         res = {"rho": stats.rho_stats_ref(f, model, mask),
                "g": stats.momentum_total(f, model, mask),
@@ -1088,7 +1248,14 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
         out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_binary or sys_.is_binary_lb:
         out.write(stats.format_phi_line("phi", *res["phi"]))
-        if "fe_sum_v" in res:
+        if "fe_colloid" in res:
+            # ncolloid > 0, no area: 4-value row (ref:
+            # stats_free_energy.c:119-124)
+            fsum, vol = (float(v) for v in res["fe_colloid"])
+            out.write("\nFree energies - timestep f v f/v f_s a f_s/a\n")
+            out.write(f"[fe] {int(tstep):14d} {fsum:17.10e} {vol:17.10e} "
+                      f"{fsum / vol:17.10e} {0.0:17.10e}\n")
+        elif "fe_sum_v" in res:
             # walls present (ref: stats_free_energy.c:103-105)
             fsum, vol = (float(v) for v in res["fe_sum_v"])
             out.write("\nFree energies - timestep f v f/v f_s1 fs_s2 \n")
@@ -1230,7 +1397,10 @@ def run_text(text: str, out=sys.stdout) -> System:
         if sys_.le_cfg is not None:
             return ()   # LE runs carry stale gradients in the state
         if sys_.is_colloid:
-            return (jnp.array(state[2]),)   # start-of-step velocities
+            out = (jnp.array(state[2]),)    # start-of-step velocities
+            if sys_.binary_cfg is not None:
+                out = out + (jnp.array(state[7]),)   # start-of-step phi
+            return out
         if sys_.is_binary_lb:
             from ludwig_tpu.binary_lb import g_moments
             return (g_moments(state[1], sys_.lb_cfg.model)[0],)

@@ -60,6 +60,30 @@ def _edge_plane(shape, ax: int, side: int):
     return jnp.asarray(m)
 
 
+def stress_divergence_force_map(pth: jnp.ndarray, fluid: jnp.ndarray):
+    """Map-aware stress-divergence force (3, X, Y, Z).
+
+    At a fluid-fluid face the flux is the centred average; at a
+    fluid-solid face it is the one-sided fluid value (ref:
+    phi_force_colloid.c pth_force_map_kernel).  Force at solid sites is
+    irrelevant downstream (collision masks them).
+    """
+    fl = fluid.astype(pth.dtype)
+    comps = []
+    for a in range(3):
+        acc = None
+        for ax in range(3):
+            p = pth[a, ax]
+            up_f = _up(fl, ax)
+            dn_f = _down(fl, ax)
+            face_up = jnp.where(up_f > 0.0, 0.5 * (p + _up(p, ax)), p)
+            face_dn = jnp.where(dn_f > 0.0, 0.5 * (p + _down(p, ax)), p)
+            d = face_up - face_dn
+            acc = d if acc is None else acc + d
+        comps.append(-acc)
+    return jnp.stack(comps)
+
+
 def phi_grad_mu_force(phis, mus, walls=(False, False, False),
                       solid=None) -> jnp.ndarray:
     """F_a(i) = -sum_n phi_n(i) * 0.5*(mu_n(i+a) - mu_n(i-a)).

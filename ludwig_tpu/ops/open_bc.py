@@ -40,34 +40,44 @@ def _feq_col(model: LatticeModel, p: int, rho, u):
     return rho * w * (1.0 + rcs2 * udotc + 0.5 * rcs2 * rcs2 * sdotq)
 
 
-def apply_open_bc_x(f_new: jnp.ndarray, f_pre: jnp.ndarray,
-                    model: LatticeModel, bc: OpenBCConfig):
-    """Fix the x boundary columns after streaming.
+def apply_open_bc(f_new: jnp.ndarray, f_pre: jnp.ndarray,
+                  model: LatticeModel, bc: OpenBCConfig, axis: int = 0):
+    """Fix the boundary slabs normal to `axis` after streaming.
 
     f_pre is the pre-stream (post-collision) state used for the local
     hydro values, f_new the streamed state with wrapped values to be
-    replaced.
+    replaced.  Inflow at the low face (rho from the adjacent domain
+    slab, prescribed u0); outflow at the high face (prescribed rho0, u
+    from the adjacent slab).
     """
     nvel = model.nvel
 
-    # inflow at x = 0: rho from the adjacent domain column, u prescribed
-    # (ref: lb_bc_inflow_rhou_update "rho taken from adjacent site")
-    rho_in = sum(f_pre[p, 1] for p in range(nvel))
+    def sl(idx):
+        s = [slice(None)] * 3
+        s[axis] = idx
+        return tuple(s)
+
+    rho_in = sum(f_pre[(p,) + sl(1)] for p in range(nvel))
     u_in = [jnp.full_like(rho_in, float(bc.u0[a])) for a in range(3)]
 
-    # outflow at x = -1: rho prescribed, u from the adjacent column
-    rho_out_loc = sum(f_pre[p, -2] for p in range(nvel))
-    g_out = [sum(float(model.cv[p][a]) * f_pre[p, -2] for p in range(nvel)
-                 if model.cv[p][a] != 0) for a in range(3)]
+    rho_out_loc = sum(f_pre[(p,) + sl(-2)] for p in range(nvel))
+    g_out = [sum(float(model.cv[p][a]) * f_pre[(p,) + sl(-2)]
+                 for p in range(nvel) if model.cv[p][a] != 0)
+             for a in range(3)]
     u_out = [g / rho_out_loc for g in g_out]
     rho_out = jnp.full_like(rho_out_loc, float(bc.rho0))
 
     for p in range(1, nvel):
-        cx = int(model.cv[p][0])
-        if cx == 1:
-            f_new = f_new.at[p, 0].set(
+        ca = int(model.cv[p][axis])
+        if ca == 1:
+            f_new = f_new.at[(p,) + sl(0)].set(
                 _feq_col(model, p, rho_in, u_in).astype(f_new.dtype))
-        elif cx == -1:
-            f_new = f_new.at[p, -1].set(
+        elif ca == -1:
+            f_new = f_new.at[(p,) + sl(-1)].set(
                 _feq_col(model, p, rho_out, u_out).astype(f_new.dtype))
     return f_new
+
+
+def apply_open_bc_x(f_new: jnp.ndarray, f_pre: jnp.ndarray,
+                    model: LatticeModel, bc: OpenBCConfig):
+    return apply_open_bc(f_new, f_pre, model, bc, axis=0)

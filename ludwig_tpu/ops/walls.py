@@ -95,8 +95,28 @@ def wall_bounce_back(f_new: jnp.ndarray, f_post: jnp.ndarray,
                 if g_post is not None:
                     gq = g_post[(q,) + sl]
                     g_new = g_new.at[(p,) + sl].set(gq - corr)
-                link = jnp.sum(2.0 * fq) - (corr + 2.0 * wv[q]) \
-                    * float(np.prod(fq.shape))
+                # one link per (site, q): a diagonal crossing several
+                # walled faces was already counted by an earlier axis'
+                # plane pass - mask out that overlap (the reference's
+                # link list holds each boundary<->fluid link once)
+                nsl = float(np.prod(fq.shape))
+                ov = np.zeros(fq.shape, bool)
+                for ax2 in range(ax):
+                    if not spec.walls[ax2] or cv[q][ax2] == 0:
+                        continue
+                    # position of ax2 within the sliced shape: axes
+                    # before `ax` keep their index
+                    p2 = (0 if cv[q][ax2] < 0
+                          else f_post.shape[1 + ax2] - 1)
+                    sel = [slice(None)] * ov.ndim
+                    sel[ax2] = p2
+                    ov[tuple(sel)] = True
+                if ov.any():
+                    keep = jnp.asarray(~ov)
+                    link = (jnp.sum(jnp.where(keep, 2.0 * fq, 0.0))
+                            - (corr + 2.0 * wv[q]) * float((~ov).sum()))
+                else:
+                    link = jnp.sum(2.0 * fq) - (corr + 2.0 * wv[q]) * nsl
                 gw = gw + link * jnp.asarray(np.array(cv[q], np.float64),
                                              dtype)
     return f_new, g_new, gw

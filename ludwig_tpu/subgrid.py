@@ -63,6 +63,56 @@ def interpolate_velocity(u: jnp.ndarray, R: jnp.ndarray, size,
     return jnp.einsum("nxyz,axyz->na", w, u)
 
 
+def make_subgrid_step(cfg, params, al, force_fn=None):
+    """Jitted step for unresolved (subgrid) particles.
+
+    State: (f, R, V).  Per reference time step: deferred position move
+    (colloids.c:1028, dr == v from the previous subgrid_update), spread
+    particle forces onto the fluid (subgrid_force_from_particles,
+    ludwig.c:2149), collide with that force (+ uniform gravity
+    compensation), set v = u(R) + drag*F (subgrid.c subgrid_update),
+    propagate.  No map / BBL - the fluid sees the particle only through
+    the Peskin-spread force.
+    """
+    import dataclasses as _dc
+    from functools import partial
+
+    import jax
+
+    from ludwig_tpu.ops.collide import collide
+    from ludwig_tpu.ops.stream import stream
+
+    model = cfg.model
+    cparams = cfg.collision_params()
+    size = cfg.size
+    nsites = float(np.prod(size))
+    grav = jnp.asarray(np.array(params.gravity, np.float64), cfg.jdtype)
+    ah = np.array(params.ah if params.ah else params.a0, np.float64)
+    al = np.array(al, np.float64)
+    eta = cfg.eta_shear
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, t=0):
+        f, R, V = state[0], state[1], state[2]
+        L = jnp.asarray(np.array(size, np.float64), R.dtype)
+        R = jnp.mod(R + V, L)
+        F = jnp.tile(grav[None], (params.n, 1))
+        if force_fn is not None:
+            F = F + force_fn(R, V).astype(F.dtype)
+        coords = site_coords(size, f.dtype)
+        force = spread_forces(F.astype(f.dtype), R.astype(f.dtype),
+                              size, coords)
+        if any(v != 0.0 for v in params.gravity):
+            fb = (-grav) * (1.0 / nsites) * float(params.n)
+            force = force + fb[:, None, None, None].astype(f.dtype)
+        f, rho, u = collide(f, cparams, force=force)
+        _, V = subgrid_update(R, F, u, size, ah, al, eta)
+        f = stream(f, model)
+        return (f, R, V), (rho, u)
+
+    return step
+
+
 def subgrid_update(R: jnp.ndarray, F: jnp.ndarray, u: jnp.ndarray, size,
                    ah, al, eta: float):
     """New positions: dr = u(R) + drag F  with the local drag correction

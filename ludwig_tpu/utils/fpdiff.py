@@ -54,10 +54,21 @@ def _is_float(tok: str) -> bool:
     return bool(_FLOAT_RE.match(tok))
 
 
+_GLUE_RE = re.compile(r"(e[+-]\d{2,3})(?=[+-]\d)")
+
+
+def _tokens(line: str):
+    """Whitespace tokens, with glued %14.7e%14.7e pairs split: committed
+    reference logs mix printf formats across eras ('%14.7e%14.7e' glued
+    pairs in older logs vs all-spaced in newer ones), so a negative
+    second number can fuse two tokens into one."""
+    return _GLUE_RE.sub(r"\1 ", line).split()
+
+
 def lines_equal(a: str, b: str, tol: float = TOLERANCE) -> bool:
     if a == b:
         return True
-    ta, tb = a.split(), b.split()
+    ta, tb = _tokens(a), _tokens(b)
     if len(ta) != len(tb):
         return False
     for x, y in zip(ta, tb):

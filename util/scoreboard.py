@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "SCOREBOARD.json"))
     ap.add_argument("--rerun", action="store_true",
                     help="re-run cases already on the scoreboard")
+    ap.add_argument("--failing", action="store_true",
+                    help="re-run only cases currently failing on the "
+                    "scoreboard")
     args = ap.parse_args()
 
     suite_dir = f"/root/reference/tests/regression/{args.suite}"
@@ -76,6 +79,12 @@ def main():
                    for p in glob.glob(os.path.join(suite_dir, "*.inp")))
     if args.only:
         names = [n for n in names if args.only in n]
+    if args.failing:
+        with open(args.out) as fh:
+            prev = json.load(fh)
+        names = [n for n in names
+                 if n in prev and not prev[n].get("ok")]
+        args.rerun = True
 
     board = {}
     if os.path.exists(args.out):
