@@ -83,7 +83,8 @@ def beris_edwards_update(q5: jnp.ndarray,
                          params: BerisEdwardsParams,
                          fluid_mask: Optional[jnp.ndarray] = None,
                          noise5: Optional[jnp.ndarray] = None,
-                         wallspec=None) -> jnp.ndarray:
+                         wallspec=None,
+                         solid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """One forward-Euler BE step; returns updated q5 (5, X, Y, Z).
 
     h33 is the molecular field as a 3x3 list (from the free energy).
@@ -103,6 +104,9 @@ def beris_edwards_update(q5: jnp.ndarray,
             if wallspec is not None and wallspec.any:
                 from ludwig_tpu.ops.walls import no_flux_at_walls
                 fluxes = no_flux_at_walls(fluxes, wallspec)
+            if solid is not None:
+                from ludwig_tpu.ops.advect import no_flux_at_solid
+                fluxes = no_flux_at_solid(fluxes, solid)
             rhs5[n] = rhs5[n] - flux_divergence(fluxes)
 
     if noise5 is not None:

@@ -298,6 +298,12 @@ def lc_surface_fe(cfg: LCConfig, q5):
     for ax in range(3):
         if not cfg.wallspec.walls[ax]:
             continue
+        # the reference RESETS fs[0]/fs[1] inside each of
+        # fe_lc_wallx/y/z, so with walls in several directions only the
+        # last direction's surface term survives (ref: fe_lc_stats.c
+        # fe_lc_wall{x,y,z}:fs[0]=fs[1]=0.0 at entry)
+        fs1 = jnp.zeros((), q5.dtype)
+        fs2 = jnp.zeros((), q5.dtype)
         for side in (0, 1):
             plane = 0 if side == 0 else q5.shape[1 + ax] - 1
             sl = [slice(None)] * 3

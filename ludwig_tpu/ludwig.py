@@ -58,6 +58,7 @@ class System:
     vol_flux: bool = False
     fe_solid_ops: Optional[object] = None      # two-field wetting stencils
     has_kiss: bool = False    # per-site KISS noise state rides the state
+    colloid_charge: Optional[tuple] = None     # (N, 2) input charges
 
     @property
     def is_binary(self) -> bool:
@@ -266,6 +267,160 @@ def _lc_anchoring_params(rt: RunTime, fe):
         wall=wall, wall_w1=w1_wall, wall_w2=w2_wall, wall_nfix=nfix,
         coll=coll, coll_w1=w1_coll, coll_w2=w2_coll,
         method="s7" if method == "s7" else "two")
+
+
+def _parse_colloids(rt, size, rho0, eta):
+    """Parse the colloid_* input keys into (ColloidParams, r0,
+    v0, types, al, force_fn), or None when no colloids are
+    requested (ref: colloids_rt.c colloids_init_rt,
+    interaction.c interact_compute).
+    """
+    cinit = rt.string("colloid_init", "none")
+    if not (cinit.startswith("input_") or cinit == "from_file"):
+        return None
+    qq = []
+    from ludwig_tpu.colloids import ColloidParams, make_colloid_step
+    a0, ah, rr, vv = [], [], [], []
+    b1, b2, mm, typ = [], [], [], []
+    al, bonds, itypes = [], [], []
+    if cinit == "input_random":
+        # serial random placement (ref: colloids_init.c:82-123
+        # colloids_init_random_set; ran.c serial stream seeded by
+        # random_seed).  Positions are 1-based lattice coords there;
+        # ours are 0-based (shift by lmin = 0.5 ... +1).
+        from ludwig_tpu.ref_rng import RanSerial
+        nc = rt.int("colloid_random_no", 0)
+        dh = rt.double("colloid_random_dh", 0.0)
+        ra0 = rt.double_required("colloid_random_a0")
+        rah = rt.double("colloid_random_ah", ra0)
+        rng = RanSerial(rt.int("random_seed", 7361237))
+        amax = rah + dh
+        lex = [amax * (0.0 if p else 1.0)
+               for p in rt.int_vector("periodicity", (1, 1, 1))]
+        for _ in range(nc):
+            r0 = [0.5 + lex[a] + rng.uniform() * (size[a] - 2.0 * lex[a])
+                  for a in range(3)]
+            rr.append([c - 1.0 for c in r0])
+            a0.append(ra0)
+            ah.append(rah)
+            vv.append((0.0, 0.0, 0.0))
+            b1.append(0.0)
+            b2.append(0.0)
+            mm.append((1.0, 0.0, 0.0))
+            typ.append(rt.string("colloid_random_type", "default"))
+    elif cinit == "from_file":
+        from ludwig_tpu.io.colloid_io import read_colloid_file
+        recs = read_colloid_file(rt.string("colloid_file_stub",
+                                           "config.cds") + ".init")
+        for rec in recs:
+            a0.append(rec["a0"])
+            ah.append(rec["ah"])
+            rr.append([c - 1.0 for c in rec["r"]])
+            vv.append(tuple(rec["v"]))
+            b1.append(rec["b1"])
+            b2.append(rec["b2"])
+            mv = rec["m"]
+            mm.append(tuple(mv) if any(mv) else (1.0, 0.0, 0.0))
+            typ.append({0: "default", 1: "active",
+                        2: "subgrid"}.get(rec["type"], "default"))
+        nc = len(recs)
+    else:
+        nc = {"input_one": 1, "input_two": 2, "input_three": 3}[cinit]
+        names = ["one", "two", "three"][:nc]
+        for ni, nm in enumerate(names):
+            a0.append(rt.double_required(f"colloid_{nm}_a0"))
+            ah.append(rt.double(f"colloid_{nm}_ah", a0[-1]))
+            al.append(rt.double(f"colloid_{nm}_al", 0.0))
+            rv = rt.double_vector(f"colloid_{nm}_r", (0.0, 0.0, 0.0))
+            rr.append([c - 1.0 for c in rv])  # 1-based -> 0-based
+            vv.append(rt.double_vector(f"colloid_{nm}_v",
+                                       (0.0, 0.0, 0.0)))
+            b1.append(rt.double(f"colloid_{nm}_b1", 0.0))
+            b2.append(rt.double(f"colloid_{nm}_b2", 0.0))
+            mv = rt.double_vector(f"colloid_{nm}_m", (1.0, 0.0, 0.0))
+            nrm = np.sqrt(sum(c * c for c in mv)) or 1.0
+            mm.append(tuple(c / nrm for c in mv))
+            typ.append(rt.string(f"colloid_{nm}_type", "default"))
+            itypes.append(rt.int(f"colloid_{nm}_interact_type", 0))
+            qq.append((rt.double(f"colloid_{nm}_q0", 0.0),
+                       rt.double(f"colloid_{nm}_q1", 0.0)))
+            for bi in range(rt.int(f"colloid_{nm}_nbonds", 0)):
+                other = rt.int(f"colloid_{nm}_bond{bi + 1}", 0) - 1
+                if other > ni:   # record each bond once
+                    bonds.append((ni, other))
+    grav = tuple(rt.double_vector("colloid_gravity", (0.0, 0.0, 0.0)))
+    if rt.switch("calibration", False):
+        # hydrodynamic-radius calibration: drive the single particle
+        # with a fixed force in the reference's literal random
+        # direction (ref: stats_calibration.c:120-143)
+        a_ = max(ah)
+        L_ = float(size[2])
+        fh = (1.0 - 2.837 * (a_ / L_) + 4.19 * (a_ / L_) ** 3
+              - 27.4 * (a_ / L_) ** 6)
+        utarget = eta * 0.05 / (a_ * rho0)
+        ftarget = 6.0 * np.pi * eta * a_ * utarget / fh
+        grav = (+5.02274083742018e-01 * ftarget,
+                -1.05061333197473e-01 * ftarget,
+                -8.58302313330149e-01 * ftarget)
+    cparams = ColloidParams(a0=tuple(a0), ah=tuple(ah),
+                            rho0=rho0, gravity=grav,
+                            b1=tuple(b1), b2=tuple(b2), m=tuple(mm),
+                            types=tuple(typ))
+    # pairwise/bond interactions -> per-particle force callback
+    # (ref: interact_compute, interaction.c:182)
+    force_terms = []
+    if rt.int("bond_fene_on", 0) and bonds:
+        from ludwig_tpu.interactions import fene_bond_forces
+        fk = rt.double_required("bond_fene_k")
+        fr0 = rt.double_required("bond_fene_r0")
+        barr = np.array(bonds, np.int32)
+        force_terms.append(lambda R, V: fene_bond_forces(
+            R, size, barr, fk, fr0))
+    if rt.switch("pair_ss_cut_ij", False) and nc > 1:
+        # per-pair-type soft sphere (ref: pair_ss_cut_ij.c; vector
+        # keys hold the upper triangle by type pair)
+        from ludwig_tpu.interactions import soft_sphere_ij_forces
+        nt = rt.int("pair_ss_cut_ij_ntypes", 1)
+        tri = [(i, j) for i in range(nt) for j in range(i, nt)]
+
+        def _mat(key):
+            vals = rt.double_vector(key, (0.0,) * len(tri))
+            m = np.zeros((nt, nt))
+            for (i, j), v in zip(tri, vals):
+                m[i, j] = m[j, i] = v
+            return m
+        eps_m, sig_m = _mat("pair_ss_cut_ij_epsilon"), \
+            _mat("pair_ss_cut_ij_sigma")
+        nu_m, hc_m = _mat("pair_ss_cut_ij_nu"), \
+            _mat("pair_ss_cut_ij_hc")
+        it = np.array(itypes + [0] * (nc - len(itypes)), int)
+        epp, spp = eps_m[np.ix_(it, it)], sig_m[np.ix_(it, it)]
+        npp, hpp = nu_m[np.ix_(it, it)], hc_m[np.ix_(it, it)]
+        # guard zeros to keep the arithmetic finite where eps == 0
+        spp = np.where(spp == 0.0, 1.0, spp)
+        hpp = np.where(hpp == 0.0, 1.0, hpp)
+        ah_arr2 = jnp.asarray(np.array(ah))
+        force_terms.append(lambda R, V: soft_sphere_ij_forces(
+            R, ah_arr2, size, epp, spp, npp, hpp)[0])
+    if rt.int("soft_sphere_on", 0) and nc > 1:
+        from ludwig_tpu.interactions import soft_sphere_forces
+        eps_ = rt.double_required("soft_sphere_epsilon")
+        sig_ = rt.double_required("soft_sphere_sigma")
+        nu_ = rt.double_required("soft_sphere_nu")
+        hc_ = rt.double_required("soft_sphere_cutoff")
+        ah_arr = jnp.asarray(np.array(ah))
+        force_terms.append(lambda R, V: soft_sphere_forces(
+            R, ah_arr, size, eps_, sig_, nu_, hc_)[0])
+    force_fn = None
+    if force_terms:
+        def force_fn(R, V):
+            out = force_terms[0](R, V)
+            for ft in force_terms[1:]:
+                out = out + ft(R, V)
+            return out
+    if len(qq) < len(rr):
+        qq = qq + [(0.0, 0.0)] * (len(rr) - len(qq))
+    return cparams, rr, vv, typ, al, force_fn, qq
 
 
 def build_system(rt: RunTime) -> System:
@@ -680,6 +835,21 @@ def build_system(rt: RunTime) -> System:
             return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
                           solid=None, state=state, step_fn=step,
                           lc_cfg=lcfg, le_cfg=le)
+        _colloids = _parse_colloids(rt, size, rho0, eta)
+        if _colloids is not None:
+            # LC with resolved colloids (ref: ludwig.c ncolloid > 0
+            # q-tensor branch; pth_force_colloid; fe_lc_stats.c)
+            from ludwig_tpu.lc_colloid import (initial_lc_colloid,
+                                               make_lc_colloid_step)
+            cparams, rr, vv, typ, al, force_fn, _qq = _colloids
+            state = initial_lc_colloid(lcfg, cparams, q5, rr, vv)
+            step = make_lc_colloid_step(
+                lcfg, cparams,
+                rebuild_freq=rt.int("colloid_rebuild_freq", 1),
+                force_fn=force_fn)
+            return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
+                          solid=None, state=state, step_fn=step,
+                          lc_cfg=lcfg, colloid_params=cparams)
         state = initial_lc(lcfg, q5)
         step = make_lc_step(lcfg, solid=solid)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
@@ -727,8 +897,36 @@ def build_system(rt: RunTime) -> System:
         ecfg = ElectroSimConfig(
             lb=lb_cfg, ek=ek, e0=e0,
             hydrodynamics=rt.switch("hydrodynamics", True))
-        f = _distribution_init(rt, lb_cfg)
         jd = lb_cfg.jdtype
+        _colloids = _parse_colloids(rt, size, rho0, eta)
+        if _colloids is not None and fe_name == "fe_electro":
+            # electrokinetics + resolved colloids (ref: psi_colloid.c;
+            # init: rho_set then electroneutral, ludwig.c:420-424)
+            from ludwig_tpu.colloids import build_map
+            from ludwig_tpu.electro_colloid import (
+                colloid_rho_set, initial_electro_colloid,
+                make_electro_colloid_step)
+            cparams, rr, vv, typ, al, force_fn, qq = _colloids
+            pid, inside = build_map(jnp.asarray(np.array(rr), jd),
+                                    cparams, size)
+            rho_j = colloid_rho_set(
+                jnp.asarray(rho_k, jd), inside, pid,
+                jnp.asarray(np.array(qq), jd),
+                jnp.zeros((cparams.n, ek.nk), jd), ek.nk)
+            rho_k = electroneutral(np.asarray(rho_j), ek.valency,
+                                   np.asarray(inside))
+            state = initial_electro_colloid(ecfg, cparams,
+                                            psi0, rho_k, rr, vv)
+            step = make_electro_colloid_step(
+                ecfg, cparams, qq,
+                rebuild_freq=rt.int("colloid_rebuild_freq", 1),
+                force_fn=force_fn)
+            return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
+                          solid=None, state=state, step_fn=step,
+                          electro_cfg=ecfg, colloid_params=cparams,
+                          colloid_charge=tuple(qq),
+                          hydro_on=ecfg.hydrodynamics)
+        f = _distribution_init(rt, lb_cfg)
         state = (f, jnp.asarray(psi0, jd), jnp.asarray(rho_k, jd),
                  jnp.zeros((3,) + size, jd), jnp.zeros((3,), jd))
         step = make_electro_step(ecfg, solid=solid)
@@ -736,146 +934,10 @@ def build_system(rt: RunTime) -> System:
                       state=state, step_fn=step, electro_cfg=ecfg,
                       hydro_on=ecfg.hydrodynamics)
 
-    cinit = rt.string("colloid_init", "none")
-    if fe_name in ("none", "symmetric") and (cinit.startswith("input_")
-                                             or cinit == "from_file"):
-        from ludwig_tpu.colloids import ColloidParams, make_colloid_step
-        a0, ah, rr, vv = [], [], [], []
-        b1, b2, mm, typ = [], [], [], []
-        al, bonds, itypes = [], [], []
-        if cinit == "input_random":
-            # serial random placement (ref: colloids_init.c:82-123
-            # colloids_init_random_set; ran.c serial stream seeded by
-            # random_seed).  Positions are 1-based lattice coords there;
-            # ours are 0-based (shift by lmin = 0.5 ... +1).
-            from ludwig_tpu.ref_rng import RanSerial
-            nc = rt.int("colloid_random_no", 0)
-            dh = rt.double("colloid_random_dh", 0.0)
-            ra0 = rt.double_required("colloid_random_a0")
-            rah = rt.double("colloid_random_ah", ra0)
-            rng = RanSerial(rt.int("random_seed", 7361237))
-            amax = rah + dh
-            lex = [amax * (0.0 if p else 1.0)
-                   for p in rt.int_vector("periodicity", (1, 1, 1))]
-            for _ in range(nc):
-                r0 = [0.5 + lex[a] + rng.uniform() * (size[a] - 2.0 * lex[a])
-                      for a in range(3)]
-                rr.append([c - 1.0 for c in r0])
-                a0.append(ra0)
-                ah.append(rah)
-                vv.append((0.0, 0.0, 0.0))
-                b1.append(0.0)
-                b2.append(0.0)
-                mm.append((1.0, 0.0, 0.0))
-                typ.append(rt.string("colloid_random_type", "default"))
-        elif cinit == "from_file":
-            from ludwig_tpu.io.colloid_io import read_colloid_file
-            recs = read_colloid_file(rt.string("colloid_file_stub",
-                                               "config.cds") + ".init")
-            for rec in recs:
-                a0.append(rec["a0"])
-                ah.append(rec["ah"])
-                rr.append([c - 1.0 for c in rec["r"]])
-                vv.append(tuple(rec["v"]))
-                b1.append(rec["b1"])
-                b2.append(rec["b2"])
-                mv = rec["m"]
-                mm.append(tuple(mv) if any(mv) else (1.0, 0.0, 0.0))
-                typ.append({0: "default", 1: "active",
-                            2: "subgrid"}.get(rec["type"], "default"))
-            nc = len(recs)
-        else:
-            nc = {"input_one": 1, "input_two": 2, "input_three": 3}[cinit]
-            names = ["one", "two", "three"][:nc]
-            for ni, nm in enumerate(names):
-                a0.append(rt.double_required(f"colloid_{nm}_a0"))
-                ah.append(rt.double(f"colloid_{nm}_ah", a0[-1]))
-                al.append(rt.double(f"colloid_{nm}_al", 0.0))
-                rv = rt.double_vector(f"colloid_{nm}_r", (0.0, 0.0, 0.0))
-                rr.append([c - 1.0 for c in rv])  # 1-based -> 0-based
-                vv.append(rt.double_vector(f"colloid_{nm}_v",
-                                           (0.0, 0.0, 0.0)))
-                b1.append(rt.double(f"colloid_{nm}_b1", 0.0))
-                b2.append(rt.double(f"colloid_{nm}_b2", 0.0))
-                mv = rt.double_vector(f"colloid_{nm}_m", (1.0, 0.0, 0.0))
-                nrm = np.sqrt(sum(c * c for c in mv)) or 1.0
-                mm.append(tuple(c / nrm for c in mv))
-                typ.append(rt.string(f"colloid_{nm}_type", "default"))
-                itypes.append(rt.int(f"colloid_{nm}_interact_type", 0))
-                for bi in range(rt.int(f"colloid_{nm}_nbonds", 0)):
-                    other = rt.int(f"colloid_{nm}_bond{bi + 1}", 0) - 1
-                    if other > ni:   # record each bond once
-                        bonds.append((ni, other))
-        grav = tuple(rt.double_vector("colloid_gravity", (0.0, 0.0, 0.0)))
-        if rt.switch("calibration", False):
-            # hydrodynamic-radius calibration: drive the single particle
-            # with a fixed force in the reference's literal random
-            # direction (ref: stats_calibration.c:120-143)
-            a_ = max(ah)
-            L_ = float(size[2])
-            fh = (1.0 - 2.837 * (a_ / L_) + 4.19 * (a_ / L_) ** 3
-                  - 27.4 * (a_ / L_) ** 6)
-            utarget = eta * 0.05 / (a_ * rho0)
-            ftarget = 6.0 * np.pi * eta * a_ * utarget / fh
-            grav = (+5.02274083742018e-01 * ftarget,
-                    -1.05061333197473e-01 * ftarget,
-                    -8.58302313330149e-01 * ftarget)
-        cparams = ColloidParams(a0=tuple(a0), ah=tuple(ah),
-                                rho0=rho0, gravity=grav,
-                                b1=tuple(b1), b2=tuple(b2), m=tuple(mm),
-                                types=tuple(typ))
-        # pairwise/bond interactions -> per-particle force callback
-        # (ref: interact_compute, interaction.c:182)
-        force_terms = []
-        if rt.int("bond_fene_on", 0) and bonds:
-            from ludwig_tpu.interactions import fene_bond_forces
-            fk = rt.double_required("bond_fene_k")
-            fr0 = rt.double_required("bond_fene_r0")
-            barr = np.array(bonds, np.int32)
-            force_terms.append(lambda R, V: fene_bond_forces(
-                R, size, barr, fk, fr0))
-        if rt.switch("pair_ss_cut_ij", False) and nc > 1:
-            # per-pair-type soft sphere (ref: pair_ss_cut_ij.c; vector
-            # keys hold the upper triangle by type pair)
-            from ludwig_tpu.interactions import soft_sphere_ij_forces
-            nt = rt.int("pair_ss_cut_ij_ntypes", 1)
-            tri = [(i, j) for i in range(nt) for j in range(i, nt)]
-
-            def _mat(key):
-                vals = rt.double_vector(key, (0.0,) * len(tri))
-                m = np.zeros((nt, nt))
-                for (i, j), v in zip(tri, vals):
-                    m[i, j] = m[j, i] = v
-                return m
-            eps_m, sig_m = _mat("pair_ss_cut_ij_epsilon"), \
-                _mat("pair_ss_cut_ij_sigma")
-            nu_m, hc_m = _mat("pair_ss_cut_ij_nu"), \
-                _mat("pair_ss_cut_ij_hc")
-            it = np.array(itypes + [0] * (nc - len(itypes)), int)
-            epp, spp = eps_m[np.ix_(it, it)], sig_m[np.ix_(it, it)]
-            npp, hpp = nu_m[np.ix_(it, it)], hc_m[np.ix_(it, it)]
-            # guard zeros to keep the arithmetic finite where eps == 0
-            spp = np.where(spp == 0.0, 1.0, spp)
-            hpp = np.where(hpp == 0.0, 1.0, hpp)
-            ah_arr2 = jnp.asarray(np.array(ah))
-            force_terms.append(lambda R, V: soft_sphere_ij_forces(
-                R, ah_arr2, size, epp, spp, npp, hpp)[0])
-        if rt.int("soft_sphere_on", 0) and nc > 1:
-            from ludwig_tpu.interactions import soft_sphere_forces
-            eps_ = rt.double_required("soft_sphere_epsilon")
-            sig_ = rt.double_required("soft_sphere_sigma")
-            nu_ = rt.double_required("soft_sphere_nu")
-            hc_ = rt.double_required("soft_sphere_cutoff")
-            ah_arr = jnp.asarray(np.array(ah))
-            force_terms.append(lambda R, V: soft_sphere_forces(
-                R, ah_arr, size, eps_, sig_, nu_, hc_)[0])
-        force_fn = None
-        if force_terms:
-            def force_fn(R, V):
-                out = force_terms[0](R, V)
-                for ft in force_terms[1:]:
-                    out = out + ft(R, V)
-                return out
+    _colloids = _parse_colloids(rt, size, rho0, eta)
+    if fe_name in ("none", "symmetric") and _colloids is not None:
+        from ludwig_tpu.colloids import make_colloid_step
+        cparams, rr, vv, typ, al, force_fn, _qq = _colloids
         f = _distribution_init(rt, lb_cfg)
         from ludwig_tpu.colloids import ColloidState
         R0 = jnp.asarray(np.array(rr), lb_cfg.jdtype)
@@ -914,10 +976,10 @@ def build_system(rt: RunTime) -> System:
         state = ColloidState(
             f, R0,
             jnp.asarray(np.array(vv), lb_cfg.jdtype),
-            jnp.zeros((nc, 3), lb_cfg.jdtype),
-            jnp.zeros((nc, 3), lb_cfg.jdtype),    # dr (deferred move)
+            jnp.zeros((cparams.n, 3), lb_cfg.jdtype),
+            jnp.zeros((cparams.n, 3), lb_cfg.jdtype),  # dr (deferred move)
             jnp.array(R0),                        # map/link positions
-            jnp.asarray(np.array(mm), lb_cfg.jdtype))
+            jnp.asarray(np.array(cparams.m), lb_cfg.jdtype))
         if nz is not None and nz.kiss and nz.rho:
             from ludwig_tpu.noise_kiss import kiss_init
             state = ColloidState(*state[:7], noise=kiss_init(0, size))
@@ -979,6 +1041,19 @@ def build_system(rt: RunTime) -> System:
     raise ValueError(f"free_energy '{fe_name}' not implemented yet")
 
 
+
+def _lc_efield_adjust(fe, q5, coswt):
+    """fed adjustment so the electric term scales with coswt^2
+    (full fed carries coswt == 1; ref: blue_phase.c:387-389)."""
+    if not (any(fe.e0) and fe.epsilon):
+        return 0.0
+    from ludwig_tpu.fe.blue_phase import q5_to_q33
+    q = q5_to_q33(q5)
+    ef = sum(fe.e0[a] * q[a][b] * fe.e0[b]
+             for a in range(3) for b in range(3))
+    return (1.0 - coswt * coswt) * fe.epsilon * ef
+
+
 def _make_stats_fn(sys_: System):
     """One jitted program computing every reported scalar (eager stats
     would pay a device round-trip per op)."""
@@ -996,7 +1071,12 @@ def _make_stats_fn(sys_: System):
     cpar = sys_.colloid_params
 
     @jax.jit
-    def compute(state, u, prev):
+    def compute(state, u, prev, coswt=1.0):
+        # coswt: phase of the external electric field as the HOST stats
+        # see it.  The reference's fe params live in a calloc'd struct
+        # whose coswt stays 0.0 until the first device commit inside the
+        # time loop, so the t=0 statistics exclude the E-field free
+        # energy (ref: blue_phase.c fe_lc_create/fe_lc_param_commit).
         # prev: order-parameter fields from the top of the step - the
         # reference's statistics mix the CURRENT field values with the
         # gradients computed before the update (ludwig.c loop order).
@@ -1016,7 +1096,7 @@ def _make_stats_fn(sys_: System):
                 pid, inside = build_map(R, cpar, sys_.lb_cfg.size)
                 fl = jnp.logical_not(inside)
                 gc = total_colloid_momentum(V, cpar, f.dtype)
-            res = {"rho": stats.rho_stats(f, model, fl),
+            res = {"rho": stats.rho_stats_ref(f, model, fl),
                    "g": stats.momentum_total(f, model, fl),
                    "gc": gc,
                    "umm": stats.velocity_minmax(u, fl)}
@@ -1042,6 +1122,50 @@ def _make_stats_fn(sys_: System):
                 fed = bcfg.fe.fed(fields)
                 res["fe_colloid"] = (jnp.sum(jnp.where(fl, fed, 0.0)),
                                      jnp.sum(fl.astype(fed.dtype)))
+            if sys_.lc_cfg is not None:
+                # LC + colloids: fluid-masked Q stats and the surface
+                # free energy over the particle boundary (ref:
+                # fe_lc_stats.c fe_lc_colloid)
+                from ludwig_tpu.lc_colloid import lc_colloid_surface_fe
+                lcfg = sys_.lc_cfg
+                q5 = state[7]
+                res["q5"] = [stats.field_stats(q5[n], fl)
+                             for n in range(5)]
+                fields = {"q": q5, "grad_q": state[9],
+                          "delsq_q": state[10]}
+                fed = lcfg.fe.fed(fields) + _lc_efield_adjust(
+                    lcfg.fe, q5, coswt)
+                ftot = jnp.sum(jnp.where(fl, fed, 0.0))
+                vol = jnp.sum(fl.astype(fed.dtype))
+                fs, area = lc_colloid_surface_fe(
+                    lcfg.fe, lcfg.anchoring, q5, pid, inside,
+                    state[5], sys_.lb_cfg.size)
+                res["fe_lc_coll"] = (ftot, vol, fs, area)
+            if sys_.electro_cfg is not None:
+                # electro + colloids: particle charge densities are
+                # refreshed before the psi statistics (ref:
+                # ludwig.c:2372 psi_colloid_rho_set before psi_stats)
+                from ludwig_tpu.electro import fe_electro_fed, rho_elec
+                from ludwig_tpu.electro_colloid import (colloid_rho_set,
+                                                        zeta_potential)
+                ek = sys_.electro_cfg.ek
+                psi, rhok, deltaq = state[7], state[8], state[10]
+                qc = jnp.asarray(np.array(sys_.colloid_charge,
+                                          np.float64), psi.dtype)
+                rhok = colloid_rho_set(rhok, inside, pid, qc, deltaq,
+                                       ek.nk)
+
+                def tmm(x):
+                    return (jnp.sum(x), jnp.min(x), jnp.max(x))
+
+                res["psi3"] = tmm(psi)
+                res["rhok"] = [tmm(rhok[k]) for k in range(ek.nk)]
+                res["elc"] = tmm(rho_elec(rhok, ek))
+                fed = fe_electro_fed(rhok, ek, psi)
+                res["fe_colloid"] = (jnp.sum(jnp.where(fl, fed, 0.0)),
+                                     jnp.sum(fl.astype(fed.dtype)))
+                if cpar.n == 1:
+                    res["psi_zeta"] = zeta_potential(psi, fl, inside)
             return res
         res = {"rho": stats.rho_stats_ref(f, model, mask),
                "g": stats.momentum_total(f, model, mask),
@@ -1195,7 +1319,8 @@ def _make_stats_fn(sys_: System):
                       else (False,) * 3)
                 fields = lc_fields(q5, lcfg.gradient,
                                    anchoring=lcfg.anchoring, walls=w3)
-            fed = lcfg.fe.fed(fields)
+            fed = lcfg.fe.fed(fields) + _lc_efield_adjust(
+                lcfg.fe, q5, coswt)
             if mask is None:
                 ftot = jnp.sum(fed)
                 vol = jnp.asarray(float(fed.size), fed.dtype)
@@ -1226,7 +1351,8 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
     """One statistics block set, reference formats.  The 'Completed
     cycle' trailer only appears inside the time loop (ref:
     ludwig.c:961)."""
-    res = jax.device_get(stats_fn(sys_.state, u, prev))
+    res = jax.device_get(stats_fn(sys_.state, u, prev,
+                                  1.0 if in_loop else 0.0))
 
     if "vcol" in res and in_loop:
         vmin, vmax = res["vcol"]
@@ -1245,7 +1371,17 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
         for k in range(len(res["rhok"])):
             out.write("[rho] " + _3(*res["rhok"][k]))
         out.write("[elc] " + _3(*res["elc"]))
-        out.write(stats.format_fed_block(tstep, *res["fed"]))
+        if "psi_zeta" in res:
+            out.write(f"[psi_zeta] {float(res['psi_zeta']):14.7e}\n")
+        if "fe_colloid" in res:
+            # ncolloid > 0, no area (ref: stats_free_energy.c:119-124)
+            fsum, vol = (float(v) for v in res["fe_colloid"])
+            out.write("\nFree energies - timestep f v f/v f_s a f_s/a\n")
+            out.write(f"[fe] {int(tstep):14d} {fsum:17.10e} "
+                      f"{vol:17.10e} {fsum / vol:17.10e} "
+                      f"{0.0:17.10e}\n")
+        else:
+            out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_binary or sys_.is_binary_lb:
         out.write(stats.format_phi_line("phi", *res["phi"]))
         if "fe_colloid" in res:
@@ -1293,7 +1429,20 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
         for n, name in enumerate(("Qxx", "Qxy", "Qxz", "Qyy", "Qyz")):
             out.write(stats.format_phi_line(name, *res["q5"][n]))
         out.write(stats.format_fed_block(tstep, *res["fed"]))
-    if sys_.is_lc:
+    if sys_.is_lc and "fe_lc_coll" in res:
+        # ncolloid > 0 (ref: fe_lc_stats.c:120-140)
+        for n, name in enumerate(("Qxx", "Qxy", "Qxz", "Qyy", "Qyz")):
+            out.write(stats.format_phi_line(name, *res["q5"][n]))
+        ftot, vol, fs, area = (float(v) for v in res["fe_lc_coll"])
+        out.write("\nFree energies - timestep f v f/v f_s a f_s/a\n")
+        if area > 0.0:
+            out.write(f"[fe] {int(tstep):14d} {ftot:17.10e} {vol:17.10e} "
+                      f"{ftot / vol:17.10e} {fs:17.10e} {area:17.10e} "
+                      f"{fs / area:17.10e}\n")
+        else:
+            out.write(f"[fe] {int(tstep):14d} {ftot:17.10e} {vol:17.10e} "
+                      f"{ftot / vol:17.10e} {fs:17.10e}\n")
+    elif sys_.is_lc:
         for n, name in enumerate(("Qxx", "Qxy", "Qxz", "Qyy", "Qyz")):
             out.write(stats.format_phi_line(name, *res["q5"][n]))
         ftot, vol, x3, x4 = (float(v) for v in res["fe_lc"])

@@ -92,6 +92,11 @@ def check_case(name: str, mode: str = "stats",
     ok, diffs = compare_logs(ref_text, out_text, mode=mode)
     if ok:
         return ok, diffs, out_text
+    if "xla_cpu_max_isa" in os.environ.get("XLA_FLAGS", ""):
+        # FMA contraction already forbidden at the ISA level: jitted
+        # arithmetic is bitwise-reference and a slow un-jitted rerun
+        # cannot change the verdict
+        return ok, diffs, out_text
     # near-miss: same line structure, numbers off by < 100x tolerance
     ref_only = [d[d.index("< ") + 2:] for d in diffs if " < " in d]
     out_only = [d[d.index("> ") + 2:] for d in diffs if " > " in d]

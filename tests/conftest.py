@@ -15,8 +15,13 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # forbid FMA instructions so LLVM cannot contract mul+add chains:
+    # jitted CPU arithmetic then reproduces the reference's plain
+    # mul/add double arithmetic bitwise (golden-parity contract)
+    flags = (flags + " --xla_cpu_max_isa=SSE4_2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -40,6 +40,10 @@ except Exception as e:
 def run_case(name, mode, timeout, workdir):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    xf = env.get("XLA_FLAGS", "")
+    if "xla_cpu_max_isa" not in xf:
+        # no FMA contraction: jitted runs match the reference bitwise
+        env["XLA_FLAGS"] = (xf + " --xla_cpu_max_isa=SSE4_2").strip()
     t0 = time.time()
     try:
         p = subprocess.run(
