@@ -115,6 +115,48 @@ class LCDropletFE:
             rows.append(jnp.stack(row))
         return jnp.stack(rows)
 
+    def stress_symm(self, fields, h=None):
+        """Symmetric part of the qh stress including the active term
+        (ref: lc_droplet.c fe_lc_droplet_str_symm)."""
+        phi = fields["phi"]
+        q = q5_to_q33(fields["q"])
+        if h is None:
+            h = self.molecular_field(fields)
+        xi = self.lc.xi
+        r3 = 1.0 / 3.0
+        qh = sum(q[a][b] * h[a][b] for a in range(3) for b in range(3))
+        fphi = 0.5 * (1.0 + phi)
+        rows = []
+        for a in range(3):
+            row = []
+            for b in range(3):
+                v = 2.0 * xi * (q[a][b] + (r3 if a == b else 0.0)) * qh
+                for c in range(3):
+                    v = v - xi * h[a][c] * (q[b][c] + (r3 if b == c else 0.0))
+                    v = v - xi * (q[a][c] + (r3 if a == c else 0.0)) * h[b][c]
+                if self.zeta0 or self.zeta1:
+                    v = v + fphi * (-(r3 * self.zeta0 if a == b else 0.0)
+                                    - self.zeta1 * q[a][b])
+                row.append(-v)
+            rows.append(jnp.stack(row))
+        return jnp.stack(rows)
+
+    def stress_anti(self, fields, h=None):
+        """Antisymmetric qh stress -(q_ac h_bc - h_ac q_bc)
+        (ref: lc_droplet.c fe_lc_droplet_str_anti)."""
+        q = q5_to_q33(fields["q"])
+        if h is None:
+            h = self.molecular_field(fields)
+        rows = []
+        for a in range(3):
+            row = []
+            for b in range(3):
+                v = sum(q[a][c] * h[b][c] - h[a][c] * q[b][c]
+                        for c in range(3))
+                row.append(-v)
+            rows.append(jnp.stack(row))
+        return jnp.stack(rows)
+
     def body_force(self, fields, mu, h):
         """F_a = -phi d_a mu - h_bc d_a Q_bc (ref: bf_kernel :820-905);
         the caller must subtract the mean (momentum correction)."""

@@ -36,6 +36,7 @@ class LCDropletConfig:
     gamma: float = 0.5            # Q rotational mobility (lc_Gamma)
     advection_order: int = 1
     gradient: str = "3d_7pt_fluid"
+    force_method: str = "stress_divergence"
 
 
 def droplet_fields(phi, q5, gradient: str):
@@ -61,9 +62,19 @@ def make_droplet_step(cfg: LCDropletConfig, solid=None):
         mu = cfg.fe.mu(fields)
         h = cfg.fe.molecular_field(fields)
 
-        # force: corrected body force + divergence of the qh stress
+        # force: corrected body force + divergence of the qh stress.
+        # With fe_force_method relaxation_antisymmetric only the
+        # antisymmetric stress is divergence-forced; the symmetric part
+        # relaxes inside the collision (ref: phi_force.c:101,
+        # collision.c:413 use_stress_relaxation).
         force = cfg.fe.body_force(fields, mu, h)
-        force = force + stress_divergence_force(cfg.fe.stress_qh(fields, h))
+        relax_anti = cfg.force_method == "relaxation_antisymmetric"
+        if relax_anti:
+            force = force + stress_divergence_force(
+                cfg.fe.stress_anti(fields, h))
+        else:
+            force = force + stress_divergence_force(
+                cfg.fe.stress_qh(fields, h))
         force = force.astype(f.dtype)
 
         phi = cahn_hilliard_update(phi, mu, u, ch, solid=solid)
@@ -77,7 +88,18 @@ def make_droplet_step(cfg: LCDropletConfig, solid=None):
         h_be = cfg.fe.molecular_field(fields_be)
         q5 = beris_edwards_update(q5, h_be, u, be, fluid_mask=fluid)
 
-        f, rho, u_new = collide(f, params, force=force, fluid_mask=fluid)
+        seq_extra = None
+        if relax_anti:
+            # the collision evaluates the symmetric stress AFTER the
+            # order-parameter updates: fresh phi/Q, stale gradients
+            # (ref: collision.c:417 str_symm_v reads current fields;
+            # field_grad only recomputed at the next loop top)
+            fields_c = dict(fields)
+            fields_c["phi"] = phi
+            fields_c["q"] = q5
+            seq_extra = cfg.fe.stress_symm(fields_c)
+        f, rho, u_new = collide(f, params, force=force, fluid_mask=fluid,
+                                seq_extra=seq_extra)
         f = stream_bounce_back(f, model, solid=solid, rho0=cfg.lb.rho0)
         return (f, phi, q5, u_new), rho
 

@@ -719,7 +719,8 @@ def build_system(rt: RunTime) -> System:
             mobility=rt.double("mobility", 0.05),
             gamma=rt.double("lc_Gamma", 0.5),
             advection_order=rt.int("fd_advection_scheme_order", 1),
-            gradient=rt.string("fd_gradient_calculation", "3d_7pt_fluid"))
+            gradient=rt.string("fd_gradient_calculation", "3d_7pt_fluid"),
+            force_method=rt.string("fe_force_method", "stress_divergence"))
         phi0 = _phi_init(rt, size, symm)
         amp = rt.double("lc_q_init_amplitude", lcfe.amplitude0)
         mode = rt.string("lc_q_initialisation", "nematic")
@@ -1097,7 +1098,7 @@ def _make_stats_fn(sys_: System):
                 fl = jnp.logical_not(inside)
                 gc = total_colloid_momentum(V, cpar, f.dtype)
             res = {"rho": stats.rho_stats_ref(f, model, fl),
-                   "g": stats.momentum_total(f, model, fl),
+                   "g": stats.momentum_total_ref(f, model, fl),
                    "gc": gc,
                    "umm": stats.velocity_minmax(u, fl)}
             # The reference prints "Particle statistics" from
@@ -1129,13 +1130,15 @@ def _make_stats_fn(sys_: System):
                 from ludwig_tpu.lc_colloid import lc_colloid_surface_fe
                 lcfg = sys_.lc_cfg
                 q5 = state[7]
-                res["q5"] = [stats.field_stats(q5[n], fl)
+                res["q5"] = [stats.field_stats_ref(q5[n], fl)
                              for n in range(5)]
                 fields = {"q": q5, "grad_q": state[9],
                           "delsq_q": state[10]}
                 fed = lcfg.fe.fed(fields) + _lc_efield_adjust(
                     lcfg.fe, q5, coswt)
-                ftot = jnp.sum(jnp.where(fl, fed, 0.0))
+                # sequential site-order sum as in the reference's
+                # fe_lc_stats accumulation (bitwise contract)
+                ftot = stats.seq_sum(fed, fl)
                 vol = jnp.sum(fl.astype(fed.dtype))
                 fs, area = lc_colloid_surface_fe(
                     lcfg.fe, lcfg.anchoring, q5, pid, inside,
@@ -1168,7 +1171,7 @@ def _make_stats_fn(sys_: System):
                     res["psi_zeta"] = zeta_potential(psi, fl, inside)
             return res
         res = {"rho": stats.rho_stats_ref(f, model, mask),
-               "g": stats.momentum_total(f, model, mask),
+               "g": stats.momentum_total_ref(f, model, mask),
                "umm": stats.velocity_minmax(u, mask)}
         if sys_.wallspec is not None:
             if sys_.is_binary:
@@ -1281,7 +1284,8 @@ def _make_stats_fn(sys_: System):
         if sys_.polar_cfg is not None:
             from ludwig_tpu.polar import polar_fields
             p = state[1]
-            res["pvec"] = [stats.field_stats(p[a], mask) for a in range(3)]
+            res["pvec"] = [stats.field_stats_ref(p[a], mask)
+                           for a in range(3)]
             fields = polar_fields(prev[0], sys_.polar_cfg.gradient)
             fields["p"] = p
             fed = sys_.polar_cfg.fe.fed(fields)
@@ -1292,8 +1296,9 @@ def _make_stats_fn(sys_: System):
             from ludwig_tpu.lc_droplet_sim import droplet_fields
             dcfg = sys_.droplet_cfg
             phi, q5 = state[1], state[2]
-            res["phi"] = stats.field_stats(phi, mask)
-            res["q5"] = [stats.field_stats(q5[n], mask) for n in range(5)]
+            res["phi"] = stats.field_stats_ref(phi, mask)
+            res["q5"] = [stats.field_stats_ref(q5[n], mask)
+                         for n in range(5)]
             fields = droplet_fields(prev[0], prev[1], dcfg.gradient)
             fields["phi"] = phi
             fields["q"] = q5
@@ -1308,7 +1313,8 @@ def _make_stats_fn(sys_: System):
         if sys_.lc_cfg is not None:
             lcfg = sys_.lc_cfg
             q5 = state[1]
-            res["q5"] = [stats.field_stats(q5[n], mask) for n in range(5)]
+            res["q5"] = [stats.field_stats_ref(q5[n], mask)
+                         for n in range(5)]
             if lcfg.keep_grads:
                 # the reference computes stats with the gradients from
                 # the top of the step (pre-BE-update q), ludwig.c loop

@@ -55,6 +55,68 @@ def _compensated_stats(x: jnp.ndarray,
     return total, mean, var, xmin, xmax
 
 
+def seq_sum(x: jnp.ndarray, fluid_mask: Optional[jnp.ndarray] = None):
+    """Sequential (site-order) sum, reproducing the reference's running
+    accumulation bitwise (masked sites add an exact 0.0)."""
+    flat = x.reshape(-1)
+    if fluid_mask is not None:
+        flat = jnp.where(fluid_mask.reshape(-1), flat, 0.0)
+
+    def body(s, v):
+        return s + v, ()
+
+    total, _ = jax.lax.scan(body, jnp.zeros((), flat.dtype), flat)
+    return total
+
+
+def field_stats_ref(x: jnp.ndarray,
+                    fluid_mask: Optional[jnp.ndarray] = None,
+                    klein: bool = True):
+    """(total, mean, var, min, max) with the reference's accumulation:
+    a site-order Klein doubly-compensated sum for the total (ref:
+    util_sum.c klein_add_double, used by stats_field_info) and a naive
+    site-order sum for the second moment; var = E[x^2] - E[x]^2.
+
+    klein=False gives plain site-order naive sums for both (the older
+    stats_field_reduce path, ref: phi_stats.c:346)."""
+    flat = x.reshape(-1)
+    if fluid_mask is None:
+        w = jnp.ones_like(flat)
+        n = jnp.asarray(float(flat.size), flat.dtype)
+        xmin, xmax = jnp.min(x), jnp.max(x)
+    else:
+        w = fluid_mask.reshape(-1).astype(flat.dtype)
+        n = jnp.sum(w)
+        xmin = jnp.min(jnp.where(fluid_mask, x, jnp.inf))
+        xmax = jnp.max(jnp.where(fluid_mask, x, -jnp.inf))
+    xm = w * flat
+
+    if klein:
+        def body(c, v):
+            s, cs, ccs, var = c
+            t = s + v
+            cc1 = jnp.where(jnp.abs(s) >= jnp.abs(v),
+                            (s - t) + v, (v - t) + s)
+            s = t
+            t2 = cs + cc1
+            cc2 = jnp.where(jnp.abs(cs) >= jnp.abs(cc1),
+                            (cs - t2) + cc1, (cc1 - t2) + cs)
+            return (s, t2, ccs + cc2, var + v * v), ()
+
+        z = jnp.zeros((), flat.dtype)
+        (s, cs, ccs, var), _ = jax.lax.scan(body, (z, z, z, z), xm)
+        total = s + cs + ccs
+    else:
+        def body(c, v):
+            s, var = c
+            return (s + v, var + v * v), ()
+
+        z = jnp.zeros((), flat.dtype)
+        (total, var), _ = jax.lax.scan(body, (z, z), xm)
+    mean = total / n
+    return total, mean, var / n - mean * mean, xmin, xmax
+
+
 def rho_stats(f: jnp.ndarray, model: LatticeModel,
               fluid_mask: Optional[jnp.ndarray] = None):
     """(total, mean, var, min, max) of density over fluid sites."""
@@ -108,6 +170,52 @@ def _two_sum(a, b):
     s = a + b
     bp = s - a
     return s, (a - (s - bp)) + (b - bp)
+
+
+def momentum_total_ref(f: jnp.ndarray, model: LatticeModel,
+                       fluid_mask: Optional[jnp.ndarray] = None):
+    """(3,) total momentum, reproducing the reference accumulation
+    bitwise: per site a sequential p-order fold of f_p c_pa, then a
+    site-order Kahan compensated sum (ref: stats_distribution.c
+    distribution_gm_kernel, util_sum.c kahan_add_double)."""
+    import numpy as np
+    nvel = model.nvel
+    cv = np.asarray(model.cv, np.float64)          # (nvel, 3)
+    # terms in the reference's accumulation order: site-major, p-minor.
+    # Every f_p c_pa term gets its own kahan update (zero c included);
+    # solid sites are SKIPPED entirely - a kahan add of 0.0 is not a
+    # no-op once the compensation is non-zero, so masking needs a real
+    # skip, not a zero contribution.
+    fsite = jnp.moveaxis(f[1:], 0, -1).reshape(-1, nvel - 1)
+    cvj = jnp.asarray(cv[1:], f.dtype)                     # (nv-1, 3)
+    terms = fsite[:, :, None] * cvj[None]                  # (nsite,nv-1,3)
+    flat = terms.reshape(-1, 3)
+
+    if fluid_mask is None:
+        def body(c, v):
+            s, cs = c
+            y = v + cs
+            t = s + y
+            cs = y - (t - s)
+            return (t, cs), ()
+
+        xs = flat
+    else:
+        keepm = jnp.repeat(fluid_mask.reshape(-1), nvel - 1)
+
+        def body(c, xv):
+            v, keep = xv
+            s, cs = c
+            y = v + cs
+            t = s + y
+            cs2 = y - (t - s)
+            return (jnp.where(keep, t, s), jnp.where(keep, cs2, cs)), ()
+
+        xs = (flat, keepm)
+
+    z = jnp.zeros((3,), f.dtype)
+    (tot, _), _ = jax.lax.scan(body, (z, z), xs)
+    return tot
 
 
 def momentum_total(f: jnp.ndarray, model: LatticeModel,
