@@ -65,8 +65,66 @@ def colloid_fe_force(pth, pid, inside, model, n_part):
     return jnp.stack(out)
 
 
+def phi_remove_replace_conserve(phi, inside_old, inside_new, pid_old,
+                                pid_new, model, n_part, phi0=0.0):
+    """Order-parameter bookkeeping over a change of discrete shape
+    (ref: build.c build_remove_order_parameter / _replace_order_parameter
+    FD branch / build_conservation_phi).
+
+    Newly-solid sites: deltaphi += (phi - phi0).  Newly-fluid sites:
+    phi <- wv-weighted average over previously-fluid neighbours,
+    deltaphi -= (phi_new - phi0).  The accumulated deltaphi is then put
+    back in equal shares onto every |c|=1 fluid link site."""
+    from ludwig_tpu.ops.stencil import roll3
+    newly_solid = jnp.logical_and(jnp.logical_not(inside_old), inside_new)
+    newly_fluid = jnp.logical_and(inside_old, jnp.logical_not(inside_new))
+    was_fluid = jnp.logical_not(inside_old).astype(phi.dtype)
+
+    dphi = [jnp.zeros((), phi.dtype) for _ in range(n_part)]
+    for n in range(n_part):
+        m = jnp.logical_and(newly_solid, pid_new == n).astype(phi.dtype)
+        dphi[n] = dphi[n] + jnp.sum(m * (phi - phi0))
+
+    # replacement average (wv-weighted over all neighbours fluid in the
+    # old map; ref: build_replace_order_parameter)
+    num = jnp.zeros_like(phi)
+    den = jnp.zeros_like(phi)
+    for p in range(1, model.nvel):
+        sh = tuple(-int(v) for v in model.cv[p])
+        wf = roll3(was_fluid, sh)
+        w = float(model.wv[p])
+        num = num + w * wf * roll3(phi, sh)
+        den = den + w * wf
+    avg = num / jnp.where(den > 0.0, den, 1.0)
+    use = jnp.logical_and(newly_fluid, den > 0.0)
+    phi = jnp.where(use, avg, phi)
+    for n in range(n_part):
+        m = jnp.logical_and(newly_fluid, pid_old == n).astype(phi.dtype)
+        dphi[n] = dphi[n] - jnp.sum(m * (phi - phi0))
+
+    # conservation put-back on |c|=1 fluid links of the NEW map
+    fluid = jnp.logical_not(inside_new)
+    masks = []
+    for ax in range(3):
+        for sgn in (+1, -1):
+            sh = [0, 0, 0]
+            sh[ax] = -sgn
+            nb_in = roll3(inside_new, tuple(sh))
+            pid_n = roll3(pid_new, tuple(sh))
+            masks.append((jnp.logical_and(fluid, nb_in), pid_n))
+    for n in range(n_part):
+        mlist = [jnp.logical_and(m, p == n) for (m, p) in masks]
+        saf = sum(jnp.sum(m.astype(phi.dtype)) for m in mlist)
+        share = jnp.where(saf > 0.0, dphi[n] / jnp.where(saf > 0.0, saf,
+                                                         1.0), 0.0)
+        for m in mlist:
+            phi = phi + jnp.where(m, share, 0.0)
+    return phi
+
+
 def make_binary_colloid_step(bcfg: BinaryConfig, params: ColloidParams,
-                             rebuild_freq: int = 1, force_fn=None):
+                             rebuild_freq: int = 1, force_fn=None,
+                             phi_ref: float = 0.0):
     """Jitted step for (ColloidState..., phi, u)."""
     cfg = bcfg.lb
     model = cfg.model
@@ -88,6 +146,9 @@ def make_binary_colloid_step(bcfg: BinaryConfig, params: ColloidParams,
             f, deltam, f0c, t0c = remove_replace(
                 f, R, V, W, inside_old, pid_old, inside, pid, model,
                 params, size, rho0=cfg.rho0)
+            phi = phi_remove_replace_conserve(
+                phi, inside_old, inside, pid_old, pid, model, params.n,
+                phi0=phi_ref)
         else:
             pid, inside = build_map(Rmap, params, size)
             deltam = f0c = t0c = None

@@ -140,10 +140,13 @@ def _phi_init(rt: RunTime, size, fe) -> np.ndarray:
                     + z[None, None, :] ** 2)
         return amp * np.tanh((r - radius) / fe.xi0)
     if mode == "block":
-        # phases separated in z (ref: field_phi_init_block)
-        z = np.arange(size[2]) + 0.5 - 0.5 * size[2]
+        # slab with interfaces at z = L/4 and 3L/4
+        # (ref: field_phi_init.c field_phi_init_block)
+        z = np.arange(1, size[2] + 1, dtype=np.float64)
+        lz = float(size[2])
         xi = fe.xi0
-        prof = np.tanh(z / xi)
+        prof = np.where(z > 0.5 * lz, np.tanh((z - 0.75 * lz) / xi),
+                        -np.tanh((z - 0.25 * lz) / xi))
         return np.broadcast_to(prof[None, None, :], size).copy()
     raise ValueError(f"phi_initialisation '{mode}' not implemented")
 
@@ -279,6 +282,7 @@ def _parse_colloids(rt, size, rho0, eta):
     if not (cinit.startswith("input_") or cinit == "from_file"):
         return None
     qq = []
+    angles = []
     from ludwig_tpu.colloids import ColloidParams, make_colloid_step
     a0, ah, rr, vv = [], [], [], []
     b1, b2, mm, typ = [], [], [], []
@@ -344,10 +348,16 @@ def _parse_colloids(rt, size, rho0, eta):
             itypes.append(rt.int(f"colloid_{nm}_interact_type", 0))
             qq.append((rt.double(f"colloid_{nm}_q0", 0.0),
                        rt.double(f"colloid_{nm}_q1", 0.0)))
+            mybonds = []
             for bi in range(rt.int(f"colloid_{nm}_nbonds", 0)):
                 other = rt.int(f"colloid_{nm}_bond{bi + 1}", 0) - 1
+                mybonds.append(other)
                 if other > ni:   # record each bond once
                     bonds.append((ni, other))
+            if rt.int(f"colloid_{nm}_nangles", 0) and len(mybonds) >= 2:
+                # the single supported angle spans the two bonds
+                # (ref: angle_cosine.c:161-167)
+                angles.append((mybonds[0], ni, mybonds[1]))
     grav = tuple(rt.double_vector("colloid_gravity", (0.0, 0.0, 0.0)))
     if rt.switch("calibration", False):
         # hydrodynamic-radius calibration: drive the single particle
@@ -369,6 +379,12 @@ def _parse_colloids(rt, size, rho0, eta):
     # pairwise/bond interactions -> per-particle force callback
     # (ref: interact_compute, interaction.c:182)
     force_terms = []
+    if rt.int("angle_cosine_on", 0) and angles:
+        from ludwig_tpu.interactions import angle_cosine_forces
+        ak = rt.double_required("angle_cosine_k")
+        aarr = np.array(angles, np.int32)
+        force_terms.append(lambda R, V: angle_cosine_forces(
+            R, size, aarr, ak))
     if rt.int("bond_fene_on", 0) and bonds:
         from ludwig_tpu.interactions import fene_bond_forces
         fk = rt.double_required("bond_fene_k")
@@ -468,6 +484,15 @@ def build_system(rt: RunTime) -> System:
     solid = solid_mask(lb_cfg, porous=porous)
 
     fe_name = rt.string("free_energy", "none")
+
+    # composition-dependent viscosity (ref: visc_rt.c, visc_arrhenius.c)
+    visc_model = None
+    if rt.string("viscosity_model", "newtonian") == "arrhenius":
+        from ludwig_tpu.visc import ViscArrhenius
+        visc_model = ViscArrhenius(
+            eta_minus=rt.double_required("viscosity_arrhenius_eta_minus"),
+            eta_plus=rt.double_required("viscosity_arrhenius_eta_plus"),
+            phistar=rt.double("viscosity_arrhenius_phistar", 1.0))
 
     if fe_name == "brazovskii":
         from ludwig_tpu.fe.brazovskii import BrazovskiiFE
@@ -588,10 +613,15 @@ def build_system(rt: RunTime) -> System:
         fe = SymmetricFE(a=rt.double_required("A"),
                          b=rt.double_required("B"),
                          kappa=rt.double_required("K"))
+        grad2 = rt.string("fd_gradient_calculation", "3d_27pt_fluid")
+        if grad2 == "3d_27pt_solid":
+            # no solid sites: reduces to the fluid 27pt stencil
+            # (ref: gradient_3d_27pt_solid.c:5-7)
+            grad2 = "3d_27pt_fluid"
         l2cfg = BinaryLBConfig(
             lb=lb_cfg, fe=fe,
             mobility=rt.double("mobility", 0.15),
-            gradient=rt.string("fd_gradient_calculation", "3d_27pt_fluid"))
+            gradient=grad2)
         phi0 = _phi_init(rt, size, fe)
         state = initial_binary_lb(l2cfg, phi0)
         step = make_binary_lb_step(l2cfg)
@@ -613,7 +643,8 @@ def build_system(rt: RunTime) -> System:
             gradient=rt.string("fd_gradient_calculation", default_grad),
             hydrodynamics=rt.switch("hydrodynamics", True),
             force_method=rt.string("fe_force_method", "stress_divergence"),
-            gradmu_ex=tuple(rt.double_vector("grad_mu", (0.0, 0.0, 0.0))))
+            gradmu_ex=tuple(rt.double_vector("grad_mu", (0.0, 0.0, 0.0))),
+            visc_model=visc_model)
         if (bcfg.gradient == "3d_27pt_solid" and solid is None
                 and not any(walls)):
             # no solid sites anywhere: the solid stencil reduces to the
@@ -970,7 +1001,7 @@ def build_system(rt: RunTime) -> System:
             step = make_binary_colloid_step(
                 bcfg, cparams,
                 rebuild_freq=rt.int("colloid_rebuild_freq", 1),
-                force_fn=force_fn)
+                force_fn=force_fn, phi_ref=rt.double("phi0", 0.0))
             return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg,
                           solid=None, state=state, step_fn=step,
                           colloid_params=cparams)
@@ -1112,7 +1143,7 @@ def _make_stats_fn(sys_: System):
                 # fluid-masked, stale start-of-step gradients)
                 from ludwig_tpu.ops.solid_stencil import solid27_scalar_ops
                 phi = state[7]
-                res["phi"] = stats.field_stats(phi, fl)
+                res["phi"] = stats.field_stats_ref(phi, fl, klein="kahan")
                 grad, delsq = solid27_scalar_ops(
                     sys_.lb_cfg.size, fluid=fl,
                     rkappa=1.0 / bcfg.fe.kappa, c=bcfg.wetting[0],

@@ -71,7 +71,7 @@ def seq_sum(x: jnp.ndarray, fluid_mask: Optional[jnp.ndarray] = None):
 
 def field_stats_ref(x: jnp.ndarray,
                     fluid_mask: Optional[jnp.ndarray] = None,
-                    klein: bool = True):
+                    klein="klein"):
     """(total, mean, var, min, max) with the reference's accumulation:
     a site-order Klein doubly-compensated sum for the total (ref:
     util_sum.c klein_add_double, used by stats_field_info) and a naive
@@ -91,7 +91,7 @@ def field_stats_ref(x: jnp.ndarray,
         xmax = jnp.max(jnp.where(fluid_mask, x, -jnp.inf))
     xm = w * flat
 
-    if klein:
+    if klein is True or klein == "klein":
         def body(c, v):
             s, cs, ccs, var = c
             t = s + v
@@ -106,6 +106,23 @@ def field_stats_ref(x: jnp.ndarray,
         z = jnp.zeros((), flat.dtype)
         (s, cs, ccs, var), _ = jax.lax.scan(body, (z, z, z, z), xm)
         total = s + cs + ccs
+    elif klein == "kahan":
+        # single-compensation in site order with a true skip of masked
+        # sites (ref: cahn_hilliard_stats.c cahn_stats_kahan_sum_kernel)
+        keep = (jnp.ones_like(flat, dtype=bool) if fluid_mask is None
+                else fluid_mask.reshape(-1))
+
+        def body(c, xv):
+            v, k = xv
+            s, cs, var = c
+            y = v + cs
+            t = s + y
+            cs2 = y - (t - s)
+            return (jnp.where(k, t, s), jnp.where(k, cs2, cs),
+                    var + v * v), ()
+
+        z = jnp.zeros((), flat.dtype)
+        (total, _, var), _ = jax.lax.scan(body, (z, z, z), (xm, keep))
     else:
         def body(c, v):
             s, var = c
