@@ -74,6 +74,7 @@ class ColloidState(NamedTuple):
     Rmap: jnp.ndarray     # positions at the last map/link rebuild
     M: jnp.ndarray        # swimming directions (N, 3) (squirmers)
     noise: Optional[jnp.ndarray] = None   # KISS fluctuation state
+    gwall: Optional[jnp.ndarray] = None   # accumulated wall momentum
 
 
 def rotate_vector(v, w):
@@ -227,7 +228,8 @@ def remove_replace(f, R, V, W, inside_old, pid_old, inside_new, pid_new,
 def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
              params: ColloidParams, size,
              ext_force=None, ext_torque=None, rho0: float = 1.0,
-             deltam=None, f0_corr=None, t0_corr=None, M=None):
+             deltam=None, f0_corr=None, t0_corr=None, M=None,
+             wall_drag=None, walls=(False, False, False)):
     """Bounce-back on links with the implicit velocity update.
 
     Returns (f_after_bbl, V_new, W_new, M_new, diag).
@@ -250,16 +252,39 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
     # bbl.c pass1 'else' branch, build.c:415-422)
     nvel = model.nvel
     link_mask = []     # (q) -> (X,Y,Z) bool: fluid links
-    link_cc = []       # (q) -> (X,Y,Z) bool: solid-solid links
+    link_cc = []       # (q) -> (X,Y,Z) bool: virtual links (solid-solid
+    #                    or across a wall plane; same arithmetic)
     link_pid = []      # owning particle at the inside end
+    link_wall = []     # (q) -> colloid-wall links (LINK_BOUNDARY)
     for q in range(1, nvel):
         c = model.cv[q]
         inside_n = roll3(inside, tuple(-int(v) for v in c))
         pid_n = roll3(pid, tuple(-int(v) for v in c))
-        link_mask.append(jnp.logical_and(fluid, inside_n))
+        # a link whose outside end wraps a walled axis is a colloid-wall
+        # link: LINK_BOUNDARY, virtual momentum transfer, no drag
+        # (ref: build.c:547, bbl.c pass1 'else').  The wrapped lattice
+        # value stands in for the wall-halo content exactly as the
+        # reference's periodic halo swap fills it.
+        crossnp = np.zeros(tuple(size), bool)
+        for a in range(3):
+            if walls[a] and int(c[a]) != 0:
+                sel = [slice(None)] * 3
+                sel[a] = (size[a] - 1) if int(c[a]) > 0 else 0
+                crossnp[tuple(sel)] = True
+        if crossnp.any():
+            cross = jnp.asarray(crossnp)
+            link_mask.append(jnp.logical_and(
+                jnp.logical_and(fluid, inside_n),
+                jnp.logical_not(cross)))
+            link_wall.append(jnp.logical_and(cross, inside_n))
+        else:
+            link_mask.append(jnp.logical_and(fluid, inside_n))
+            link_wall.append(None)
         link_cc.append(jnp.logical_and(
             jnp.logical_and(inside, pid != pid_n), inside_n))
         link_pid.append(pid_n)
+
+    gw_acc = [jnp.zeros((), f.dtype) for _ in range(3)]
 
     # Gather per-particle link sums (loop over N: small fixed capacity).
     mass = jnp.asarray([(4.0 / 3.0) * np.pi * params.rho0 * a ** 3
@@ -368,6 +393,27 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
             for a in range(3):
                 f0[a] = f0[a] + float(c[a]) * jnp.sum(mskc * dmcc)
                 t0[a] = t0[a] + jnp.sum(mskc * dmcc * rbxc[a])
+            if link_wall[qi] is not None:
+                # colloid-wall link (LINK_BOUNDARY; ref: bbl.c pass1
+                # 'else' virtual transfer).  The halo beyond the wall
+                # holds the periodic image, which the reference's halo
+                # swap fills before the BBL - the rolled lattice value.
+                mw = jnp.logical_and(link_wall[qi],
+                                     link_pid[qi] == n).astype(f.dtype)
+                rq = int(model.reverse[q])
+                shn = tuple(-int(v) for v in model.cv[q])
+                dmw = f[q] + roll3(f[rq], shn)
+                for a in range(3):
+                    f0[a] = f0[a] + float(c[a]) * jnp.sum(mw * dmw)
+                    t0[a] = t0[a] + jnp.sum(mw * dmw * rbxc[a])
+                # the wall's own link list accounts the same link with
+                # the opposite orientation (ref: wall.c wall_bbl_kernel
+                # MAP_COLLOID branch): fp = f_colloid(ij) + f_wall(ji),
+                # direction ij pointing INTO the domain = -c here
+                fpw = roll3(f[q], shn) + f[rq]
+                for a in range(3):
+                    gw_acc[a] = gw_acc[a] + float(c[a]) * jnp.sum(
+                        mw * (fpw - 2.0 * w))
             geoms.append((m, c, w, rb, rbxc))
 
         # apply the slip to the outgoing distributions (ref: fdist += dm_a)
@@ -406,6 +452,11 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
                                   for ib in range(6)]) for ia in range(6)])
         A = A + jnp.diag(jnp.concatenate([jnp.full((3,), mass[n]),
                                           jnp.full((3,), moment[n])]))
+        if wall_drag is not None:
+            # wall lubrication correction on the translational diagonal
+            # (ref: bbl.c:789-805 a[i][i] = mass + zeta - dwall)
+            A = A - jnp.diag(jnp.concatenate([wall_drag[n],
+                                              jnp.zeros((3,), f.dtype)]))
         fe = jnp.zeros(3, f.dtype) if ext_force is None else ext_force[n]
         te = jnp.zeros(3, f.dtype) if ext_torque is None else ext_torque[n]
         if f0_corr is not None:
@@ -459,7 +510,7 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
             fout = fout.at[qr].set(
                 jnp.where(mask_at_j, val_at_j, fout[qr]))
 
-    return fout, Vn, Wn, Mn, (pid, inside)
+    return fout, Vn, Wn, Mn, jnp.stack(gw_acc)
 
 
 def refresh_inside(f, model: LatticeModel, inside, ub, rho0=1.0):
@@ -477,8 +528,60 @@ def refresh_inside(f, model: LatticeModel, inside, ub, rho0=1.0):
     return out.at[0].set(f[0])
 
 
+def wall_lubr_sphere_all(R, params: ColloidParams, walls, lubr_rc,
+                         lubr_dh, eta, size, dtype):
+    """(N, 3) per-axis wall lubrication drag corrections
+    (ref: wall.c wall_lubr_sphere / wall_lubr_drag).  Positions are
+    0-based (reference 1-based minus one; lmin = 0.5)."""
+    out = []
+    for n in range(params.n):
+        row = []
+        for a in range(3):
+            zeta = jnp.zeros((), dtype)
+            if walls[a] and lubr_rc[a] > 0.0:
+                ah = params.ah[n]
+                hb = R[n, a] + 0.5 - lubr_dh[a] - ah
+                ht = float(size[a]) - 0.5 - lubr_dh[a] - R[n, a] - ah
+                for h in (hb, ht):
+                    z = -6.0 * np.pi * eta * ah * ah * (1.0 / h
+                                                        - 1.0 / lubr_rc[a])
+                    zeta = zeta + jnp.where(h < lubr_rc[a], z, 0.0)
+            row.append(zeta)
+        out.append(jnp.stack(row))
+    return jnp.stack(out)
+
+
+def wall_ss_cut_forces(R, params: ColloidParams, walls, epsilon, sigma,
+                       nu, hc, size, dtype):
+    """(N, 3) soft-sphere wall forces (ref: wall_ss_cut.c
+    wall_ss_cut_compute/_single); the wall reaction is the negative
+    sum."""
+    rsigma = 1.0 / sigma
+    vcut_d = -epsilon * nu * rsigma * (sigma / hc) ** (nu + 1.0)
+    out = []
+    for n in range(params.n):
+        row = []
+        ah = params.ah[n]
+        for a in range(3):
+            fa = jnp.zeros((), dtype)
+            if walls[a]:
+                hb = (R[n, a] + 0.5) - ah          # lower wall surface gap
+                ht = (float(size[a]) - 0.5 - R[n, a]) - ah
+                fl = -(-epsilon * nu * rsigma * (sigma / hb) ** (nu + 1.0)
+                       - vcut_d)
+                fu = -(-epsilon * nu * rsigma * (sigma / ht) ** (nu + 1.0)
+                       - vcut_d)
+                fa = fa + jnp.where(hb < hc, fl, 0.0)
+                fa = fa - jnp.where(ht < hc, fu, 0.0)
+            row.append(fa)
+        out.append(jnp.stack(row))
+    return jnp.stack(out)
+
+
 def make_colloid_step(cfg: LBConfig, params: ColloidParams,
-                      rebuild_freq: int = 1, force_fn=None):
+                      rebuild_freq: int = 1, force_fn=None,
+                      wallspec=None, lubr_rc=(0.0,) * 3,
+                      lubr_dh=(0.0,) * 3, wall_ss=None):
     """Jitted colloid+fluid step.
 
     State: ColloidState.  Sequence per reference ludwig.c:
@@ -497,10 +600,13 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
     kiss_rho = (cfg.noise is not None and cfg.noise.kiss
                 and cfg.noise.rho)
 
+    has_walls = wallspec is not None and wallspec.any
+
     @partial(jax.jit, static_argnums=2, donate_argnums=0)
     def _step(state, t, rebuild):
         f, R, V, W, dr, Rmap, Msw = state[:7]
-        nstate = state[7] if kiss_rho else None
+        nstate = state.noise if kiss_rho else None
+        gwall = state.gwall
         # 1. move particles by dr = (v_old + v_new)/2 set at the END of
         #    the previous step's implicit update (ref: bbl.c:912 s.dr,
         #    colloids.c:1055 position update - this happens EVERY step,
@@ -562,27 +668,69 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         ext = jnp.tile(grav[None], (params.n, 1))
         if force_fn is not None:
             ext = ext + force_fn(R, V).astype(ext.dtype)
+        dwall = None
+        if has_walls:
+            if wall_ss is not None:
+                # soft-sphere wall potential; reaction momentum goes to
+                # the wall account (ref: wall_ss_cut.c:wall_momentum_add)
+                fss = wall_ss_cut_forces(R, params, wallspec.walls,
+                                         wall_ss["epsilon"],
+                                         wall_ss["sigma"], wall_ss["nu"],
+                                         wall_ss["hc"], size, f.dtype)
+                ext = ext + fss
+                gwall = gwall - jnp.sum(fss, axis=0)
+            if any(r > 0.0 for r in lubr_rc):
+                dwall = wall_lubr_sphere_all(R, params, wallspec.walls,
+                                             lubr_rc, lubr_dh,
+                                             cfg.eta_shear, size, f.dtype)
         Vold = V
         # link geometry is from the last rebuild position Rmap
-        f, V, W, Msw, _ = bbl_step(f, Rmap, V, W, model, params, size,
-                                   ext_force=ext, rho0=cfg.rho0,
-                                   deltam=deltam, f0_corr=f0c,
-                                   t0_corr=t0c, M=Msw)
+        f, V, W, Msw, gwbb = bbl_step(
+            f, Rmap, V, W, model, params, size,
+            ext_force=ext, rho0=cfg.rho0,
+            deltam=deltam, f0_corr=f0c,
+            t0_corr=t0c, M=Msw, wall_drag=dwall,
+            walls=(wallspec.walls if has_walls else (False,) * 3))
+        if has_walls:
+            gwall = gwall + gwbb
+        if dwall is not None:
+            # lubrication momentum account with the NEW velocity
+            # (ref: bbl.c bbl_wall_lubrication_account)
+            gwall = gwall - jnp.sum(V * dwall, axis=0)
         dr = 0.5 * (Vold + V)   # deferred position update (ref: bbl.c:912)
 
         # 4. propagate (periodic; BBL already wrote boundary values)
-        f = stream(f, model)
+        if has_walls:
+            # account the wall's gain as exactly what the fluid loses
+            # in the bounce-back, so [total] stays conserved to
+            # round-off (the reference's kahan per-link fnet is the
+            # same value; ref: wall.c:941-949)
+            from ludwig_tpu.ops.walls import wall_bounce_back
+            from ludwig_tpu.stats import momentum_total
+            f_post = f
+            f = stream(f, model)
+            g_pre = momentum_total(f, model)
+            f, _, _ = wall_bounce_back(f, f_post, model, wallspec,
+                                       rho0=cfg.rho0)
+            gwall = gwall + (g_pre - momentum_total(f, model))
+        else:
+            f = stream(f, model)
         return ColloidState(f, R, V, W, dr, Rmap, Msw,
-                            noise=nstate), (rho, u)
+                            noise=nstate, gwall=gwall), (rho, u)
 
     def step(state, t=0):
         if len(state) == 6:   # legacy tuple without swim directions
             mm = (np.array(params.m, np.float64) if params.m
                   else np.tile([1.0, 0.0, 0.0], (params.n, 1)))
             state = state + (jnp.asarray(mm, state[0].dtype),)
-        if kiss_rho and (len(state) < 8 or state[7] is None):
+        if not isinstance(state, ColloidState):
+            state = ColloidState(*state)
+        if kiss_rho and state.noise is None:
             from ludwig_tpu.noise_kiss import kiss_init
-            state = ColloidState(*state[:7], noise=kiss_init(0, size))
+            state = state._replace(noise=kiss_init(0, size))
+        if has_walls and state.gwall is None:
+            state = state._replace(
+                gwall=jnp.zeros((3,), state.f.dtype))
         return _step(state, t, int(t) % rebuild_freq == 0)
 
     return step

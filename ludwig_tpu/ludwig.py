@@ -283,6 +283,7 @@ def _parse_colloids(rt, size, rho0, eta):
         return None
     qq = []
     angles = []
+    rngs = []
     from ludwig_tpu.colloids import ColloidParams, make_colloid_step
     a0, ah, rr, vv = [], [], [], []
     b1, b2, mm, typ = [], [], [], []
@@ -313,12 +314,22 @@ def _parse_colloids(rt, size, rho0, eta):
             mm.append((1.0, 0.0, 0.0))
             typ.append(rt.string("colloid_random_type", "default"))
     elif cinit == "from_file":
+        import os
         from ludwig_tpu.io.colloid_io import read_colloid_file
-        recs = read_colloid_file(rt.string("colloid_file_stub",
-                                           "config.cds") + ".init")
-        for rec in recs:
+        nstart = rt.int("N_start", 0)
+        if nstart > 0:
+            # restart: the config dump of the generating run
+            # (ref: colloid_io.c config.cds%8.8d.%3.3d-%3.3d)
+            stub = rt.string("colloid_file_stub", "config.cds")
+            path = f"{stub}{nstart:08d}.001-001"
+        else:
+            stub = rt.string("colloid_file_stub", "config.cds") + ".init"
+            path = stub if os.path.exists(stub) else stub + ".001-001"
+        recs = read_colloid_file(path)
+        for ni, rec in enumerate(recs):
             a0.append(rec["a0"])
             ah.append(rec["ah"])
+            al.append(rec.get("al", 0.0))
             rr.append([c - 1.0 for c in rec["r"]])
             vv.append(tuple(rec["v"]))
             b1.append(rec["b1"])
@@ -327,6 +338,11 @@ def _parse_colloids(rt, size, rho0, eta):
             mm.append(tuple(mv) if any(mv) else (1.0, 0.0, 0.0))
             typ.append({0: "default", 1: "active",
                         2: "subgrid"}.get(rec["type"], "default"))
+            rngs.append(rec.get("rng", 1 + ni))
+            for bi in range(rec.get("nbonds", 0)):
+                other = rec["bond"][bi] - 1
+                if other > ni:   # record each bond once
+                    bonds.append((ni, other))
         nc = len(recs)
     else:
         nc = {"input_one": 1, "input_two": 2, "input_three": 3}[cinit]
@@ -436,7 +452,9 @@ def _parse_colloids(rt, size, rho0, eta):
             return out
     if len(qq) < len(rr):
         qq = qq + [(0.0, 0.0)] * (len(rr) - len(qq))
-    return cparams, rr, vv, typ, al, force_fn, qq
+    if len(rngs) < len(rr):
+        rngs = rngs + [1 + i for i in range(len(rngs), len(rr))]
+    return cparams, rr, vv, typ, al, force_fn, qq, rngs
 
 
 def build_system(rt: RunTime) -> System:
@@ -873,7 +891,7 @@ def build_system(rt: RunTime) -> System:
             # q-tensor branch; pth_force_colloid; fe_lc_stats.c)
             from ludwig_tpu.lc_colloid import (initial_lc_colloid,
                                                make_lc_colloid_step)
-            cparams, rr, vv, typ, al, force_fn, _qq = _colloids
+            cparams, rr, vv, typ, al, force_fn, _qq, _rngs = _colloids
             state = initial_lc_colloid(lcfg, cparams, q5, rr, vv)
             step = make_lc_colloid_step(
                 lcfg, cparams,
@@ -938,7 +956,7 @@ def build_system(rt: RunTime) -> System:
             from ludwig_tpu.electro_colloid import (
                 colloid_rho_set, initial_electro_colloid,
                 make_electro_colloid_step)
-            cparams, rr, vv, typ, al, force_fn, qq = _colloids
+            cparams, rr, vv, typ, al, force_fn, qq, _rngs = _colloids
             pid, inside = build_map(jnp.asarray(np.array(rr), jd),
                                     cparams, size)
             rho_j = colloid_rho_set(
@@ -969,15 +987,22 @@ def build_system(rt: RunTime) -> System:
     _colloids = _parse_colloids(rt, size, rho0, eta)
     if fe_name in ("none", "symmetric") and _colloids is not None:
         from ludwig_tpu.colloids import make_colloid_step
-        cparams, rr, vv, typ, al, force_fn, _qq = _colloids
+        cparams, rr, vv, typ, al, force_fn, _qq, _rngs = _colloids
         f = _distribution_init(rt, lb_cfg)
         from ludwig_tpu.colloids import ColloidState
         R0 = jnp.asarray(np.array(rr), lb_cfg.jdtype)
         if typ and all(tp == "subgrid" for tp in typ):
             from ludwig_tpu.subgrid import make_subgrid_step
             state = (f, R0, jnp.asarray(np.array(vv), lb_cfg.jdtype))
+            if nz is not None and nz.kiss and nz.rho:
+                from ludwig_tpu.noise_kiss import kiss_init
+                state = state + (kiss_init(0, size),)
+            rng0 = None
+            if nz is not None and nz.rho:
+                rng0 = jnp.asarray(np.array(_rngs, np.int64))
+                state = state + (rng0,)
             step = make_subgrid_step(lb_cfg, cparams, al,
-                                     force_fn=force_fn)
+                                     force_fn=force_fn, rng0=rng0)
             return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
                           solid=None, state=state, step_fn=step,
                           colloid_params=cparams)
@@ -1015,12 +1040,36 @@ def build_system(rt: RunTime) -> System:
         if nz is not None and nz.kiss and nz.rho:
             from ludwig_tpu.noise_kiss import kiss_init
             state = ColloidState(*state[:7], noise=kiss_init(0, size))
+        ws = None
+        wall_ss = None
+        lubr_rc = lubr_dh = (0.0,) * 3
+        if any(walls):
+            state = state._replace(
+                gwall=jnp.zeros((3,), lb_cfg.jdtype))
+            # halo plane walls around the suspension (ref: wall.c;
+            # wall_ss_cut.c; wall_lubr_sphere)
+            from ludwig_tpu.ops.walls import WallSpec
+            ws = WallSpec(walls=walls)
+            lb_cfg = dataclasses.replace(lb_cfg, walls=(False,) * 3)
+            rc = rt.double("boundary_lubrication_rcnormal", 0.0)
+            dh = rt.double("boundary_lubrication_dhnormal", 0.0)
+            lubr_rc = (rc, rc, rc)
+            lubr_dh = (dh, dh, dh)
+            if rt.switch("wall_ss_cut_on", False):
+                wall_ss = {
+                    "epsilon": rt.double_required("wall_ss_cut_epsilon"),
+                    "sigma": rt.double_required("wall_ss_cut_sigma"),
+                    "nu": rt.double_required("wall_ss_cut_nu"),
+                    "hc": rt.double_required("wall_ss_cut_hc")}
         step = make_colloid_step(lb_cfg, cparams,
                                  rebuild_freq=rt.int("colloid_rebuild_freq",
                                                      1),
-                                 force_fn=force_fn)
+                                 force_fn=force_fn, wallspec=ws,
+                                 lubr_rc=lubr_rc, lubr_dh=lubr_dh,
+                                 wall_ss=wall_ss)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=None,
-                      state=state, step_fn=step, colloid_params=cparams)
+                      state=state, step_fn=step, colloid_params=cparams,
+                      wallspec=ws)
 
     if fe_name in ("none",):
         le = None
@@ -1058,6 +1107,10 @@ def build_system(rt: RunTime) -> System:
                 oax = next((a for a in range(3) if not walls[a]), 0)
             step = make_wall_step(lb_cfg, ws, open_bc=obc, open_axis=oax)
             state = (f, jnp.zeros((3,), lb_cfg.jdtype))
+            if obc is not None:
+                from ludwig_tpu.ops.open_bc import open_bc_edge_hydro
+                state = state + (open_bc_edge_hydro(f, lb_cfg.model,
+                                                    axis=oax),)
             has_kiss = nz is not None and nz.kiss and nz.rho
             if has_kiss:
                 from ludwig_tpu.noise_kiss import kiss_init
@@ -1132,6 +1185,9 @@ def _make_stats_fn(sys_: System):
                    "g": stats.momentum_total_ref(f, model, fl),
                    "gc": gc,
                    "umm": stats.velocity_minmax(u, fl)}
+            if (sys_.wallspec is not None
+                    and getattr(state, "gwall", None) is not None):
+                res["gwall"] = state.gwall
             # The reference prints "Particle statistics" from
             # interact_compute at the TOP of the step (ludwig.c:543),
             # i.e. with the PREVIOUS step's velocities (prev[0]).
@@ -1497,13 +1553,15 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
                       f"{ftot / vol:17.10e} {x3 / vol:17.10e} "
                       f"{x4 / vol:17.10e} {rs:17.10e}\n")
     g = res["g"]
-    if "gwall" in res:
+    if "gwall" in res and "gc" not in res:
         gw = res["gwall"]
         gt = [g[a] + gw[a] for a in range(3)]
         out.write(stats.format_momentum_block(gt, g, gw))
     elif "gc" in res:
         gc = res["gc"]
-        gt = [g[a] + gc[a] for a in range(3)]
+        gw = res.get("gwall")
+        gt = [g[a] + gc[a] + (gw[a] if gw is not None else 0.0)
+              for a in range(3)]
         out.write("\nMomentum - x y z\n")
         out.write(f"[total   ] {float(gt[0]):14.7e} {float(gt[1]):14.7e} "
                   f"{float(gt[2]):14.7e}\n")
@@ -1511,6 +1569,9 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
                   f"{float(g[2]):14.7e}\n")
         out.write(f"[colloids] {float(gc[0]):14.7e} {float(gc[1]):14.7e} "
                   f"{float(gc[2]):14.7e}\n")
+        if gw is not None:
+            out.write(f"[walls   ] {float(gw[0]):14.7e} "
+                      f"{float(gw[1]):14.7e} {float(gw[2]):14.7e}\n")
     else:
         out.write(stats.format_momentum_block(g, g))
     if with_velocity:
@@ -1568,14 +1629,56 @@ def run_text(text: str, out=sys.stdout) -> System:
         return names
 
     def _dump(step, state):
+        if sys_.is_colloid:
+            # reference-format colloid configuration dump
+            # (ref: colloid_io.c colloid_io_write, config.cds%8.8d)
+            import os as _os
+            from ludwig_tpu.io.colloid_io import (default_state,
+                                                  write_colloid_file)
+            cp = sys_.colloid_params
+            R = np.asarray(jax.device_get(state[1]))
+            V = np.asarray(jax.device_get(state[2]))
+            W = np.asarray(jax.device_get(state[3]))
+            dr = np.asarray(jax.device_get(state[4]))
+            M = np.asarray(jax.device_get(state[6]))
+            recs = []
+            for n in range(cp.n):
+                rec = default_state()
+                rec["index"] = n + 1
+                rec["a0"], rec["ah"] = cp.a0[n], cp.ah[n]
+                rec["r"] = [float(c) + 1.0 for c in R[n]]
+                rec["v"] = [float(c) for c in V[n]]
+                rec["w"] = [float(c) for c in W[n]]
+                rec["dr"] = [float(c) for c in dr[n]]
+                rec["m"] = [float(c) for c in M[n]]
+                rec["b1"], rec["b2"] = cp.b1[n], cp.b2[n]
+                rec["type"] = {"default": 0, "active": 1,
+                               "subgrid": 2}.get(cp.types[n], 0)                     if cp.types else 0
+                recs.append(rec)
+            write_colloid_file(
+                _os.path.join(iodir, f"config.cds{step:08d}.001-001"),
+                recs)
+        # friendly names for the classic fields, generic ones for the
+        # rest of the state pytree (colloid state, noise, BC carries) so
+        # EVERY run restarts exactly (ref: ludwig.c:868-916 writes all
+        # fields + config.cds colloid state at freq_config)
         names = _field_names()
-        write_state(iodir, step, dict(zip(names, state)))
+        leaves = jax.tree_util.tree_leaves(state)
+        fields = {}
+        for i, leaf in enumerate(leaves):
+            nm = names[i] if i < len(names) else f"state{i:02d}"
+            fields[nm] = leaf
+        write_state(iodir, step, fields)
 
     if n_start > 0:
         names = _field_names()
-        data = read_state(iodir, n_start, names)
-        sys_.state = tuple(jnp.asarray(data[n], sys_.lb_cfg.jdtype)
-                           for n in names)
+        leaves0, treedef = jax.tree_util.tree_flatten(sys_.state)
+        keys = [names[i] if i < len(names) else f"state{i:02d}"
+                for i in range(len(leaves0))]
+        data = read_state(iodir, n_start, keys)
+        new_leaves = [jnp.asarray(data[k], leaf.dtype)
+                      for k, leaf in zip(keys, leaves0)]
+        sys_.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
         out.write(f"Restart from step {n_start}\n")
 
     def _op_fields(state):

@@ -63,7 +63,65 @@ def interpolate_velocity(u: jnp.ndarray, R: jnp.ndarray, size,
     return jnp.einsum("nxyz,axyz->na", w, u)
 
 
-def make_subgrid_step(cfg, params, al, force_fn=None):
+RANLCG_A = 1389796
+RANLCG_M = 2147483647
+
+
+def _lcg_uniform(s):
+    """One LCG draw (ref: util.c util_ranlcg_reap_uniform); s int64."""
+    s = (RANLCG_A * s) % RANLCG_M
+    return s, s.astype(jnp.float64) * (1.0 / RANLCG_M)
+
+
+def _reap_gaussian(s):
+    """Marsaglia polar pair with rejection (ref:
+    util_ranlcg_reap_gaussian)."""
+    import jax
+
+    def cond(c):
+        s, r0, r1, rsq = c
+        return jnp.logical_or(rsq >= 1.0, rsq <= 0.0)
+
+    def body(c):
+        s = c[0]
+        s, u0 = _lcg_uniform(s)
+        s, u1 = _lcg_uniform(s)
+        z0 = 2.0 * u0 - 1.0
+        z1 = 2.0 * u1 - 1.0
+        return (s, z0, z1, z0 * z0 + z1 * z1)
+
+    s, z0, z1, rsq = jax.lax.while_loop(
+        cond, body, (s, jnp.float64(0.0), jnp.float64(0.0),
+                     jnp.float64(2.0)))
+    f = jnp.sqrt(-2.0 * jnp.log(rsq) / rsq)
+    return s, f * z0, f * z1
+
+
+def _frand_component(s, amp):
+    """One random-force component with the 3-sigma rejection
+    (ref: subgrid.c:259-281)."""
+    import jax
+
+    def cond(c):
+        s, val, done = c
+        return jnp.logical_not(done)
+
+    def body(c):
+        s = c[0]
+        s, g0, g1 = _reap_gaussian(s)
+        take0 = jnp.abs(g0) < 3.0
+        take1 = jnp.logical_and(jnp.logical_not(take0),
+                                jnp.abs(g1) < 3.0)
+        val = jnp.where(take0, amp * g0,
+                        jnp.where(take1, amp * g1, 0.0))
+        return (s, val, jnp.logical_or(take0, take1))
+
+    s, val, _ = jax.lax.while_loop(
+        cond, body, (s, jnp.float64(0.0), jnp.asarray(False)))
+    return s, val
+
+
+def make_subgrid_step(cfg, params, al, force_fn=None, rng0=None):
     """Jitted step for unresolved (subgrid) particles.
 
     State: (f, R, V).  Per reference time step: deferred position move
@@ -90,10 +148,21 @@ def make_subgrid_step(cfg, params, al, force_fn=None):
     ah = np.array(params.ah if params.ah else params.a0, np.float64)
     al = np.array(al, np.float64)
     eta = cfg.eta_shear
+    kiss_rho = (cfg.noise is not None and cfg.noise.kiss
+                and cfg.noise.rho)
+    noise_on = (cfg.noise is not None and cfg.noise.rho
+                and rng0 is not None)
 
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
+        from ludwig_tpu.lb import _noise_terms
         f, R, V = state[0], state[1], state[2]
+        if kiss_rho:
+            shat, ghat, nstate = _noise_terms(cfg, cparams, t,
+                                              nstate=state[3])
+        else:
+            shat, ghat = _noise_terms(cfg, cparams, t)
+            nstate = None
         L = jnp.asarray(np.array(size, np.float64), R.dtype)
         R = jnp.mod(R + V, L)
         F = jnp.tile(grav[None], (params.n, 1))
@@ -105,10 +174,35 @@ def make_subgrid_step(cfg, params, al, force_fn=None):
         if any(v != 0.0 for v in params.gravity):
             fb = (-grav) * (1.0 / nsites) * float(params.n)
             force = force + fb[:, None, None, None].astype(f.dtype)
-        f, rho, u = collide(f, cparams, force=force)
+        f, rho, u = collide(f, cparams, force=force, shat=shat,
+                            ghat=ghat)
         _, V = subgrid_update(R, F, u, size, ah, al, eta)
+        if noise_on:
+            # particle Langevin kick, per-particle serial LCG stream
+            # (ref: subgrid.c:259-287)
+            rngs = state[-1]
+            kt = cfg.noise.kt
+            drag = (1.0 / ah - 1.0 / al) / (6.0 * np.pi * eta)
+            new_rngs = []
+            kicks = []
+            for n in range(params.n):
+                sN = rngs[n]
+                amp = jnp.sqrt(2.0 * kt * float(drag[n]))
+                row = []
+                for ia in range(3):
+                    sN, v = _frand_component(sN, amp)
+                    row.append(v)
+                new_rngs.append(sN)
+                kicks.append(jnp.stack(row))
+            V = V + jnp.stack(kicks).astype(V.dtype)
+            f = stream(f, model)
+            out = (f, R, V)
+            if kiss_rho:
+                out = out + (nstate,)
+            return out + (jnp.stack(new_rngs),), (rho, u)
         f = stream(f, model)
-        return (f, R, V), (rho, u)
+        out = (f, R, V) + ((nstate,) if kiss_rho else ())
+        return out, (rho, u)
 
     return step
 

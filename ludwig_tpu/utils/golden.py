@@ -28,6 +28,15 @@ def find_case(name: str) -> Tuple[str, str]:
     raise FileNotFoundError(name)
 
 
+# Cases that need preparation in the working directory before running
+# (ref: tests/regression/d3q19-short/Makefile: rest-c02 restarts from
+# rest-c01's output; poly-st1 needs util/multi_poly_init).
+PRE_STEPS = {
+    "serial-rest-c02": ("case", "serial-rest-c01"),
+    "serial-poly-st1": ("script", "multi_poly_init"),
+}
+
+
 def run_case(name: str, workdir: Optional[str] = None,
              strict_fp: bool = True) -> str:
     """Run a reference input file; returns our log text.
@@ -60,6 +69,21 @@ def run_case(name: str, workdir: Optional[str] = None,
     try:
         if workdir:
             os.chdir(workdir)
+        pre = PRE_STEPS.get(name)
+        if pre is not None:
+            kind, what = pre
+            if kind == "case" and not os.path.exists(".pre_done"):
+                run_case(what, strict_fp=strict_fp)
+                open(".pre_done", "w").write(what)
+            elif kind == "script":
+                import importlib.util as ilu
+                repo = os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))))
+                spec = ilu.spec_from_file_location(
+                    what, os.path.join(repo, "util", what + ".py"))
+                mod = ilu.module_from_spec(spec)
+                spec.loader.exec_module(mod)
+                mod.main()
         buf = io.StringIO()
         ctx = jax.disable_jit() if strict_fp else contextlib.nullcontext()
         with ctx:

@@ -171,8 +171,9 @@ def test_chol_fld_electric_field_rotation_matches():
     ours = _run_ref_input("serial-chol-fld")
     with open(f"{REF}/serial-chol-fld.log") as fh:
         ref = fh.read()
+    from ludwig_tpu.utils.fpdiff import _tokens
     for ol, rl in zip(_stat_lines(ours)[-5:], _stat_lines(ref)[-5:]):
-        otok, rtok = ol.split(), rl.split()
+        otok, rtok = _tokens(ol), _tokens(rl)
         assert otok[0] == rtok[0]
         for i in (1, 2, 4, 5):
             assert otok[i] == rtok[i], (otok[0], i, otok[i], rtok[i])
