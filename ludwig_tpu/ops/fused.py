@@ -76,18 +76,31 @@ def _pad_refresh(fpad: jnp.ndarray) -> jnp.ndarray:
     return fpad
 
 
-def _collide_modes(model: LatticeModel, params: CollisionParams, fl):
+def _collide_modes(model: LatticeModel, params: CollisionParams, fl,
+                   force=None):
     """Post-collision modes from a list of per-velocity arrays.
 
     Single-fluid hot path (no masks/noise - those run on the general jnp
-    path); algebra identical to ops.collide.collide.
+    path); algebra identical to ops.collide.collide.  `force` is an
+    optional [fx, fy, fz] per-site body force at the same window level
+    (the LC coupling); it adds the Guo half-force velocity shift, the
+    momentum-mode increment and the (2 - rtau) stress correction.
+
+    Returns (modes, u).
     """
     ndim = model.ndim
     m = unrolled_matvec(model.ma, fl)
     rho = m[0]
     rrho = 1.0 / rho
     fg = [float(v) for v in params.force_global[:ndim]]
-    u = [rrho * (m[1 + a] + 0.5 * fg[a]) for a in range(ndim)]
+    if force is None:
+        ftot = fg
+        has_f = [bool(v) for v in fg]
+    else:
+        ftot = [force[a] + fg[a] if fg[a] else force[a]
+                for a in range(ndim)]
+        has_f = [True] * ndim
+    u = [rrho * (m[1 + a] + 0.5 * ftot[a]) for a in range(ndim)]
 
     pairs = _triu_pairs(ndim)
     s = {p: m[1 + ndim + i] for i, p in enumerate(pairs)}
@@ -99,7 +112,7 @@ def _collide_modes(model: LatticeModel, params: CollisionParams, fl):
     rtb = params.rtau_bulk
     tr_post = tr_s - rtb * (tr_s - tr_seq)
 
-    out = [rho] + [m[1 + a] + fg[a] if fg[a] else m[1 + a]
+    out = [rho] + [m[1 + a] + ftot[a] if has_f[a] else m[1 + a]
                    for a in range(ndim)]
     for (a, b) in pairs:
         dev = s[(a, b)] - (tr_s * rdim if a == b else 0.0)
@@ -107,14 +120,14 @@ def _collide_modes(model: LatticeModel, params: CollisionParams, fl):
         v = dev - rt * (dev - dev_eq)
         if a == b:
             v = v + rdim * tr_post
-        if fg[a] or fg[b]:
-            v = v + (2.0 - rt) * (u[a] * fg[b] + fg[a] * u[b])
+        if has_f[a] or has_f[b]:
+            v = v + (2.0 - rt) * (u[a] * ftot[b] + ftot[a] * u[b])
         out.append(v)
     rtau_g = params.rtau_ghost
     for g in range(model.nhydro, model.nvel):
         coef = 1.0 - float(rtau_g[g])
         out.append(m[g] * coef if coef != 0.0 else 0.0)
-    return out
+    return out, u
 
 
 def _fused_kernel(model: LatticeModel, params: CollisionParams,
@@ -157,7 +170,7 @@ def _fused_kernel(model: LatticeModel, params: CollisionParams,
         # Halo window (BX+2, BY+2, Z): value-slice the aligned DMA window.
         window = inbuf[slot]
         fl = [window[p, :, HY - 1:HY + BY + 1, :] for p in range(nvel)]
-        modes = _collide_modes(model, params, fl)
+        modes, _u = _collide_modes(model, params, fl)
 
         # Make sure this staging slot's previous output DMA completed.
         @pl.when(k >= 2)
@@ -254,3 +267,138 @@ def make_fused_nstep(model: LatticeModel, params: CollisionParams,
         return fpad
 
     return nstep
+
+
+def _fused_force_kernel(model: LatticeModel, params: CollisionParams,
+                        X, Y, Z, BX, BY,
+                        fpad_hbm, force_hbm, out_hbm, u_hbm,
+                        inbuf, fbuf, outbuf, ubuf,
+                        insem, fsem, outsem, usem):
+    """Force-coupled collide+stream: extra per-site force input (padded
+    like f: (3, X+2, Y+16, Z)) and a hydro-velocity output (the next
+    Q-kernel's advection input)."""
+    nvel = model.nvel
+    nbx, nby = X // BX, Y // BY
+    nblocks = nbx * nby
+
+    def in_dma(slot, k):
+        i, j = k // nby, k % nby
+        return (pltpu.make_async_copy(
+            fpad_hbm.at[:, pl.ds(i * BX, BX + 2), pl.ds(j * BY, BY + 16), :],
+            inbuf.at[slot], insem.at[slot]),
+            pltpu.make_async_copy(
+            force_hbm.at[:, pl.ds(i * BX, BX + 2),
+                         pl.ds(j * BY, BY + 16), :],
+            fbuf.at[slot], fsem.at[slot]))
+
+    def out_dma(slot, k):
+        i, j = k // nby, k % nby
+        return (pltpu.make_async_copy(
+            outbuf.at[slot],
+            out_hbm.at[:, pl.ds(HX + i * BX, BX),
+                       pl.ds(HY + j * BY, BY), :], outsem.at[slot]),
+            pltpu.make_async_copy(
+            ubuf.at[slot],
+            u_hbm.at[:, pl.ds(i * BX, BX), pl.ds(j * BY, BY), :],
+            usem.at[slot]))
+
+    for d in in_dma(0, 0):
+        d.start()
+
+    def body(k, _):
+        slot = k % 2
+        nslot = (k + 1) % 2
+
+        @pl.when(k + 1 < nblocks)
+        def _():
+            for d in in_dma(nslot, k + 1):
+                d.start()
+
+        for d in in_dma(slot, k):
+            d.wait()
+
+        window = inbuf[slot]
+        fl = [window[p, :, HY - 1:HY + BY + 1, :] for p in range(nvel)]
+        fw = [fbuf[slot, a, :, HY - 1:HY + BY + 1, :] for a in range(3)]
+        modes, u = _collide_modes(model, params, fl, force=fw)
+
+        @pl.when(k >= 2)
+        def _():
+            for d in out_dma(slot, k - 2):
+                d.wait()
+
+        mi = model.mi
+        for q in range(nvel):
+            cx, cy, cz = (int(model.cv[q][0]), int(model.cv[q][1]),
+                          int(model.cv[q][2]))
+            acc = None
+            for mm in range(nvel):
+                coef = float(mi[q, mm])
+                if coef == 0.0 or isinstance(modes[mm], float):
+                    continue
+                term = modes[mm] if coef == 1.0 else (
+                    -modes[mm] if coef == -1.0 else coef * modes[mm])
+                acc = term if acc is None else acc + term
+            blk = acc[1 - cx:1 - cx + BX, 1 - cy:1 - cy + BY, :]
+            if cz:
+                blk = pltpu.roll(blk, cz % Z, 2)
+            outbuf[slot, q] = blk
+        for a in range(3):
+            ubuf[slot, a] = u[a][1:1 + BX, 1:1 + BY, :]
+
+        for d in out_dma(slot, k):
+            d.start()
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, body, 0)
+    for d in out_dma((nblocks - 1) % 2, nblocks - 1):
+        d.wait()
+
+    @pl.when(nblocks >= 2)
+    def _():
+        for d in out_dma(nblocks % 2, nblocks - 2):
+            d.wait()
+
+
+def fused_force_step(fpad: jnp.ndarray, force: jnp.ndarray,
+                     model: LatticeModel, params: CollisionParams,
+                     plan: FusedPlan = FusedPlan(),
+                     interpret: bool = False):
+    """(fpad', u): fused collide+stream with a per-site body force.
+
+    force is unpadded (3, X, Y, Z); u returned at (3, X, Y, Z) is the
+    post-collision hydrodynamic velocity (half-force corrected)."""
+    nvel, Xp, Yp, Z = fpad.shape
+    X, Y = Xp - 2 * HX, Yp - 2 * HY
+    BX = min(plan.BX, X)
+    BY = min(plan.BY, Y)
+    if X % BX or Y % BY or BY % 8:
+        raise ValueError(
+            f"blocks ({BX},{BY}) must divide lattice ({X},{Y}), BY%8==0")
+    fpad_force = jnp.pad(force, ((0, 0), (HX, HX), (HY, HY), (0, 0)),
+                         mode="wrap")
+
+    kernel = partial(_fused_force_kernel, model, params, X, Y, Z, BX, BY)
+    out, u = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(fpad.shape, fpad.dtype),
+                   jax.ShapeDtypeStruct((3, X, Y, Z), fpad.dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, nvel, BX + 2, BY + 16, Z), fpad.dtype),
+            pltpu.VMEM((2, 3, BX + 2, BY + 16, Z), fpad.dtype),
+            pltpu.VMEM((2, nvel, BX, BY, Z), fpad.dtype),
+            pltpu.VMEM((2, 3, BX, BY, Z), fpad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(fpad, fpad_force)
+    return _pad_refresh(out), u

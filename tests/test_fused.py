@@ -85,3 +85,38 @@ def test_pad_roundtrip():
     f = _rand_f(model, (4, 8, 8))
     np.testing.assert_array_equal(np.asarray(unpad_state(pad_state(f))),
                                   np.asarray(f))
+
+
+def test_fused_lc_step_matches_jnp_path():
+    """The two-kernel fused LC step (ops/fused_lc.py) reproduces the
+    jnp blue-phase step (lc.make_lc_step) on a small lattice."""
+    from ludwig_tpu.fe import lc_init
+    from ludwig_tpu.fe.blue_phase import BluePhaseFE
+    from ludwig_tpu.lb import LBConfig
+    from ludwig_tpu.lc import LCConfig, initial_lc, make_lc_step
+    from ludwig_tpu.ops.fused import FusedPlan, unpad_state as unpad_f
+    from ludwig_tpu.ops.fused_lc import (LCPlan, initial_fused_lc,
+                                         make_fused_lc_step, unpad_q)
+
+    N = (8, 8, 16)
+    cfg = LBConfig(size=N, nvel=19, eta_shear=0.1, dtype="float64")
+    fe = BluePhaseFE(a0=0.01, gamma=3.0, q0=0.19635, kappa0=0.000648456,
+                     kappa1=0.000648456, xi=0.7)
+    lcfg = LCConfig(lb=cfg, fe=fe, gamma=0.5, keep_grads=False)
+    q5 = lc_init.lc_init_o8m(N, fe.q0, -0.2)
+
+    sx = initial_lc(lcfg, q5)
+    stepx = make_lc_step(lcfg)
+    for t in range(2):
+        sx, _ = stepx(sx, t)
+
+    sf = initial_fused_lc(lcfg, q5)
+    stepf = make_fused_lc_step(lcfg, plan=LCPlan(4, 8),
+                               lb_plan=FusedPlan(4, 8), interpret=True)
+    for t in range(2):
+        sf = stepf(sf, t)
+
+    np.testing.assert_allclose(np.asarray(unpad_q(sf[1])),
+                               np.asarray(sx[1]), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(unpad_f(sf[0])),
+                               np.asarray(sx[0]), rtol=1e-10, atol=1e-12)
