@@ -138,7 +138,8 @@ def make_binary_colloid_step(bcfg: BinaryConfig, params: ColloidParams,
     def _step(state, t, rebuild):
         f, R, V, W, dr, Rmap, Msw, phi, u = state
         L = jnp.asarray(np.array(size, np.float64), R.dtype)
-        R = jnp.mod(R + dr, L)
+        fxm = params.fixedr_mask(R.dtype)
+        R = jnp.mod(R + (dr if fxm is None else fxm * dr), L)
         if rebuild:
             pid_old, inside_old = build_map(Rmap, params, size)
             Rmap = R

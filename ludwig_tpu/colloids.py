@@ -50,6 +50,22 @@ class ColloidParams:
     b2: Tuple[float, ...] = ()
     m: Tuple[Tuple[float, float, float], ...] = ()
     types: Tuple[str, ...] = ()      # "default" | "active" | "subgrid"
+    # pinned position axes, (N, 3) of 0/1 (colloid_*_isfixedr / _rxyz)
+    isfixedr: Tuple[Tuple[int, int, int], ...] = ()
+
+    def fixedr_mask(self, dtype):
+        """(N, 3) 0/1 multiplier applied to the deferred position move
+        (ref: colloids.c colloids_info_position_update isfixedr[xyz])."""
+        import jax.numpy as _jnp
+        import numpy as _np
+        if not self.isfixedr or not any(any(v) for v in self.isfixedr):
+            return None
+        fx = _np.ones((self.n, 3), _np.float64)
+        for i, v in enumerate(self.isfixedr):
+            for a in range(3):
+                if v[a]:
+                    fx[i, a] = 0.0
+        return _jnp.asarray(fx, dtype)
 
     @property
     def n(self) -> int:
@@ -614,7 +630,9 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         #    link geometry are rebuilt only on rebuild steps
         #    (ludwig.c:542 colloid_rebuild_freq); between rebuilds they
         #    stay frozen at Rmap, the position of the last rebuild.
-        R = jnp.mod(R + dr, jnp.asarray(np.array(size, np.float64),
+        fxm = params.fixedr_mask(R.dtype)
+        mv = dr if fxm is None else fxm * dr
+        R = jnp.mod(R + mv, jnp.asarray(np.array(size, np.float64),
                                         R.dtype))
         if rebuild:
             pid_old, inside_old = build_map(Rmap, params, size)
@@ -659,8 +677,9 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
             fb = (-grav) * (1.0 / nfluid) * float(params.n)
             force = jnp.broadcast_to(fb[:, None, None, None],
                                      (3,) + size).astype(f.dtype)
+        fluid = jnp.logical_not(inside)
         f, rho, u = collide(f, cparams, force=force,
-                            fluid_mask=jnp.logical_not(inside),
+                            fluid_mask=fluid,
                             shat=shat, ghat=ghat)
 
         # 3. BBL with implicit velocity update (gravity as ext force,
@@ -709,10 +728,10 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
             from ludwig_tpu.stats import momentum_total
             f_post = f
             f = stream(f, model)
-            g_pre = momentum_total(f, model)
+            g_pre = momentum_total(f, model, fluid)
             f, _, _ = wall_bounce_back(f, f_post, model, wallspec,
                                        rho0=cfg.rho0)
-            gwall = gwall + (g_pre - momentum_total(f, model))
+            gwall = gwall + (g_pre - momentum_total(f, model, fluid))
         else:
             f = stream(f, model)
         return ColloidState(f, R, V, W, dr, Rmap, Msw,

@@ -190,7 +190,8 @@ def make_electro_colloid_step(cfg: ElectroSimConfig, params: ColloidParams,
     def _step(state, t, rebuild):
         f, R, V, W, dr, Rmap, Msw, psi, rho, u, deltaq = state
         L = jnp.asarray(np.array(size, np.float64), R.dtype)
-        R = jnp.mod(R + dr, L)
+        fxm = params.fixedr_mask(R.dtype)
+        R = jnp.mod(R + (dr if fxm is None else fxm * dr), L)
         if rebuild:
             pid_old, inside_old = build_map(Rmap, params, size)
             Rmap = R
@@ -234,8 +235,14 @@ def make_electro_colloid_step(cfg: ElectroSimConfig, params: ColloidParams,
                           fluid, cfg, psi_up, psi_dn, dt)
         psi = psi - jnp.mean(psi)
 
-        f, rho_lb, u_new = collide(f, cparams,
-                                   force=force.astype(f.dtype),
+        fb_force = force.astype(f.dtype)
+        if any(v != 0.0 for v in params.gravity):
+            # fluid gravity compensation (ref: interaction.c)
+            nfluid = jnp.sum(fluid.astype(f.dtype))
+            fb = (-grav) * (1.0 / nfluid) * float(params.n)
+            fb_force = fb_force + jnp.where(
+                fluid[None], fb[:, None, None, None], 0.0).astype(f.dtype)
+        f, rho_lb, u_new = collide(f, cparams, force=fb_force,
                                    fluid_mask=fluid)
 
         ext = jnp.tile(grav[None], (params.n, 1)) + fcoll

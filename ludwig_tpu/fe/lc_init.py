@@ -101,7 +101,7 @@ def lc_init_twist(size, q0, amplitude0, axis=0):
     if axis == 0:
         n = (zero, np.cos(q0 * c), np.sin(q0 * c))
     elif axis == 1:
-        n = (np.sin(q0 * c), zero, np.cos(q0 * c))
+        n = (np.cos(q0 * c), zero, -np.sin(q0 * c))
     else:
         n = (np.cos(q0 * c), np.sin(q0 * c), zero)
     return q_uniaxial(amplitude0, n)

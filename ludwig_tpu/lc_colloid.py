@@ -33,10 +33,13 @@ from ludwig_tpu.ops.stencil import roll3
 from ludwig_tpu.ops.stream import stream
 
 
-def lc_colloid_fields(q5, anchoring, pid, inside, R):
-    """Anchoring-aware gradients with the colloid status map."""
+def lc_colloid_fields(q5, anchoring, pid, inside, R,
+                      walls=(False, False, False)):
+    """Anchoring-aware gradients with the colloid status map (+ halo
+    plane walls)."""
     status = inside.astype(jnp.int32) * MAP_COLLOID
-    grad, delsq = anchoring_gradient(q5, anchoring, status, pid=pid, R=R)
+    grad, delsq = anchoring_gradient(q5, anchoring, status, pid=pid, R=R,
+                                     walls=walls)
     return {"q": q5, "grad_q": grad, "delsq_q": delsq}
 
 
@@ -104,11 +107,19 @@ def make_lc_colloid_step(lcfg: LCConfig, params: ColloidParams,
                             advection_order=lcfg.advection_order)
     grav = jnp.asarray(np.array(params.gravity, np.float64), cfg.jdtype)
 
+    has_walls = lcfg.has_walls
+    walls3 = lcfg.wallspec.walls if has_walls else (False,) * 3
+
     @partial(jax.jit, static_argnums=2, donate_argnums=0)
     def _step(state, t, rebuild):
-        f, R, V, W, dr, Rmap, Msw, q5, u, _g, _d = state
+        if has_walls:
+            f, R, V, W, dr, Rmap, Msw, q5, u, _g, _d, gwall = state
+        else:
+            f, R, V, W, dr, Rmap, Msw, q5, u, _g, _d = state
+            gwall = None
         L = jnp.asarray(np.array(size, np.float64), R.dtype)
-        R = jnp.mod(R + dr, L)
+        fxm = params.fixedr_mask(R.dtype)
+        R = jnp.mod(R + (dr if fxm is None else fxm * dr), L)
         if rebuild:
             pid_old, inside_old = build_map(Rmap, params, size)
             Rmap = R
@@ -137,21 +148,50 @@ def make_lc_colloid_step(lcfg: LCConfig, params: ColloidParams,
         f = refresh_inside(f, model, inside, ub, cfg.rho0)
 
         # anchoring gradients with the colloid map
-        fields = lc_colloid_fields(q5, lcfg.anchoring, pid, inside, Rmap)
+        fields = lc_colloid_fields(q5, lcfg.anchoring, pid, inside, Rmap,
+                                   walls=walls3)
         h = lcfg.fe.molecular_field(fields)
+        if not lcfg.hydrodynamics:
+            # relaxational dynamics only (ref: beris_edw_update with
+            # hydro == NULL; no force, no collision, no BBL)
+            q5 = beris_edwards_update(q5, h, None, be, fluid_mask=fluid)
+            rho = jnp.sum(f, axis=0)
+            out = (f, R, V, W, dr, Rmap, Msw, q5, u,
+                   fields["grad_q"], fields["delsq_q"])
+            if has_walls:
+                out = out + (gwall,)
+            return out, (rho, u)
         pth = lcfg.fe.stress(fields, h=h)
         sa = lcfg.fe.active_stress(fields)
         if sa is not None:
             pth = pth + sa
 
-        force = stress_divergence_force_map(pth, fluid).astype(f.dtype)
+        force = stress_divergence_force_map(
+            pth, fluid,
+            wallspec=lcfg.wallspec if has_walls else None).astype(f.dtype)
         fe_part = colloid_fe_force(pth, pid, inside, model, params.n)
+        if has_walls:
+            # the walls absorb what the stress injects into fluid and
+            # particles (ref: pth_force_wall_kernel -> wall fnet)
+            finj = jnp.stack([jnp.sum(jnp.where(fluid, force[a], 0.0))
+                              for a in range(3)])
+            gwall = gwall - (finj + jnp.sum(fe_part, axis=0))
+
+        # fluid gravity compensation (ref: interaction.c
+        # colloids_update_forces_fluid_gravity)
+        if any(v != 0.0 for v in params.gravity):
+            nfluid = jnp.sum(fluid.astype(f.dtype))
+            fb = (-grav) * (1.0 / nfluid) * float(params.n)
+            force = force + jnp.where(
+                fluid[None], fb[:, None, None, None], 0.0).astype(f.dtype)
 
         # BE update with solid-body velocity inside particles
         # (beris_edw_fix_swd) and no flux through the solid surface
         u_fix = jnp.where(fluid[None], u, ub)
         q5 = beris_edwards_update(q5, h, u_fix, be, fluid_mask=fluid,
-                                  solid=inside)
+                                  solid=inside,
+                                  wallspec=lcfg.wallspec if has_walls
+                                  else None)
 
         f, rho, u_new = collide(f, cparams, force=force, fluid_mask=fluid)
 
@@ -159,15 +199,31 @@ def make_lc_colloid_step(lcfg: LCConfig, params: ColloidParams,
         if force_fn is not None:
             ext = ext + force_fn(R, V).astype(ext.dtype)
         Vold = V
-        f, V, W, Msw, _ = bbl_step(f, Rmap, V, W, model, params, size,
-                                   ext_force=ext, rho0=cfg.rho0,
-                                   deltam=deltam, f0_corr=f0c,
-                                   t0_corr=t0c, M=Msw)
+        f, V, W, Msw, gwbb = bbl_step(f, Rmap, V, W, model, params, size,
+                                      ext_force=ext, rho0=cfg.rho0,
+                                      deltam=deltam, f0_corr=f0c,
+                                      t0_corr=t0c, M=Msw,
+                                      walls=walls3)
+        if has_walls:
+            gwall = gwall + gwbb
         dr = 0.5 * (Vold + V)
 
-        f = stream(f, model)
-        return (f, R, V, W, dr, Rmap, Msw, q5, u_new,
-                fields["grad_q"], fields["delsq_q"]), (rho, u_new)
+        if has_walls:
+            from ludwig_tpu.ops.walls import wall_bounce_back
+            from ludwig_tpu.stats import momentum_total
+            f_post = f
+            f = stream(f, model)
+            g_pre = momentum_total(f, model, fluid)
+            f, _, _ = wall_bounce_back(f, f_post, model, lcfg.wallspec,
+                                       rho0=cfg.rho0)
+            gwall = gwall + (g_pre - momentum_total(f, model, fluid))
+        else:
+            f = stream(f, model)
+        out = (f, R, V, W, dr, Rmap, Msw, q5, u_new,
+               fields["grad_q"], fields["delsq_q"])
+        if has_walls:
+            out = out + (gwall,)
+        return out, (rho, u_new)
 
     def step(state, t=0):
         return _step(state, t, int(t) % rebuild_freq == 0)
@@ -189,8 +245,13 @@ def initial_lc_colloid(lcfg: LCConfig, params: ColloidParams, q0_field,
           else np.tile([1.0, 0.0, 0.0], (nc, 1)))
     q5 = jnp.asarray(q0_field, jd)
     pid, inside = build_map(R, params, cfg.size)
-    fields = lc_colloid_fields(q5, lcfg.anchoring, pid, inside, R)
-    return (f, R, V, jnp.zeros((nc, 3), jd), jnp.zeros((nc, 3), jd),
-            jnp.array(R), jnp.asarray(mm, jd), q5,
-            jnp.zeros((3,) + tuple(cfg.size), jd),
-            fields["grad_q"], fields["delsq_q"])
+    walls3 = lcfg.wallspec.walls if lcfg.has_walls else (False,) * 3
+    fields = lc_colloid_fields(q5, lcfg.anchoring, pid, inside, R,
+                               walls=walls3)
+    out = (f, R, V, jnp.zeros((nc, 3), jd), jnp.zeros((nc, 3), jd),
+           jnp.array(R), jnp.asarray(mm, jd), q5,
+           jnp.zeros((3,) + tuple(cfg.size), jd),
+           fields["grad_q"], fields["delsq_q"])
+    if lcfg.has_walls:
+        out = out + (jnp.zeros((3,), jd),)
+    return out

@@ -284,6 +284,7 @@ def _parse_colloids(rt, size, rho0, eta):
     qq = []
     angles = []
     rngs = []
+    fixedr = []
     from ludwig_tpu.colloids import ColloidParams, make_colloid_step
     a0, ah, rr, vv = [], [], [], []
     b1, b2, mm, typ = [], [], [], []
@@ -339,6 +340,11 @@ def _parse_colloids(rt, size, rho0, eta):
             typ.append({0: "default", 1: "active",
                         2: "subgrid"}.get(rec["type"], "default"))
             rngs.append(rec.get("rng", 1 + ni))
+            _fx = rec.get("isfixedr", 0)
+            _fxv = rec.get("isfixedrxyz", [_fx, _fx, _fx])
+            if _fx and not any(_fxv):
+                _fxv = [1, 1, 1]
+            fixedr.append(tuple(_fxv))
             for bi in range(rec.get("nbonds", 0)):
                 other = rec["bond"][bi] - 1
                 if other > ni:   # record each bond once
@@ -364,6 +370,10 @@ def _parse_colloids(rt, size, rho0, eta):
             itypes.append(rt.int(f"colloid_{nm}_interact_type", 0))
             qq.append((rt.double(f"colloid_{nm}_q0", 0.0),
                        rt.double(f"colloid_{nm}_q1", 0.0)))
+            _fx = rt.int(f"colloid_{nm}_isfixedr", 0)
+            _fxv = rt.int_vector(f"colloid_{nm}_isfixedrxyz",
+                                 (_fx, _fx, _fx))
+            fixedr.append(tuple(_fxv))
             mybonds = []
             for bi in range(rt.int(f"colloid_{nm}_nbonds", 0)):
                 other = rt.int(f"colloid_{nm}_bond{bi + 1}", 0) - 1
@@ -391,7 +401,7 @@ def _parse_colloids(rt, size, rho0, eta):
     cparams = ColloidParams(a0=tuple(a0), ah=tuple(ah),
                             rho0=rho0, gravity=grav,
                             b1=tuple(b1), b2=tuple(b2), m=tuple(mm),
-                            types=tuple(typ))
+                            types=tuple(typ), isfixedr=tuple(fixedr))
     # pairwise/bond interactions -> per-particle force callback
     # (ref: interact_compute, interaction.c:182)
     force_terms = []
@@ -1227,10 +1237,18 @@ def _make_stats_fn(sys_: System):
                 # fe_lc_stats accumulation (bitwise contract)
                 ftot = stats.seq_sum(fed, fl)
                 vol = jnp.sum(fl.astype(fed.dtype))
-                fs, area = lc_colloid_surface_fe(
-                    lcfg.fe, lcfg.anchoring, q5, pid, inside,
-                    state[5], sys_.lb_cfg.size)
-                res["fe_lc_coll"] = (ftot, vol, fs, area)
+                if lcfg.has_walls:
+                    # walls take precedence in the free-energy report
+                    # (ref: fe_lc_stats_info wall branch first)
+                    from ludwig_tpu.lc import lc_surface_fe
+                    fs1, fs2 = lc_surface_fe(lcfg, q5)
+                    res["fe_lc"] = (ftot, vol, fs1, fs2)
+                    res["gwall"] = state[11]
+                else:
+                    fs, area = lc_colloid_surface_fe(
+                        lcfg.fe, lcfg.anchoring, q5, pid, inside,
+                        state[5], sys_.lb_cfg.size)
+                    res["fe_lc_coll"] = (ftot, vol, fs, area)
             if sys_.electro_cfg is not None:
                 # electro + colloids: particle charge densities are
                 # refreshed before the psi statistics (ref:

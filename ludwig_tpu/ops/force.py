@@ -60,15 +60,19 @@ def _edge_plane(shape, ax: int, side: int):
     return jnp.asarray(m)
 
 
-def stress_divergence_force_map(pth: jnp.ndarray, fluid: jnp.ndarray):
+def stress_divergence_force_map(pth: jnp.ndarray, fluid: jnp.ndarray,
+                                wallspec=None):
     """Map-aware stress-divergence force (3, X, Y, Z).
 
     At a fluid-fluid face the flux is the centred average; at a
     fluid-solid face it is the one-sided fluid value (ref:
-    phi_force_colloid.c pth_force_map_kernel).  Force at solid sites is
-    irrelevant downstream (collision masks them).
+    phi_force_colloid.c pth_force_map_kernel).  With halo plane walls
+    (wallspec) the edge faces along walled axes are also one-sided
+    (ref: pth_force_wall_kernel).  Force at solid sites is irrelevant
+    downstream (collision masks them).
     """
     fl = fluid.astype(pth.dtype)
+    shape = pth.shape[2:]
     comps = []
     for a in range(3):
         acc = None
@@ -76,6 +80,13 @@ def stress_divergence_force_map(pth: jnp.ndarray, fluid: jnp.ndarray):
             p = pth[a, ax]
             up_f = _up(fl, ax)
             dn_f = _down(fl, ax)
+            if wallspec is not None and wallspec.walls[ax]:
+                hi = [slice(None)] * 3
+                hi[ax] = shape[ax] - 1
+                lo = [slice(None)] * 3
+                lo[ax] = 0
+                up_f = up_f.at[tuple(hi)].set(0.0)
+                dn_f = dn_f.at[tuple(lo)].set(0.0)
             face_up = jnp.where(up_f > 0.0, 0.5 * (p + _up(p, ax)), p)
             face_dn = jnp.where(dn_f > 0.0, 0.5 * (p + _down(p, ax)), p)
             d = face_up - face_dn
