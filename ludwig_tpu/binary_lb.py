@@ -76,30 +76,41 @@ def g_collide(g: jnp.ndarray, phi, u, mu, cfg: BinaryLBConfig):
     return jnp.stack(rows)
 
 
-def make_binary_lb_step(cfg: BinaryLBConfig):
+def make_binary_lb_step(cfg: BinaryLBConfig, wallspec=None):
     """Jitted step for (f, g): full symmetric_lb update.
 
     With fluctuations on, the f-collision takes the same stress/ghost
     noise as the single-fluid MRT (ref: lb_collision_mrt2_site noise
-    branch); the KISS state rides as the 4th state element.
+    branch); the KISS state rides as the last state element.  With halo
+    plane walls (wallspec) both distributions get half-way bounce-back
+    (ref: wall.c wall_bbl_kernel ndist > 1 branch) and the state
+    carries the accumulated wall momentum.
     """
     params = dataclasses.replace(cfg.lb).collision_params()
     model = cfg.lb.model
     nz = cfg.lb.noise
     kiss_rho = nz is not None and nz.kiss and nz.rho
+    has_walls = wallspec is not None and wallspec.any
+    solid_ops = None
+    if has_walls and cfg.gradient.endswith("_solid"):
+        from ludwig_tpu.ops.solid_stencil import solid27_scalar_ops
+        solid_ops = solid27_scalar_ops(
+            cfg.lb.size, fluid=None, walls=wallspec.walls,
+            rkappa=1.0 / cfg.fe.kappa, c=0.0, h=0.0)
 
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
         from ludwig_tpu.lb import _noise_terms
         f, g = state[0], state[1]
+        gwall = state[3] if has_walls else None
         phi, _ = g_moments(g, model)
-        fields = fe_fields(phi, cfg.gradient)
+        fields = fe_fields(phi, cfg.gradient, solid_ops=solid_ops)
         mu = cfg.fe.mu(fields)
         sth = cfg.fe.stress(fields)
 
         if kiss_rho:
             shat, ghat, nstate = _noise_terms(cfg.lb, params, t,
-                                              nstate=state[3])
+                                              nstate=state[-1])
         else:
             shat, ghat = _noise_terms(cfg.lb, params, t)
 
@@ -109,9 +120,25 @@ def make_binary_lb_step(cfg: BinaryLBConfig):
                             shat=shat, ghat=ghat)
         g = g_collide(g, phi, u, mu, cfg)
 
-        f = stream(f, model)
-        g = stream(g, model)
-        out = ((f, g, u, nstate) if kiss_rho else (f, g, u))
+        if has_walls:
+            from ludwig_tpu.ops.walls import wall_bounce_back
+            from ludwig_tpu.stats import momentum_total
+            f_post, g_post = f, g
+            f = stream(f, model)
+            g = stream(g, model)
+            g_pre = momentum_total(f, model)
+            f, g, _ = wall_bounce_back(f, f_post, model, wallspec,
+                                       rho0=cfg.lb.rho0,
+                                       g_post=g_post, g_new=g)
+            gwall = gwall + (g_pre - momentum_total(f, model))
+        else:
+            f = stream(f, model)
+            g = stream(g, model)
+        out = (f, g, u)
+        if has_walls:
+            out = out + (gwall,)
+        if kiss_rho:
+            out = out + (nstate,)
         return out, (rho, phi)
 
     return step

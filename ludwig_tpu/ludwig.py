@@ -646,15 +646,30 @@ def build_system(rt: RunTime) -> System:
             # no solid sites: reduces to the fluid 27pt stencil
             # (ref: gradient_3d_27pt_solid.c:5-7)
             grad2 = "3d_27pt_fluid"
+        ws2 = None
+        if any(walls) and porous is None:
+            from ludwig_tpu.ops.walls import WallSpec
+            ws2 = WallSpec(walls=walls)
+            lb_cfg = dataclasses.replace(lb_cfg, walls=(False,) * 3)
+            solid = None
+            if grad2 == "3d_27pt_fluid" and rt.string(
+                    "fd_gradient_calculation", "") == "3d_27pt_solid":
+                grad2 = "3d_27pt_solid"   # walls need the solid stencil
         l2cfg = BinaryLBConfig(
             lb=lb_cfg, fe=fe,
             mobility=rt.double("mobility", 0.15),
             gradient=grad2)
         phi0 = _phi_init(rt, size, fe)
         state = initial_binary_lb(l2cfg, phi0)
-        step = make_binary_lb_step(l2cfg)
+        if ws2 is not None:
+            # insert the wall-momentum accumulator before any noise
+            # state: (f, g, u, gwall[, noise])
+            state = tuple(state[:3]) + (
+                jnp.zeros((3,), lb_cfg.jdtype),) + tuple(state[3:])
+        step = make_binary_lb_step(l2cfg, wallspec=ws2)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
-                      state=state, step_fn=step, lb2_cfg=l2cfg)
+                      state=state, step_fn=step, lb2_cfg=l2cfg,
+                      wallspec=ws2)
 
     _has_colloids = rt.string("colloid_init", "none") not in (
         "none", "no_colloids", "")
@@ -1311,13 +1326,26 @@ def _make_stats_fn(sys_: System):
             from ludwig_tpu.binary_lb import g_moments
             l2 = sys_.lb2_cfg
             phi, _ = g_moments(state[1], model)
-            res["phi"] = stats.field_stats(phi)
+            res["phi"] = stats.field_stats_ref(phi, klein=False)
             # current phi with the start-of-step gradients (the
             # reference's ludwig_report_statistics convention)
-            fields = fe_fields(prev[0] if prev else phi, l2.gradient)
+            l2ops = None
+            if sys_.wallspec is not None and l2.gradient.endswith("_solid"):
+                from ludwig_tpu.ops.solid_stencil import solid27_scalar_ops
+                l2ops = solid27_scalar_ops(
+                    sys_.lb_cfg.size, fluid=None,
+                    walls=sys_.wallspec.walls,
+                    rkappa=1.0 / l2.fe.kappa, c=0.0, h=0.0)
+            fields = fe_fields(prev[0] if prev else phi, l2.gradient,
+                               solid_ops=l2ops)
             fields["phi"] = phi
             fed = l2.fe.fed(fields)
             res["fed"] = (jnp.mean(fed), jnp.mean(fed))
+            if sys_.wallspec is not None:
+                res["fe_sum_v"] = (stats.seq_sum(fed),
+                                   jnp.asarray(float(fed.size),
+                                               fed.dtype))
+                res["gwall"] = state[3]
         if bcfg is not None:
             phi = state[1]
             res["phi"] = stats.field_stats(phi, mask)
@@ -1730,7 +1758,7 @@ def run_text(text: str, out=sys.stdout) -> System:
         if sys_.is_colloid:
             state, (rho, u) = sys_.step_fn(state, t)
         elif (sys_.wallspec is not None and not sys_.is_binary
-                and not sys_.is_two_field):
+                and not sys_.is_two_field and not sys_.is_binary_lb):
             state, rho, u = sys_.step_fn(state, t)
         elif sys_.is_electro:
             state, rho = sys_.step_fn(state, t)

@@ -56,3 +56,40 @@ def shear_stress_mean(f: jnp.ndarray, model) -> float:
         if cxy:
             sxy = sxy + cxy * f[p]
     return float(jnp.mean(sxy))
+
+
+class TurbulentStats:
+    """Time-averaged velocity profile over the y direction
+    (ref: src/stats_turbulent.c: ubar accumulate / zero / output).
+
+    ubar holds the running sum of u over every (x, z) column; output
+    normalises by (time_counter * Ly) and writes the reference's ascii
+    profile (one line per (x, z): ic kc ubar_x ubar_y ubar_z,
+    1-based coordinates)."""
+
+    def __init__(self, size):
+        import numpy as np
+        self.size = tuple(size)
+        self.ubar = np.zeros((size[0], size[2], 3))
+        self.time_counter = 0
+
+    def accumulate(self, u):
+        import jax
+        import numpy as np
+        ua = np.asarray(jax.device_get(u))      # (3, X, Y, Z)
+        self.ubar += np.moveaxis(ua.sum(axis=2), 0, -1)
+        self.time_counter += 1
+
+    def zero(self):
+        self.ubar[:] = 0.0
+        self.time_counter = 0
+
+    def output(self, path):
+        norm = 1.0 / (max(self.time_counter, 1) * self.size[1])
+        with open(path, "w") as fh:
+            for ic in range(self.size[0]):
+                for kc in range(self.size[2]):
+                    v = self.ubar[ic, kc] * norm
+                    fh.write(f"{ic + 1:4d} {kc + 1:4d} "
+                             f"{v[0]:14.7e} {v[1]:14.7e} "
+                             f"{v[2]:14.7e}\n")

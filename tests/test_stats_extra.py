@@ -48,3 +48,24 @@ def test_rheology_profiles_shapes_and_shear_stress():
     assert sprof.shape == (3, 3, L)
     np.testing.assert_allclose(np.asarray(uprof[1]), uy[:, 0, 0],
                                atol=1e-14)
+
+
+def test_turbulent_stats_profile(tmp_path):
+    import jax.numpy as jnp
+
+    from ludwig_tpu.stats_extra import TurbulentStats
+    size = (4, 3, 5)
+    ts = TurbulentStats(size)
+    u = jnp.ones((3,) + size) * jnp.asarray([1.0, 2.0, 3.0])[:, None,
+                                                             None, None]
+    ts.accumulate(u)
+    ts.accumulate(2.0 * u)
+    out = tmp_path / "ubar.dat"
+    ts.output(str(out))
+    lines = out.read_text().splitlines()
+    assert len(lines) == size[0] * size[2]
+    toks = lines[0].split()
+    # mean of (1x, 2x) over 2 steps = 1.5x the base profile
+    assert abs(float(toks[2]) - 1.5) < 1e-12
+    assert abs(float(toks[3]) - 3.0) < 1e-12
+    assert abs(float(toks[4]) - 4.5) < 1e-12
