@@ -173,3 +173,133 @@ def initial_binary_lb(cfg: BinaryLBConfig, phi0: np.ndarray):
         from ludwig_tpu.noise_kiss import kiss_init
         state = state + (kiss_init(0, cfg.lb.size),)
     return state
+
+
+def make_binary_lb_colloid_step(cfg: BinaryLBConfig, params,
+                                rebuild_freq: int = 1, force_fn=None,
+                                phi_ref: float = 0.0,
+                                wetting=(0.0, 0.0)):
+    """Full-LB binary fluid with resolved colloids.
+
+    State: (f, R, V, W, dr, Rmap, Msw, g, u, dphi) with dphi the
+    per-particle order-parameter deficit (ref: colloid state deltaphi).
+
+    Per reference step (ref: ludwig.c:543-560 colloid update then
+    phi_lb_to_field; the force/order-parameter-dynamics section is
+    skipped for ndist == 2, ludwig.c:680-684 - the free-energy coupling
+    is entirely inside the mrt2 collision): position update -> rebuild
+    (remove/replace f with momentum corrections and g with deltaphi
+    bookkeeping, ref: build.c:796-832, :1022-1160) -> interior f
+    refresh (bbl pass0) -> solid-aware phi gradients -> f collision
+    with the thermodynamic stress in the equilibrium + g collision
+    (fluid sites only) -> BBL for f (implicit velocity solve) and for g
+    with the deficit spread (ref: bbl.c:683-691) -> propagation."""
+    from ludwig_tpu.colloids import refresh_inside
+    from ludwig_tpu.colloids_fast import (bbl_step_fast, build_map_fast,
+                                          g_bbl_fast,
+                                          g_remove_replace_fast,
+                                          remove_replace_fast,
+                                          solid_body_u)
+    from ludwig_tpu.ops.solid_stencil import solid27_scalar_ops
+    from ludwig_tpu.ops.stream import stream
+
+    lb = cfg.lb
+    model = lb.model
+    cparams = lb.collision_params()
+    size = lb.size
+    grav = jnp.asarray(np.array(params.gravity, np.float64), lb.jdtype)
+
+    @partial(jax.jit, static_argnums=2, donate_argnums=0)
+    def _step(state, t, rebuild):
+        f, R, V, W, dr, Rmap, Msw, g, u, dphi = state
+        L = jnp.asarray(np.array(size, np.float64), R.dtype)
+        fxm = params.fixedr_mask(R.dtype)
+        R = jnp.mod(R + (dr if fxm is None else fxm * dr), L)
+        if rebuild:
+            pid_old, inside_old = build_map_fast(Rmap, params, size)
+            Rmap = R
+            pid, inside = build_map_fast(R, params, size)
+            f, deltam, f0c, t0c = remove_replace_fast(
+                f, R, V, W, inside_old, pid_old, inside, pid, model,
+                params, size, rho0=lb.rho0)
+            g, dd = g_remove_replace_fast(
+                g, inside_old, inside, pid_old, pid, model, params.n,
+                phi0=phi_ref)
+            dphi = dphi + dd
+        else:
+            pid, inside = build_map_fast(Rmap, params, size)
+            deltam = f0c = t0c = None
+        fluid = jnp.logical_not(inside)
+
+        # interior sites track the solid-body velocity (bbl pass0)
+        ub = solid_body_u(R, V, W, pid, inside, size, f.dtype)
+        f = refresh_inside(f, model, inside, ub, lb.rho0)
+
+        # phi from the g distribution; solid-aware gradients with
+        # (uniform) colloid wetting
+        phi, _ = g_moments(g, model)
+        grad, delsq = solid27_scalar_ops(
+            size, fluid=fluid, rkappa=1.0 / cfg.fe.kappa,
+            c=wetting[0], h=wetting[1])
+        fields = {"phi": phi, "grad_phi": grad(phi),
+                  "delsq_phi": delsq(phi)}
+        mu = cfg.fe.mu(fields)
+        sth = cfg.fe.stress(fields)
+
+        force = None
+        if any(v != 0.0 for v in params.gravity):
+            # fluid gravity compensation (ref: interaction.c
+            # colloids_update_forces_fluid_gravity)
+            nfluid = jnp.sum(fluid.astype(f.dtype))
+            fb = (-grav) * (1.0 / nfluid) * float(params.n)
+            force = jnp.where(fluid[None], fb[:, None, None, None],
+                              0.0).astype(f.dtype)
+
+        f, rho, u_new = collide(f, cparams, seq_extra=sth, force=force,
+                                fluid_mask=fluid)
+        g = jnp.where(fluid[None], g_collide(g, phi, u_new, mu, cfg), g)
+
+        ext = jnp.tile(grav[None], (params.n, 1))
+        if force_fn is not None:
+            ext = ext + force_fn(R, V).astype(ext.dtype)
+        Vold = V
+        f, V, W, Msw, _ = bbl_step_fast(f, Rmap, V, W, model, params,
+                                        size, ext_force=ext,
+                                        rho0=lb.rho0, deltam=deltam,
+                                        f0_corr=f0c, t0_corr=t0c, M=Msw)
+        # g bounce-back with the post-collision phi and the NEW
+        # velocities (ref: bbl.c pass2, lb_0th_moment at site i)
+        phi_post, _ = g_moments(g, model)
+        g, dphi = g_bbl_fast(g, phi_post, Rmap, V, W, model, params,
+                             size, dphi)
+        dr = 0.5 * (Vold + V)
+
+        f = stream(f, model)
+        g = stream(g, model)
+        return (f, R, V, W, dr, Rmap, Msw, g, u_new, dphi), (rho, u_new)
+
+    def step(state, t=0):
+        return _step(state, t, int(t) % rebuild_freq == 0)
+
+    return step
+
+
+def initial_binary_lb_colloid(cfg: BinaryLBConfig, params, phi0, R0,
+                              V0=None):
+    lb = cfg.lb
+    nc = params.n
+    jd = lb.jdtype
+    f = initial_rest(lb)
+    model = lb.model
+    phi = jnp.asarray(phi0, jd)
+    g = jnp.stack([phi if p == 0 else jnp.zeros_like(phi)
+                   for p in range(model.nvel)])
+    R = jnp.asarray(np.array(R0), jd)
+    V = (jnp.asarray(np.array(V0), jd) if V0 is not None
+         else jnp.zeros((nc, 3), jd))
+    mm = (np.array(params.m, np.float64) if params.m
+          else np.tile([1.0, 0.0, 0.0], (nc, 1)))
+    return (f, R, V, jnp.zeros((nc, 3), jd), jnp.zeros((nc, 3), jd),
+            jnp.array(R), jnp.asarray(mm, jd), g,
+            jnp.zeros((3,) + tuple(lb.size), jd),
+            jnp.zeros((nc,), jd))

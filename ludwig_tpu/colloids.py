@@ -597,7 +597,8 @@ def wall_ss_cut_forces(R, params: ColloidParams, walls, epsilon, sigma,
 def make_colloid_step(cfg: LBConfig, params: ColloidParams,
                       rebuild_freq: int = 1, force_fn=None,
                       wallspec=None, lubr_rc=(0.0,) * 3,
-                      lubr_dh=(0.0,) * 3, wall_ss=None):
+                      lubr_dh=(0.0,) * 3, wall_ss=None,
+                      torque_fn=None):
     """Jitted colloid+fluid step.
 
     State: ColloidState.  Sequence per reference ludwig.c:
@@ -617,6 +618,15 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
                 and cfg.noise.rho)
 
     has_walls = wallspec is not None and wallspec.any
+    # segment-sum suspension path (passive, periodic; ref: VERDICT
+    # round-1 'rescale colloids to suspensions')
+    fast = (params.n > 4 and not has_walls
+            and not any(params.is_active(n) for n in range(params.n)))
+    if fast:
+        from ludwig_tpu.colloids_fast import (bbl_step_fast,
+                                              build_map_fast,
+                                              remove_replace_fast,
+                                              solid_body_u)
 
     @partial(jax.jit, static_argnums=2, donate_argnums=0)
     def _step(state, t, rebuild):
@@ -634,29 +644,34 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         mv = dr if fxm is None else fxm * dr
         R = jnp.mod(R + mv, jnp.asarray(np.array(size, np.float64),
                                         R.dtype))
+        bmap = build_map_fast if fast else build_map
+        rrfn = remove_replace_fast if fast else remove_replace
         if rebuild:
-            pid_old, inside_old = build_map(Rmap, params, size)
+            pid_old, inside_old = bmap(Rmap, params, size)
             Rmap = R
-            pid, inside = build_map(R, params, size)
-            f, deltam, f0c, t0c = remove_replace(
+            pid, inside = bmap(R, params, size)
+            f, deltam, f0c, t0c = rrfn(
                 f, R, V, W, inside_old, pid_old, inside, pid, model,
                 params, size, rho0=cfg.rho0)
         else:
-            pid, inside = build_map(Rmap, params, size)
+            pid, inside = bmap(Rmap, params, size)
             deltam = f0c = t0c = None
 
         # interior sites track the solid-body velocity (ref: bbl pass0)
-        coords = site_coords(size, f.dtype)
         L = jnp.asarray(np.array(size, np.float64), f.dtype)
-        ub = jnp.zeros((3,) + size, f.dtype)
-        for n in range(params.n):
-            d = _min_image(coords - R[n][:, None, None, None],
-                           L[:, None, None, None])
-            wxr = jnp.stack([W[n][1] * d[2] - W[n][2] * d[1],
-                             W[n][2] * d[0] - W[n][0] * d[2],
-                             W[n][0] * d[1] - W[n][1] * d[0]])
-            mask = (pid == n)[None]
-            ub = jnp.where(mask, V[n][:, None, None, None] + wxr, ub)
+        if fast:
+            ub = solid_body_u(R, V, W, pid, inside, size, f.dtype)
+        else:
+            coords = site_coords(size, f.dtype)
+            ub = jnp.zeros((3,) + size, f.dtype)
+            for n in range(params.n):
+                d = _min_image(coords - R[n][:, None, None, None],
+                               L[:, None, None, None])
+                wxr = jnp.stack([W[n][1] * d[2] - W[n][2] * d[1],
+                                 W[n][2] * d[0] - W[n][0] * d[2],
+                                 W[n][0] * d[1] - W[n][1] * d[0]])
+                mask = (pid == n)[None]
+                ub = jnp.where(mask, V[n][:, None, None, None] + wxr, ub)
         f = refresh_inside(f, model, inside, ub, cfg.rho0)
 
         # 2. collide on fluid sites (fluctuations via the usual hooks).
@@ -687,6 +702,8 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         ext = jnp.tile(grav[None], (params.n, 1))
         if force_fn is not None:
             ext = ext + force_fn(R, V).astype(ext.dtype)
+        ext_t = (torque_fn(R, V).astype(ext.dtype)
+                 if torque_fn is not None else None)
         dwall = None
         if has_walls:
             if wall_ss is not None:
@@ -704,12 +721,18 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
                                              cfg.eta_shear, size, f.dtype)
         Vold = V
         # link geometry is from the last rebuild position Rmap
-        f, V, W, Msw, gwbb = bbl_step(
-            f, Rmap, V, W, model, params, size,
-            ext_force=ext, rho0=cfg.rho0,
-            deltam=deltam, f0_corr=f0c,
-            t0_corr=t0c, M=Msw, wall_drag=dwall,
-            walls=(wallspec.walls if has_walls else (False,) * 3))
+        if fast:
+            f, V, W, Msw, gwbb = bbl_step_fast(
+                f, Rmap, V, W, model, params, size,
+                ext_force=ext, ext_torque=ext_t, rho0=cfg.rho0,
+                deltam=deltam, f0_corr=f0c, t0_corr=t0c, M=Msw)
+        else:
+            f, V, W, Msw, gwbb = bbl_step(
+                f, Rmap, V, W, model, params, size,
+                ext_force=ext, ext_torque=ext_t, rho0=cfg.rho0,
+                deltam=deltam, f0_corr=f0c,
+                t0_corr=t0c, M=Msw, wall_drag=dwall,
+                walls=(wallspec.walls if has_walls else (False,) * 3))
         if has_walls:
             gwall = gwall + gwbb
         if dwall is not None:

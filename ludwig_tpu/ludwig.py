@@ -285,6 +285,7 @@ def _parse_colloids(rt, size, rho0, eta):
     angles = []
     rngs = []
     fixedr = []
+    ss = []
     from ludwig_tpu.colloids import ColloidParams, make_colloid_step
     a0, ah, rr, vv = [], [], [], []
     b1, b2, mm, typ = [], [], [], []
@@ -340,6 +341,7 @@ def _parse_colloids(rt, size, rho0, eta):
             typ.append({0: "default", 1: "active",
                         2: "subgrid"}.get(rec["type"], "default"))
             rngs.append(rec.get("rng", 1 + ni))
+            ss.append(tuple(rec.get("s", (0.0, 0.0, 0.0))))
             _fx = rec.get("isfixedr", 0)
             _fxv = rec.get("isfixedrxyz", [_fx, _fx, _fx])
             if _fx and not any(_fxv):
@@ -363,6 +365,8 @@ def _parse_colloids(rt, size, rho0, eta):
                                        (0.0, 0.0, 0.0)))
             b1.append(rt.double(f"colloid_{nm}_b1", 0.0))
             b2.append(rt.double(f"colloid_{nm}_b2", 0.0))
+            ss.append(tuple(rt.double_vector(f"colloid_{nm}_s",
+                                             (0.0, 0.0, 0.0))))
             mv = rt.double_vector(f"colloid_{nm}_m", (1.0, 0.0, 0.0))
             nrm = np.sqrt(sum(c * c for c in mv)) or 1.0
             mm.append(tuple(c / nrm for c in mv))
@@ -464,7 +468,9 @@ def _parse_colloids(rt, size, rho0, eta):
         qq = qq + [(0.0, 0.0)] * (len(rr) - len(qq))
     if len(rngs) < len(rr):
         rngs = rngs + [1 + i for i in range(len(rngs), len(rr))]
-    return cparams, rr, vv, typ, al, force_fn, qq, rngs
+    if len(ss) < len(rr):
+        ss = ss + [(0.0, 0.0, 0.0)] * (len(rr) - len(ss))
+    return cparams, rr, vv, typ, al, force_fn, qq, rngs, ss
 
 
 def build_system(rt: RunTime) -> System:
@@ -674,7 +680,8 @@ def build_system(rt: RunTime) -> System:
     _has_colloids = rt.string("colloid_init", "none") not in (
         "none", "no_colloids", "")
     if (fe_name in ("symmetric", "symmetric_noise", "symmetric_lb")
-            and not (fe_name == "symmetric" and _has_colloids)):
+            and not (fe_name in ("symmetric", "symmetric_lb")
+                     and _has_colloids)):
         fe = SymmetricFE(a=rt.double_required("A"),
                          b=rt.double_required("B"),
                          kappa=rt.double_required("K"))
@@ -916,7 +923,7 @@ def build_system(rt: RunTime) -> System:
             # q-tensor branch; pth_force_colloid; fe_lc_stats.c)
             from ludwig_tpu.lc_colloid import (initial_lc_colloid,
                                                make_lc_colloid_step)
-            cparams, rr, vv, typ, al, force_fn, _qq, _rngs = _colloids
+            cparams, rr, vv, typ, al, force_fn, _qq, _rngs, ss = _colloids
             state = initial_lc_colloid(lcfg, cparams, q5, rr, vv)
             step = make_lc_colloid_step(
                 lcfg, cparams,
@@ -981,7 +988,7 @@ def build_system(rt: RunTime) -> System:
             from ludwig_tpu.electro_colloid import (
                 colloid_rho_set, initial_electro_colloid,
                 make_electro_colloid_step)
-            cparams, rr, vv, typ, al, force_fn, qq, _rngs = _colloids
+            cparams, rr, vv, typ, al, force_fn, qq, _rngs, _ss = _colloids
             pid, inside = build_map(jnp.asarray(np.array(rr), jd),
                                     cparams, size)
             rho_j = colloid_rho_set(
@@ -1010,9 +1017,10 @@ def build_system(rt: RunTime) -> System:
                       hydro_on=ecfg.hydrodynamics)
 
     _colloids = _parse_colloids(rt, size, rho0, eta)
-    if fe_name in ("none", "symmetric") and _colloids is not None:
+    if (fe_name in ("none", "symmetric", "symmetric_lb")
+            and _colloids is not None):
         from ludwig_tpu.colloids import make_colloid_step
-        cparams, rr, vv, typ, al, force_fn, _qq, _rngs = _colloids
+        cparams, rr, vv, typ, al, force_fn, _qq, _rngs, ss = _colloids
         f = _distribution_init(rt, lb_cfg)
         from ludwig_tpu.colloids import ColloidState
         R0 = jnp.asarray(np.array(rr), lb_cfg.jdtype)
@@ -1031,6 +1039,33 @@ def build_system(rt: RunTime) -> System:
             return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
                           solid=None, state=state, step_fn=step,
                           colloid_params=cparams)
+        if fe_name == "symmetric_lb":
+            # two-distribution binary fluid with resolved colloids
+            # (ref: bbl.c pass2 ndist > 1 branch; build.c order
+            # parameter remove/replace for the g distribution)
+            from ludwig_tpu.binary_lb import (BinaryLBConfig,
+                                              initial_binary_lb_colloid,
+                                              make_binary_lb_colloid_step)
+            fe2 = SymmetricFE(a=rt.double_required("A"),
+                              b=rt.double_required("B"),
+                              kappa=rt.double_required("K"))
+            l2cfg = BinaryLBConfig(
+                lb=lb_cfg, fe=fe2,
+                mobility=rt.double("mobility", 0.15),
+                gradient=rt.string("fd_gradient_calculation",
+                                   "3d_27pt_solid"))
+            phi0 = _phi_init(rt, size, fe2)
+            state = initial_binary_lb_colloid(l2cfg, cparams, phi0, rr,
+                                              vv)
+            step = make_binary_lb_colloid_step(
+                l2cfg, cparams,
+                rebuild_freq=rt.int("colloid_rebuild_freq", 1),
+                force_fn=force_fn, phi_ref=rt.double("phi0", 0.0),
+                wetting=(rt.double("colloid_one_c", 0.0),
+                         rt.double("colloid_one_h", 0.0)))
+            return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
+                          solid=None, state=state, step_fn=step,
+                          lb2_cfg=l2cfg, colloid_params=cparams)
         if fe_name == "symmetric":
             # binary fluid with resolved colloids (ref: phi_force_colloid)
             from ludwig_tpu.binary_colloid import (initial_binary_colloid,
@@ -1086,12 +1121,34 @@ def build_system(rt: RunTime) -> System:
                     "sigma": rt.double_required("wall_ss_cut_sigma"),
                     "nu": rt.double_required("wall_ss_cut_nu"),
                     "hc": rt.double_required("wall_ss_cut_hc")}
+        torque_fn = None
+        if rt.int("ewald_sum", 0):
+            # dipolar Ewald interactions (ref: ewald.c via
+            # interact_compute; dipole vectors s are the input values -
+            # rotation of s with the particle is carried via the same
+            # Rodrigues update as the swim direction when present)
+            from ludwig_tpu.ewald import ewald_sum as _ewald
+            emu = rt.double("ewald_mu", 0.0)
+            erc = rt.double("ewald_rc", float(min(size)) / 2.0)
+            S0 = jnp.asarray(np.array(
+                [list(ssv) if any(ssv) else [0.0, 0.0, 0.0]
+                 for ssv in (ss if ss else [(0.0, 0.0, 0.0)] * cparams.n)]
+            ), lb_cfg.jdtype)
+            if bool(jnp.any(S0 != 0.0)):
+                _prev = force_fn
+
+                def force_fn(R, V, _p=_prev):
+                    F, _ = _ewald(R, S0, emu, erc, size)
+                    return F + (_p(R, V) if _p is not None else 0.0)
+
+                def torque_fn(R, V):
+                    return _ewald(R, S0, emu, erc, size)[1]
         step = make_colloid_step(lb_cfg, cparams,
                                  rebuild_freq=rt.int("colloid_rebuild_freq",
                                                      1),
                                  force_fn=force_fn, wallspec=ws,
                                  lubr_rc=lubr_rc, lubr_dh=lubr_dh,
-                                 wall_ss=wall_ss)
+                                 wall_ss=wall_ss, torque_fn=torque_fn)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=None,
                       state=state, step_fn=step, colloid_params=cparams,
                       wallspec=ws)
@@ -1192,8 +1249,12 @@ def _make_stats_fn(sys_: System):
         # gradients computed before the update (ludwig.c loop order).
         f = state[0]
         if cpar is not None:
-            from ludwig_tpu.colloids import (build_map,
-                                             total_colloid_momentum)
+            from ludwig_tpu.colloids import total_colloid_momentum
+            if cpar.n > 4:
+                from ludwig_tpu.colloids_fast import (
+                    build_map_fast as build_map)
+            else:
+                from ludwig_tpu.colloids import build_map
             R, V = state[1], state[2]
             subgrid = (len(cpar.types) == cpar.n
                        and all(tp == "subgrid" for tp in cpar.types))
@@ -1233,6 +1294,33 @@ def _make_stats_fn(sys_: System):
                 fields = {"phi": phi, "grad_phi": grad(pphi),
                           "delsq_phi": delsq(pphi)}
                 fed = bcfg.fe.fed(fields)
+                res["fe_colloid"] = (jnp.sum(jnp.where(fl, fed, 0.0)),
+                                     jnp.sum(fl.astype(fed.dtype)))
+            if sys_.lb2_cfg is not None:
+                # symmetric_lb + colloids: phi from the g distribution,
+                # fluid Klein sums with the bbl deficit added to the
+                # total before mean/variance (ref: phi_stats.c
+                # stats_field_info_bbl:321-338)
+                from ludwig_tpu.binary_lb import g_moments
+                from ludwig_tpu.ops.solid_stencil import \
+                    solid27_scalar_ops
+                l2 = sys_.lb2_cfg
+                phi = g_moments(state[7], model)[0]
+                tot, mean, var, mn, mx = stats.field_stats_ref(
+                    phi, fl, klein="klein")
+                deficit = jnp.sum(state[9])
+                nfl = jnp.sum(fl.astype(phi.dtype))
+                tot2 = tot + deficit
+                mean2 = tot2 / nfl
+                var2 = (var + mean * mean) - mean2 * mean2
+                res["phi"] = (tot2, mean2, var2, mn, mx)
+                grad, delsq = solid27_scalar_ops(
+                    sys_.lb_cfg.size, fluid=fl,
+                    rkappa=1.0 / l2.fe.kappa, c=0.0, h=0.0)
+                pphi = prev[1] if prev and len(prev) > 1 else phi
+                fields = {"phi": phi, "grad_phi": grad(pphi),
+                          "delsq_phi": delsq(pphi)}
+                fed = l2.fe.fed(fields)
                 res["fe_colloid"] = (jnp.sum(jnp.where(fl, fed, 0.0)),
                                      jnp.sum(fl.astype(fed.dtype)))
             if sys_.lc_cfg is not None:
@@ -1735,6 +1823,10 @@ def run_text(text: str, out=sys.stdout) -> System:
             out = (jnp.array(state[2]),)    # start-of-step velocities
             if sys_.binary_cfg is not None:
                 out = out + (jnp.array(state[7]),)   # start-of-step phi
+            elif sys_.lb2_cfg is not None:
+                from ludwig_tpu.binary_lb import g_moments
+                out = out + (g_moments(jnp.array(state[7]),
+                                       sys_.lb_cfg.model)[0],)
             return out
         if sys_.is_binary_lb:
             from ludwig_tpu.binary_lb import g_moments

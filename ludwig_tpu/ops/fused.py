@@ -222,7 +222,15 @@ def fused_step(fpad: jnp.ndarray, model: LatticeModel,
                params: CollisionParams, plan: FusedPlan = FusedPlan(),
                interpret: bool = False) -> jnp.ndarray:
     """One fused collide+stream step on a padded state; returns new padded
-    state (pads refreshed)."""
+    state (pads refreshed, single-shard periodic)."""
+    return _pad_refresh(_fused_call(fpad, model, params, plan, interpret))
+
+
+def _fused_call(fpad: jnp.ndarray, model: LatticeModel,
+                params: CollisionParams, plan: FusedPlan = FusedPlan(),
+                interpret: bool = False) -> jnp.ndarray:
+    """The raw kernel launch: new padded state with STALE pads (the
+    caller refreshes them - locally, or by ppermute on a mesh)."""
     nvel, Xp, Yp, Z = fpad.shape
     X, Y = Xp - 2 * HX, Yp - 2 * HY
     BX = min(plan.BX, X)
@@ -251,7 +259,7 @@ def fused_step(fpad: jnp.ndarray, model: LatticeModel,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(fpad)
-    return _pad_refresh(out)
+    return out
 
 
 def make_fused_nstep(model: LatticeModel, params: CollisionParams,
@@ -402,3 +410,72 @@ def fused_force_step(fpad: jnp.ndarray, force: jnp.ndarray,
         interpret=interpret,
     )(fpad, fpad_force)
     return _pad_refresh(out), u
+
+
+def _pad_exchange(fpad: jnp.ndarray, nx: int, ny: int,
+                  ax: str = "x", ay: str = "y") -> jnp.ndarray:
+    """Refresh the halo pads of a LOCAL padded block by ppermute face
+    exchange over the device mesh (the TPU-native halo swap, ref:
+    src/halo_swap.c:709 halo_swap_packed).
+
+    y rows first (full padded-x extent), then x planes (full padded-y
+    extent), so corner pads pick up the diagonal neighbour's values by
+    the same two-hop relay as the single-shard `_pad_refresh`.  With a
+    1-device axis the permutation is the identity (0, 0), which IS the
+    periodic wrap - no special case needed."""
+    X = fpad.shape[1] - 2 * HX
+    Y = fpad.shape[2] - 2 * HY
+    fwd_y = [(i, (i + 1) % ny) for i in range(ny)]
+    bwd_y = [(i, (i - 1) % ny) for i in range(ny)]
+    lo = jax.lax.ppermute(fpad[:, :, Y + HY - 1, :], ay, fwd_y)
+    hi = jax.lax.ppermute(fpad[:, :, HY, :], ay, bwd_y)
+    fpad = fpad.at[:, :, HY - 1, :].set(lo)
+    fpad = fpad.at[:, :, Y + HY, :].set(hi)
+    fwd_x = [(i, (i + 1) % nx) for i in range(nx)]
+    bwd_x = [(i, (i - 1) % nx) for i in range(nx)]
+    lo = jax.lax.ppermute(fpad[:, X, :, :], ax, fwd_x)
+    hi = jax.lax.ppermute(fpad[:, 1, :, :], ax, bwd_x)
+    fpad = fpad.at[:, 0, :, :].set(lo)
+    fpad = fpad.at[:, X + 1, :, :].set(hi)
+    return fpad
+
+
+def make_fused_sharded_nstep(model: LatticeModel, params: CollisionParams,
+                             mesh, plan: FusedPlan = FusedPlan(),
+                             interpret: bool = False):
+    """Multi-chip fused collide+stream: shard_map over a 2-D ('x', 'y')
+    device mesh, each device running the single-shard Pallas kernel on
+    its local block with pads refreshed by `_pad_exchange` ppermutes
+    (face slabs ride the ICI links of the mesh).
+
+    The lattice is sharded over x and y only; z stays whole on every
+    device so the kernel's in-register z lane rolls remain globally
+    periodic (z is the 128-lane minor dim - sharding it would fragment
+    lanes anyway).  Takes and returns an UNPADDED (nvel, X, Y, Z) array
+    sharded P(None, 'x', 'y', None); padding is local to each shard.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    nx = int(mesh.shape.get("x", 1))
+    ny = int(mesh.shape.get("y", 1))
+    spec = P(None, "x", "y", None)
+
+    def local_nstep(f, n):
+        fp = jnp.pad(f, ((0, 0), (HX, HX), (HY, HY), (0, 0)))
+        fp = _pad_exchange(fp, nx, ny)
+
+        def body(fp, _):
+            fp = _fused_call(fp, model, params, plan, interpret)
+            return _pad_exchange(fp, nx, ny), ()
+
+        fp, _ = jax.lax.scan(body, fp, None, length=n)
+        return fp[:, HX:-HX, HY:-HY, :]
+
+    @partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def nstep(f, n):
+        return shard_map(partial(local_nstep, n=n), mesh=mesh,
+                         in_specs=spec, out_specs=spec,
+                         check_vma=False)(f)
+
+    return nstep

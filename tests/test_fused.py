@@ -120,3 +120,31 @@ def test_fused_lc_step_matches_jnp_path():
                                np.asarray(sx[1]), rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(unpad_f(sf[0])),
                                np.asarray(sx[0]), rtol=1e-10, atol=1e-12)
+
+
+def test_fused_sharded_matches_single():
+    """shard_map'd fused kernel over a 4x2 ('x','y') CPU mesh ==
+    single-device fused result (pads via ppermute face exchange)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ludwig_tpu.lb import LBConfig, initial_rest
+    from ludwig_tpu.ops.fused import make_fused_sharded_nstep
+
+    cfg = LBConfig(size=(16, 16, 32), nvel=19, eta_shear=0.1,
+                   force_global=(1e-5, 0.0, -2e-5))
+    model, params = cfg.model, cfg.collision_params()
+    rng = np.random.default_rng(3)
+    f = initial_rest(cfg) + 1e-3 * jnp.asarray(
+        rng.standard_normal((19, 16, 16, 32)))
+
+    plan = FusedPlan(BX=4, BY=8)
+    nstep = make_fused_nstep(model, params, plan, interpret=True)
+    ref = unpad_state(nstep(pad_state(f), 3))
+
+    devs = np.array(jax.devices("cpu")[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    fs = jax.device_put(f, NamedSharding(mesh, P(None, "x", "y", None)))
+    sh = make_fused_sharded_nstep(model, params, mesh, plan,
+                                  interpret=True)(fs, 3)
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(ref),
+                               rtol=0, atol=1e-13)
