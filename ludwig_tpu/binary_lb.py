@@ -76,15 +76,19 @@ def g_collide(g: jnp.ndarray, phi, u, mu, cfg: BinaryLBConfig):
     return jnp.stack(rows)
 
 
-def make_binary_lb_step(cfg: BinaryLBConfig, wallspec=None):
+def make_binary_lb_step(cfg: BinaryLBConfig, wallspec=None, le=None):
     """Jitted step for (f, g): full symmetric_lb update.
 
     With fluctuations on, the f-collision takes the same stress/ghost
     noise as the single-fluid MRT (ref: lb_collision_mrt2_site noise
-    branch); the KISS state rides as the last state element.  With halo
-    plane walls (wallspec) both distributions get half-way bounce-back
-    (ref: wall.c wall_bbl_kernel ndist > 1 branch) and the state
-    carries the accumulated wall momentum.
+    branch); the KISS state rides after u.  With halo plane walls
+    (wallspec) both distributions get half-way bounce-back (ref: wall.c
+    wall_bbl_kernel ndist > 1 branch) and the state carries the
+    accumulated wall momentum.  With Lees-Edwards planes (`le`) the
+    gradients use the LE-aware stencil and BOTH distributions are
+    reprojected/displaced at the planes after collision (ref:
+    model_le.c le_reproject n-loop over ndist); the state then carries
+    (grad, delsq) at the tail for the statistics convention.
     """
     params = dataclasses.replace(cfg.lb).collision_params()
     model = cfg.lb.model
@@ -101,10 +105,18 @@ def make_binary_lb_step(cfg: BinaryLBConfig, wallspec=None):
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
         from ludwig_tpu.lb import _noise_terms
+        if le is not None:
+            state = state[:-2]
         f, g = state[0], state[1]
         gwall = state[3] if has_walls else None
         phi, _ = g_moments(g, model)
-        fields = fe_fields(phi, cfg.gradient, solid_ops=solid_ops)
+        if le is not None:
+            from ludwig_tpu.ops.le_ref import le_gradient
+            grad_le, delsq_le = le_gradient(phi, le, t, cfg.gradient)
+            fields = {"phi": phi, "grad_phi": grad_le,
+                      "delsq_phi": delsq_le}
+        else:
+            fields = fe_fields(phi, cfg.gradient, solid_ops=solid_ops)
         mu = cfg.fe.mu(fields)
         sth = cfg.fe.stress(fields)
 
@@ -119,6 +131,11 @@ def make_binary_lb_step(cfg: BinaryLBConfig, wallspec=None):
         f, rho, u = collide(f, params, seq_extra=sth,
                             shat=shat, ghat=ghat)
         g = g_collide(g, phi, u, mu, cfg)
+
+        if le is not None:
+            from ludwig_tpu.ops.lees_edwards import apply_lb_le
+            f = apply_lb_le(f, model, le, t)
+            g = apply_lb_le(g, model, le, t)
 
         if has_walls:
             from ludwig_tpu.ops.walls import wall_bounce_back
@@ -139,6 +156,8 @@ def make_binary_lb_step(cfg: BinaryLBConfig, wallspec=None):
             out = out + (gwall,)
         if kiss_rho:
             out = out + (nstate,)
+        if le is not None:
+            out = out + (grad_le, delsq_le)
         return out, (rho, phi)
 
     return step

@@ -672,10 +672,30 @@ def build_system(rt: RunTime) -> System:
             # state: (f, g, u, gwall[, noise])
             state = tuple(state[:3]) + (
                 jnp.zeros((3,), lb_cfg.jdtype),) + tuple(state[3:])
-        step = make_binary_lb_step(l2cfg, wallspec=ws2)
+        le2 = None
+        nplanes2 = rt.int("N_LE_plane", 0)
+        if nplanes2 > 0:
+            # symmetric_lb under Lees-Edwards shear (ref: model_le.c
+            # le_reproject handles both distributions)
+            from ludwig_tpu.ops.le_ref import le_gradient
+            from ludwig_tpu.ops.lees_edwards import (LeesEdwardsConfig,
+                                                     le_init_shear_profile)
+            le2 = LeesEdwardsConfig(
+                nplanes=nplanes2,
+                uy=rt.double_required("LE_plane_vel"), nx=size[0],
+                omega=2.0 * np.pi / rt.double("LE_oscillation_period",
+                                              0.0)
+                if rt.double("LE_oscillation_period", 0.0) else 0.0)
+            if rt.switch("LE_init_profile", False):
+                state = (le_init_shear_profile(lb_cfg, le2),) + tuple(
+                    state[1:])
+            phi_g = jnp.asarray(phi0, lb_cfg.jdtype)
+            grad0, delsq0 = le_gradient(phi_g, le2, 0, l2cfg.gradient)
+            state = tuple(state) + (grad0, delsq0)
+        step = make_binary_lb_step(l2cfg, wallspec=ws2, le=le2)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
                       state=state, step_fn=step, lb2_cfg=l2cfg,
-                      wallspec=ws2)
+                      wallspec=ws2, le_cfg=le2)
 
     _has_colloids = rt.string("colloid_init", "none") not in (
         "none", "no_colloids", "")
@@ -1424,9 +1444,15 @@ def _make_stats_fn(sys_: System):
                     sys_.lb_cfg.size, fluid=None,
                     walls=sys_.wallspec.walls,
                     rkappa=1.0 / l2.fe.kappa, c=0.0, h=0.0)
-            fields = fe_fields(prev[0] if prev else phi, l2.gradient,
-                               solid_ops=l2ops)
-            fields["phi"] = phi
+            if sys_.le_cfg is not None:
+                # LE runs carry the start-of-step LE-aware gradients
+                # at the state tail (binary_lb keep-grads convention)
+                fields = {"phi": phi, "grad_phi": state[-2],
+                          "delsq_phi": state[-1]}
+            else:
+                fields = fe_fields(prev[0] if prev else phi, l2.gradient,
+                                   solid_ops=l2ops)
+                fields["phi"] = phi
             fed = l2.fe.fed(fields)
             res["fed"] = (jnp.mean(fed), jnp.mean(fed))
             if sys_.wallspec is not None:
