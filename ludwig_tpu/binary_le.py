@@ -76,9 +76,16 @@ class BinaryLEConfig:
 
 
 def make_binary_le_step(cfg: BinaryLEConfig, keep_grads: bool = False):
-    """Jitted sheared-binary step: (f, phi, u[, grad, delsq]) ->
-    (state, rho).  keep_grads stores the start-of-step gradients for the
-    statistics (the reference's stale-gradient convention)."""
+    """Jitted sheared-binary step: (f, phi, u[, noise][, grad, delsq])
+    -> (state, rho).  keep_grads stores the start-of-step gradients for
+    the statistics (the reference's stale-gradient convention).
+
+    Works for the symmetric FE (level-2 gradients) and Brazovskii
+    (level-4: the chemical potential and stress also need delsq_delsq
+    and grad_delsq, computed with the reference's two-pass LE scheme,
+    le_ref.le_fields_2d5pt_d4).  With isothermal fluctuations on, the
+    f-collision takes the KISS stress/ghost noise (ref: collision.c
+    noise branch) and the state carries the per-site noise state."""
     bcfg = cfg.binary
     params = bcfg.lb.collision_params()
     model = bcfg.lb.model
@@ -87,40 +94,65 @@ def make_binary_le_step(cfg: BinaryLEConfig, keep_grads: bool = False):
     M = bcfg.mobility
     order = bcfg.advection_order
     nx = le.nx
+    braz = type(fe).__name__ == "BrazovskiiFE"
+    nz = bcfg.lb.noise
+    kiss_rho = nz is not None and nz.kiss and nz.rho
 
-    def mu_of(phi0, delsq0):
-        return fe.mu({"phi": phi0, "delsq_phi": delsq0})
+    def mu_of(phi0, delsq0, d4=None):
+        fl = {"phi": phi0, "delsq_phi": delsq0}
+        if braz:
+            fl["delsq_delsq_phi"] = d4
+        return fe.mu(fl)
 
-    def pth_of(phi0, grad0, delsq0):
-        return fe.stress({"phi": phi0, "grad_phi": grad0,
-                          "delsq_phi": delsq0})
+    def pth_of(phi0, grad0, delsq0, gd2=None, d4=None):
+        fl = {"phi": phi0, "grad_phi": grad0, "delsq_phi": delsq0}
+        if braz:
+            fl["grad_delsq_phi"] = gd2
+            fl["delsq_delsq_phi"] = d4
+        return fe.stress(fl)
 
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
         if keep_grads:
             state = state[:-2]
-        f, phi, u = state
+        nstate = state[3] if kiss_rho else None
+        f, phi, u = state[:3]
         ctx = LEContext(le, t, phi.dtype)
 
-        grad, delsq = le_gradient(phi, le, t, bcfg.gradient)
-        mu = mu_of(phi, delsq)
-        pth = pth_of(phi, grad, delsq)
+        if braz:
+            from ludwig_tpu.ops.le_ref import le_fields_2d5pt_d4
+            grad, delsq, gd2, d4, bufs4 = le_fields_2d5pt_d4(phi, le, t)
+            mu = mu_of(phi, delsq, d4)
+            pth = pth_of(phi, grad, delsq, gd2, d4)
+        else:
+            grad, delsq = le_gradient(phi, le, t, bcfg.gradient)
+            mu = mu_of(phi, delsq)
+            pth = pth_of(phi, grad, delsq)
 
         # -- per-plane buffer-frame columns --------------------------------
         buf = []
         for c in ctx.cols:
             cu = (c + 1) % nx
-            # looking up (lower frame): buffer column c+1
-            pb1, grad_b1, dsq_b1 = le_buffer_fields(phi, ctx, c, True,
-                                                    bcfg.gradient)
-            mu_b1 = mu_of(pb1, dsq_b1)
-            pth_b1 = pth_of(pb1, grad_b1, dsq_b1)
+            if braz:
+                pb1, grad_b1, dsq_b1, gd2_b1, d4_b1 = bufs4[c]["b1"]
+                pd0, grad_d0, dsq_d0, gd2_d0, d4_d0 = bufs4[c]["d0"]
+                mu_b1 = mu_of(pb1, dsq_b1, d4_b1)
+                pth_b1 = pth_of(pb1, grad_b1, dsq_b1, gd2_b1, d4_b1)
+                mu_d0 = mu_of(pd0, dsq_d0, d4_d0)
+                pth_d0 = pth_of(pd0, grad_d0, dsq_d0, gd2_d0, d4_d0)
+            else:
+                # looking up (lower frame): buffer column c+1
+                pb1, grad_b1, dsq_b1 = le_buffer_fields(phi, ctx, c, True,
+                                                        bcfg.gradient)
+                mu_b1 = mu_of(pb1, dsq_b1)
+                pth_b1 = pth_of(pb1, grad_b1, dsq_b1)
+                # looking down (upper frame): buffer column c
+                pd0, grad_d0, dsq_d0 = le_buffer_fields(phi, ctx, c,
+                                                        False,
+                                                        bcfg.gradient)
+                mu_d0 = mu_of(pd0, dsq_d0)
+                pth_d0 = pth_of(pd0, grad_d0, dsq_d0)
             u_b1 = ctx.col_u(u, c + 1, True, c)
-            # looking down (upper frame): buffer column c
-            pd0, grad_d0, dsq_d0 = le_buffer_fields(phi, ctx, c, False,
-                                                    bcfg.gradient)
-            mu_d0 = mu_of(pd0, dsq_d0)
-            pth_d0 = pth_of(pd0, grad_d0, dsq_d0)
             u_d0 = ctx.col_u(u, c, False, c)
             buf.append(dict(c=c, cu=cu, mu_b1=mu_b1,
                             pth_b1=pth_b1, u_b1=u_b1,
@@ -220,11 +252,20 @@ def make_binary_le_step(cfg: BinaryLEConfig, keep_grads: bool = False):
         force = jnp.stack(comps).astype(f.dtype)
 
         # -- LB update --------------------------------------------------------
-        f, rho, u_new = collide(f, params, force=force)
+        if kiss_rho:
+            from ludwig_tpu.lb import _noise_terms
+            shat, ghat, nstate2 = _noise_terms(bcfg.lb, params, t,
+                                               nstate=nstate)
+        else:
+            shat = ghat = nstate2 = None
+        f, rho, u_new = collide(f, params, force=force,
+                                shat=shat, ghat=ghat)
         f = apply_lb_le(f, model, le, t)
         f = stream(f, model)
 
         out = (f, phi_new, u_new)
+        if kiss_rho:
+            out = out + (nstate2,)
         if keep_grads:
             out = out + (grad, delsq)
         return out, rho

@@ -66,8 +66,9 @@ class BrazovskiiFE:
               - self.kappa * phi * d2 + 0.5 * self.kappa * g2
               + self.c * phi * d4 + 0.5 * self.c * d2 * d2
               + self.c * gdotgd2)
-        eye = jnp.eye(3, dtype=phi.dtype)
-        return (eye[:, :, None, None, None] * p0[None, None]
+        eye = jnp.eye(3, dtype=phi.dtype).reshape((3, 3)
+                                                 + (1,) * phi.ndim)
+        return (eye * p0[None, None]
                 + self.kappa * g[:, None] * g[None, :]
                 - self.c * (g[:, None] * gd2[None, :]
                             + g[None, :] * gd2[:, None]))

@@ -541,6 +541,38 @@ def build_system(rt: RunTime) -> System:
             gradient=rt.string("fd_gradient_calculation", "3d_7pt_fluid"),
             hydrodynamics=rt.switch("hydrodynamics", True))
         phi0 = _phi_init(rt, size, None)
+        nplanes_bz = rt.int("N_LE_plane", 0)
+        if nplanes_bz > 0:
+            # Brazovskii under Lees-Edwards shear (level-4 LE
+            # gradients; ref: gradient_2d_5pt_fluid.c d2+d4 passes)
+            from ludwig_tpu.binary_le import (BinaryLEConfig,
+                                              make_binary_le_step)
+            from ludwig_tpu.ops.le_ref import le_fields_2d5pt_d4
+            from ludwig_tpu.ops.lees_edwards import (LeesEdwardsConfig,
+                                                     le_init_shear_profile)
+            le = LeesEdwardsConfig(
+                nplanes=nplanes_bz,
+                uy=rt.double_required("LE_plane_vel"), nx=size[0],
+                omega=2.0 * np.pi / rt.double("LE_oscillation_period",
+                                              0.0)
+                if rt.double("LE_oscillation_period", 0.0) else 0.0)
+            lecfg = BinaryLEConfig(binary=bcfg, le=le)
+            if rt.switch("LE_init_profile", False):
+                f = le_init_shear_profile(lb_cfg, le)
+            else:
+                f = initial_rest(lb_cfg)
+            jd = lb_cfg.jdtype
+            phi = jnp.asarray(phi0, jd)
+            g0, d20 = le_fields_2d5pt_d4(phi, le, 0)[:2]
+            state = (f, phi, jnp.zeros((3,) + size, jd))
+            if nz is not None and nz.kiss and nz.rho:
+                from ludwig_tpu.noise_kiss import kiss_init
+                state = state + (kiss_init(0, size),)
+            state = state + (g0, d20)
+            step = make_binary_le_step(lecfg, keep_grads=True)
+            return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg,
+                          solid=None, state=state, step_fn=step,
+                          le_cfg=le)
         state = initial_binary(bcfg, phi0)
         step = make_binary_step(bcfg, solid=solid)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg, solid=solid,

@@ -349,3 +349,90 @@ def le_gradient_7pt(phi, cfg: LeesEdwardsConfig, t):
                      axis=0)
     delsq = xp + xm + yp + ym + zp + zm - 6.0 * phi
     return grad, delsq
+
+
+def _op5(pm1, p0, pp1):
+    """5-point gradient/Laplacian of one column from its x neighbours
+    (ref: gradient_2d_5pt_fluid.c operator body; z absent)."""
+    yp, ym = _colroll(p0, 1, 0), _colroll(p0, -1, 0)
+    gx = 0.5 * (pp1 - pm1)
+    gy = 0.5 * (yp - ym)
+    d2 = pp1 + pm1 + yp + ym - 4.0 * p0
+    return jnp.stack([gx, gy, jnp.zeros_like(p0)]), d2
+
+
+def le_fields_2d5pt_d4(phi, cfg: LeesEdwardsConfig, t):
+    """Level-4 LE gradients for the 2d_5pt stencil (Brazovskii).
+
+    Two passes of the 5-point operator exactly as the reference
+    (ref: gradient_2d_5pt_fluid.c grad_2d_5pt_fluid_d2 at nextra = 2
+    then _d4 at nextra = 1, each with the _le buffer-column pass): the
+    first pass also fills delsq at the nh = 1, 2 buffer columns of each
+    plane so the second pass can read them through lees_edw_ic_to_buff.
+
+    Returns (grad, delsq, grad_delsq, delsq_delsq, bufs); bufs[c] maps
+    'b1' / 'd0' to the (phi, grad, delsq, grad_delsq, delsq_delsq)
+    tuple at the first buffer column above / below the plane after
+    column c (what the plane-face chemical potential and stress need).
+    """
+    ctx = LEContext(cfg, t, phi.dtype)
+    nx = ctx.nx
+    ax = phi.ndim - 3
+
+    def col(j):
+        return jnp.take(phi, j % nx, axis=ax)
+
+    xp, xm = jnp.roll(phi, -1, ax), jnp.roll(phi, 1, ax)
+    yp, ym = jnp.roll(phi, -1, ax + 1), jnp.roll(phi, 1, ax + 1)
+    grad = jnp.stack([0.5 * (xp - xm), 0.5 * (yp - ym),
+                      jnp.zeros_like(phi)])
+    d2 = xp + xm + yp + ym - 4.0 * phi
+
+    bufs = {}
+    for c in ctx.cols:
+        cu = (c + 1) % nx
+        b1 = ctx.col_field(phi, c + 1, True, c)
+        b2 = ctx.col_field(phi, c + 2, True, c)
+        b3 = ctx.col_field(phi, c + 3, True, c)
+        d0 = ctx.col_field(phi, c, False, c)
+        dm1 = ctx.col_field(phi, c - 1, False, c)
+        dm2 = ctx.col_field(phi, c - 2, False, c)
+
+        g_c, d2_c = _op5(col(c - 1), col(c), b1)
+        g_b1, d2_b1 = _op5(col(c), b1, b2)
+        _, d2_b2 = _op5(b1, b2, b3)
+        g_cu, d2_cu = _op5(d0, col(cu), col(cu + 1))
+        g_d0, d2_d0 = _op5(dm1, d0, col(cu))
+        _, d2_dm1 = _op5(dm2, dm1, d0)
+
+        grad = _set_col(grad, 1 + ax, c, g_c)
+        grad = _set_col(grad, 1 + ax, cu, g_cu)
+        d2 = _set_col(d2, ax, c, d2_c)
+        d2 = _set_col(d2, ax, cu, d2_cu)
+        bufs[c] = {"b1": [b1, g_b1, d2_b1], "d0": [d0, g_d0, d2_d0],
+                   "d2_b2": d2_b2, "d2_dm1": d2_dm1}
+
+    def cold2(j):
+        return jnp.take(d2, j % nx, axis=ax)
+
+    xp2, xm2 = jnp.roll(d2, -1, ax), jnp.roll(d2, 1, ax)
+    yp2, ym2 = jnp.roll(d2, -1, ax + 1), jnp.roll(d2, 1, ax + 1)
+    gd2 = jnp.stack([0.5 * (xp2 - xm2), 0.5 * (yp2 - ym2),
+                     jnp.zeros_like(d2)])
+    d4 = xp2 + xm2 + yp2 + ym2 - 4.0 * d2
+
+    for c in ctx.cols:
+        cu = (c + 1) % nx
+        b = bufs[c]
+        d2_b1, d2_d0 = b["b1"][2], b["d0"][2]
+        g4_c, d4_c = _op5(cold2(c - 1), cold2(c), d2_b1)
+        g4_b1, d4_b1 = _op5(cold2(c), d2_b1, b["d2_b2"])
+        g4_cu, d4_cu = _op5(d2_d0, cold2(cu), cold2(cu + 1))
+        g4_d0, d4_d0 = _op5(b["d2_dm1"], d2_d0, cold2(cu))
+        gd2 = _set_col(gd2, 1 + ax, c, g4_c)
+        gd2 = _set_col(gd2, 1 + ax, cu, g4_cu)
+        d4 = _set_col(d4, ax, c, d4_c)
+        d4 = _set_col(d4, ax, cu, d4_cu)
+        b["b1"] += [g4_b1, d4_b1]
+        b["d0"] += [g4_d0, d4_d0]
+    return grad, d2, gd2, d4, bufs
