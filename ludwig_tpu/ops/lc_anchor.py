@@ -289,6 +289,36 @@ def anchoring_gradient(q5, params: AnchoringParams, status,
             c = [[wphi * c[a][b] for b in range(3)] for a in range(3)]
         ctile.append(c)
 
+    nunk = (unknown[0].astype(jnp.int32) + unknown[1].astype(jnp.int32)
+            + unknown[2].astype(jnp.int32))
+
+    # Edge/corner sites (nunknown > 1): the reference combines the
+    # outward normals into ONE unit normal and evaluates a single c
+    # term entering every unknown equation (ref:
+    # gradient_s7_anchoring.c:417-500 bcse; the status defaults to
+    # MAP_BOUNDARY unless all solid neighbours are colloids).  With a
+    # nhat-independent c (fixed anchoring, or q0 = 0 chiral term) this
+    # coincides with the per-axis c, which is why only normal/planar
+    # anchoring see the difference.
+    nn_e = [jnp.where(unknown[a], sgn[a], 0.0) for a in range(3)]
+    rn_e = jnp.sqrt(nn_e[0] * nn_e[0] + nn_e[1] * nn_e[1]
+                    + nn_e[2] * nn_e[2])
+    rn_e = jnp.where(rn_e > 0.0, rn_e, 1.0)
+    nhat_e = [nn_e[a] / rn_e for a in range(3)]
+    ce = _anchor_ct(params.wall, params.wall_w1, params.wall_w2, qs,
+                    nhat_e, nhat_e, params.kappa1, params.q0, amp,
+                    nfix=params.wall_nfix)
+    if wphi is not None:
+        ce = [[wphi * ce[a][b] for b in range(3)] for a in range(3)]
+    # colloid-only edges keep the per-axis colloid-centre normals
+    edge_coll = jnp.ones(shape, bool)
+    for ax in range(3):
+        st_solid_ax = jnp.where(ih[ax], st_dn[ax], st_up[ax])
+        edge_coll = jnp.logical_and(
+            edge_coll, jnp.where(unknown[ax],
+                                 st_solid_ax == MAP_COLLOID, True))
+    use_ce = jnp.logical_and(nunk >= 2, jnp.logical_not(edge_coll))
+
     # right-hand sides b~_a (sign-absorbed, ref kernel cases 1-3)
     wib = jnp.where(unknown, 0.5, 1.0).astype(dtype)          # (3,XYZ)
     btil = []
@@ -296,7 +326,8 @@ def anchoring_gradient(q5, params: AnchoringParams, status,
         rows = []
         for n1 in range(6):
             a_, b_ = _C_AB[n1]
-            acc = -sgn[ax] * _FAC6[n1] * ctile[ax][a_][b_]
+            c_ab = jnp.where(use_ce, ce[a_][b_], ctile[ax][a_][b_])
+            acc = -sgn[ax] * _FAC6[n1] * c_ab
             for ib in range(3):
                 if ib == ax:
                     continue
@@ -318,9 +349,6 @@ def anchoring_gradient(q5, params: AnchoringParams, status,
                              jnp.asarray(a12inv[k], dtype), b12))
     b18v = jnp.concatenate(btil)                               # (18,XYZ)
     x3 = jnp.einsum("ij,j...->i...", jnp.asarray(a18inv, dtype), b18v)
-
-    nunk = (unknown[0].astype(jnp.int32) + unknown[1].astype(jnp.int32)
-            + unknown[2].astype(jnp.int32))
 
     def pick(ax):
         # 1 unknown
