@@ -411,25 +411,28 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
                 t0[a] = t0[a] + jnp.sum(mskc * dmcc * rbxc[a])
             if link_wall[qi] is not None:
                 # colloid-wall link (LINK_BOUNDARY; ref: bbl.c pass1
-                # 'else' virtual transfer).  The halo beyond the wall
-                # holds the periodic image, which the reference's halo
-                # swap fills before the BBL - the rolled lattice value.
+                # 'else' virtual transfer).  The wall halo site holds
+                # EXACTLY w_p rho0 in the into-domain direction: the
+                # wall writes it every step via
+                # wall_set_wall_distributions (ref: wall.c:900-950,
+                # 'solid-solid exchange between wall and colloids';
+                # the kernel's ux is literally 0 even for moving
+                # walls).  So dm = w rho0 + f(j, ji).
                 mw = jnp.logical_and(link_wall[qi],
                                      link_pid[qi] == n).astype(f.dtype)
                 rq = int(model.reverse[q])
                 shn = tuple(-int(v) for v in model.cv[q])
-                dmw = f[q] + roll3(f[rq], shn)
+                dmw = w * rho0 + roll3(f[rq], shn)   # f(i,ij) + f(j,ji)
                 for a in range(3):
                     f0[a] = f0[a] + float(c[a]) * jnp.sum(mw * dmw)
                     t0[a] = t0[a] + jnp.sum(mw * dmw * rbxc[a])
                 # the wall's own link list accounts the same link with
                 # the opposite orientation (ref: wall.c wall_bbl_kernel
-                # MAP_COLLOID branch): fp = f_colloid(ij) + f_wall(ji),
-                # direction ij pointing INTO the domain = -c here
-                fpw = roll3(f[q], shn) + f[rq]
+                # MAP_COLLOID branch): fp = f(i_w, ij_w) + f(j_w=halo,
+                # ji_w) = f(j, ji) + 0, direction ij_w = -c here
                 for a in range(3):
-                    gw_acc[a] = gw_acc[a] + float(c[a]) * jnp.sum(
-                        mw * (fpw - 2.0 * w))
+                    gw_acc[a] = gw_acc[a] - float(c[a]) * jnp.sum(
+                        mw * (dmw - 2.0 * w))
             geoms.append((m, c, w, rb, rbxc))
 
         # apply the slip to the outgoing distributions (ref: fdist += dm_a)
@@ -743,18 +746,16 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
 
         # 4. propagate (periodic; BBL already wrote boundary values)
         if has_walls:
-            # account the wall's gain as exactly what the fluid loses
-            # in the bounce-back, so [total] stays conserved to
-            # round-off (the reference's kahan per-link fnet is the
-            # same value; ref: wall.c:941-949)
+            # per-link wall account (2 f* - 2 w rho0 cdotu/cs2 - 2w) cv
+            # exactly as wall_bbl_kernel; colloid-covered wall sites do
+            # not bounce (the halo's w rho0 streams in) and their
+            # anomaly is in gwbb (ref: wall.c wall_bbl_kernel)
             from ludwig_tpu.ops.walls import wall_bounce_back
-            from ludwig_tpu.stats import momentum_total
             f_post = f
             f = stream(f, model)
-            g_pre = momentum_total(f, model, fluid)
-            f, _, _ = wall_bounce_back(f, f_post, model, wallspec,
-                                       rho0=cfg.rho0)
-            gwall = gwall + (g_pre - momentum_total(f, model, fluid))
+            f, _, gwb = wall_bounce_back(f, f_post, model, wallspec,
+                                         rho0=cfg.rho0, fluid=fluid)
+            gwall = gwall + gwb
         else:
             f = stream(f, model)
         return ColloidState(f, R, V, W, dr, Rmap, Msw,

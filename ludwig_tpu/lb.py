@@ -178,7 +178,6 @@ def make_wall_step(cfg: LBConfig, wallspec, force_field=None,
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0, force=force_field):
         f, gwall = state[0], state[1]
-        edge = state[2] if open_bc is not None else None
         if kiss_rho:
             shat, ghat, nstate = _noise_terms(cfg, params, t,
                                               nstate=state[-1])
@@ -196,14 +195,13 @@ def make_wall_step(cfg: LBConfig, wallspec, force_field=None,
                                            rho0=cfg.rho0)
         gwall = gwall + (g_pre - momentum_total(f_new, model))
         if open_bc is not None:
-            from ludwig_tpu.ops.open_bc import (apply_open_bc,
-                                                open_bc_edge_hydro)
+            # the impose uses THIS step's collide hydro: the update at
+            # the top of the reference loop is overwritten by a second
+            # update after collision (ref: ludwig.c:599 vs :824)
+            from ludwig_tpu.ops.open_bc import apply_open_bc
             f_new = apply_open_bc(f_new, f_post, model, open_bc,
-                                  axis=open_axis, edge_hydro=edge)
-            edge = open_bc_edge_hydro(f_post, model, axis=open_axis)
+                                  axis=open_axis)
         out = (f_new, gwall)
-        if open_bc is not None:
-            out = out + (edge,)
         if kiss_rho:
             out = out + (nstate,)
         return out, rho, u

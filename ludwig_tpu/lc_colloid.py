@@ -209,14 +209,16 @@ def make_lc_colloid_step(lcfg: LCConfig, params: ColloidParams,
         dr = 0.5 * (Vold + V)
 
         if has_walls:
+            # per-link wall account with the colloid map: covered wall
+            # sites do not bounce (the halo's w rho0 streams in); their
+            # anomaly rides in gwbb (ref: wall.c wall_bbl_kernel)
             from ludwig_tpu.ops.walls import wall_bounce_back
-            from ludwig_tpu.stats import momentum_total
             f_post = f
             f = stream(f, model)
-            g_pre = momentum_total(f, model, fluid)
-            f, _, _ = wall_bounce_back(f, f_post, model, lcfg.wallspec,
-                                       rho0=cfg.rho0)
-            gwall = gwall + (g_pre - momentum_total(f, model, fluid))
+            f, _, gwb2 = wall_bounce_back(f, f_post, model,
+                                          lcfg.wallspec, rho0=cfg.rho0,
+                                          fluid=fluid)
+            gwall = gwall + gwb2
         else:
             f = stream(f, model)
         out = (f, R, V, W, dr, Rmap, Msw, q5, u_new,

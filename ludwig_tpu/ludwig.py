@@ -1241,10 +1241,6 @@ def build_system(rt: RunTime) -> System:
                 oax = next((a for a in range(3) if not walls[a]), 0)
             step = make_wall_step(lb_cfg, ws, open_bc=obc, open_axis=oax)
             state = (f, jnp.zeros((3,), lb_cfg.jdtype))
-            if obc is not None:
-                from ludwig_tpu.ops.open_bc import open_bc_edge_hydro
-                state = state + (open_bc_edge_hydro(f, lb_cfg.model,
-                                                    axis=oax),)
             has_kiss = nz is not None and nz.kiss and nz.rho
             if has_kiss:
                 from ludwig_tpu.noise_kiss import kiss_init

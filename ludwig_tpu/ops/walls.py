@@ -54,7 +54,7 @@ class WallSpec:
 def wall_bounce_back(f_new: jnp.ndarray, f_post: jnp.ndarray,
                      model: LatticeModel, spec: WallSpec,
                      rho0: float = 1.0, g_post: Optional[jnp.ndarray] = None,
-                     g_new: Optional[jnp.ndarray] = None):
+                     g_new: Optional[jnp.ndarray] = None, fluid=None):
     """Overwrite wrapped-in distributions at wall planes with half-way
     bounce-back, and return the momentum transferred to the walls.
 
@@ -91,7 +91,19 @@ def wall_bounce_back(f_new: jnp.ndarray, f_post: jnp.ndarray,
                 cdotu = float(np.dot(cv[q], uw))
                 corr = 2.0 * wv[q] * rho0 * cdotu / CS2
                 fq = f_post[(q,) + sl]
-                f_new = f_new.at[(p,) + sl].set(fq - corr)
+                if fluid is None:
+                    f_new = f_new.at[(p,) + sl].set(fq - corr)
+                else:
+                    # colloid-covered wall sites do NOT bounce: the
+                    # incoming population is the halo's rest value
+                    # w rho0 written by wall_set_wall_distributions
+                    # (ref: wall.c MAP_COLLOID branch writes nothing;
+                    # wall.c:944 setu value streams in).  Their
+                    # momentum anomaly is accounted on the colloid
+                    # side (bbl_step link_wall).
+                    flq = fluid[sl]
+                    f_new = f_new.at[(p,) + sl].set(
+                        jnp.where(flq, fq - corr, wv[q] * rho0))
                 if g_post is not None:
                     gq = g_post[(q,) + sl]
                     g_new = g_new.at[(p,) + sl].set(gq - corr)
@@ -111,12 +123,23 @@ def wall_bounce_back(f_new: jnp.ndarray, f_post: jnp.ndarray,
                     sel = [slice(None)] * ov.ndim
                     sel[ax2] = p2
                     ov[tuple(sel)] = True
-                if ov.any():
-                    keep = jnp.asarray(~ov)
-                    link = (jnp.sum(jnp.where(keep, 2.0 * fq, 0.0))
-                            - (corr + 2.0 * wv[q]) * float((~ov).sum()))
+                if fluid is None:
+                    if ov.any():
+                        keep = jnp.asarray(~ov)
+                        link = (jnp.sum(jnp.where(keep, 2.0 * fq, 0.0))
+                                - (corr + 2.0 * wv[q])
+                                * float((~ov).sum()))
+                    else:
+                        link = (jnp.sum(2.0 * fq)
+                                - (corr + 2.0 * wv[q]) * nsl)
                 else:
-                    link = jnp.sum(2.0 * fq) - (corr + 2.0 * wv[q]) * nsl
+                    # small-per-link accumulation as the reference's
+                    # fnet (anti-roundoff; ref: wall.c:1066-1076)
+                    keep = (jnp.asarray(~ov) if ov.any()
+                            else jnp.ones(fq.shape, bool))
+                    keep = jnp.logical_and(keep, fluid[sl])
+                    link = jnp.sum(jnp.where(
+                        keep, 2.0 * fq - (corr + 2.0 * wv[q]), 0.0))
                 gw = gw + link * jnp.asarray(np.array(cv[q], np.float64),
                                              dtype)
     return f_new, g_new, gw
