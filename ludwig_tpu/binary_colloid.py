@@ -37,12 +37,18 @@ from ludwig_tpu.ops.stencil import roll3
 from ludwig_tpu.ops.stream import stream
 
 
-def colloid_fe_force(pth, pid, inside, model, n_part):
+def colloid_fe_force(pth, pid, inside, model, n_part,
+                     walls=(False, False, False)):
     """(N, 3) reaction force on each particle from the thermodynamic
     stress: for every FLUID link with |c| == 1, force += c_id *
     pth(i)[:, id] evaluated at the outside (fluid) site (ref:
-    phi_force_colloid.c pth_force_driver 'COLLOID KERNEL')."""
+    phi_force_colloid.c pth_force_driver 'COLLOID KERNEL').
+
+    With plane walls, a link whose outside end wraps a walled axis has
+    its outside site in the wall halo (MAP_BOUNDARY) - no such link
+    exists in the reference's map, so it is excluded here."""
     fluid = jnp.logical_not(inside)
+    shape = inside.shape
     out = []
     per_axis = []
     for q in range(1, model.nvel):
@@ -54,7 +60,14 @@ def colloid_fe_force(pth, pid, inside, model, n_part):
         # link: outside site i with i + c inside particle n
         ins_n = roll3(inside, tuple(-int(v) for v in c))
         pid_n = roll3(pid, tuple(-int(v) for v in c))
-        per_axis.append((ax, sgn, jnp.logical_and(fluid, ins_n), pid_n))
+        m = jnp.logical_and(fluid, ins_n)
+        if walls[ax]:
+            keep = np.ones(shape, bool)
+            sel = [slice(None)] * 3
+            sel[ax] = (shape[ax] - 1) if sgn > 0 else 0
+            keep[tuple(sel)] = False
+            m = jnp.logical_and(m, jnp.asarray(keep))
+        per_axis.append((ax, sgn, m, pid_n))
     for n in range(n_part):
         fn = [0.0, 0.0, 0.0]
         for (ax, sgn, m, pid_n) in per_axis:

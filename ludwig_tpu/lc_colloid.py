@@ -169,7 +169,8 @@ def make_lc_colloid_step(lcfg: LCConfig, params: ColloidParams,
         force = stress_divergence_force_map(
             pth, fluid,
             wallspec=lcfg.wallspec if has_walls else None).astype(f.dtype)
-        fe_part = colloid_fe_force(pth, pid, inside, model, params.n)
+        fe_part = colloid_fe_force(pth, pid, inside, model, params.n,
+                                   walls=walls3)
         if has_walls:
             # the walls absorb what the stress injects into fluid and
             # particles (ref: pth_force_wall_kernel -> wall fnet)
