@@ -114,6 +114,22 @@ def oracle(q5, p, status, walls, pid=None, R=None, phi=None):
                         [[q6[0, i, j, k], q6[1, i, j, k], q6[2, i, j, k]],
                          [q6[1, i, j, k], q6[3, i, j, k], q6[4, i, j, k]],
                          [q6[2, i, j, k], q6[4, i, j, k], q6[5, i, j, k]]])
+                    # Edge/corner sites: unless every solid neighbour is
+                    # a colloid, ONE combined unit normal and a single c
+                    # (wall anchoring) enter every unknown equation
+                    # (ref: s7_anchoring.c bcse combined normal).
+                    c_edge = None
+                    if (nunk >= 2 and
+                            any(u[2] != MAP_COLLOID for u in unknowns)):
+                        ne = np.zeros(3)
+                        for (ax, ih, _, _) in unknowns:
+                            ne[ax] = 1.0 if ih else -1.0
+                        ne /= np.linalg.norm(ne)
+                        c_edge = anchor_ct(p.wall, p.wall_w1, p.wall_w2,
+                                           qs, ne, ne, p.kappa1, p.q0,
+                                           p.amplitude, p.wall_nfix)
+                        if phi is not None:
+                            c_edge = c_edge * (0.5 * (1.0 + phi[i, j, k]))
                     b18 = np.zeros(3 * NSYMM)
                     for n, (ax, ih, sst, ssite) in enumerate(unknowns):
                         s = 1.0 if ih else -1.0
@@ -134,6 +150,8 @@ def oracle(q5, p, status, walls, pid=None, R=None, phi=None):
                                       p.wall_nfix)
                         if phi is not None:
                             c = c * (0.5 * (1.0 + phi[i, j, k]))
+                        if c_edge is not None:
+                            c = c_edge
                         for n1 in range(6):
                             a_, b_ = CAB[n1]
                             b18[n*6 + n1] = -FAC[n1] * c[a_, b_]
