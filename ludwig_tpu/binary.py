@@ -23,6 +23,8 @@ import numpy as np
 from ludwig_tpu.fe.symmetric import SymmetricFE
 from ludwig_tpu.dynamics.cahn_hilliard import (CahnHilliardParams,
                                                cahn_hilliard_update)
+from ludwig_tpu.ops.advect import (advective_fluxes, flux_divergence,
+                                   _up)
 from ludwig_tpu.lb import LBConfig, initial_rest
 from ludwig_tpu.ops.collide import collide
 from ludwig_tpu.ops.force import stress_divergence_force
@@ -217,6 +219,157 @@ def make_binary_step(cfg: BinaryConfig, solid=None, wallspec=None):
             u_new = jnp.zeros_like(u)
 
         return pack(f, phi, u_new), rho
+
+    return step
+
+
+def open_x_ext(phi, wallspec, phib, nh=2):
+    """Extended phi with the reference's open-x halo semantics.
+
+    The serial host halo swap is ALWAYS periodic - halo_swap.c:475
+    tests mpicartsz == 1, not the periodicity flags - so every halo
+    (including the wall directions) first receives the periodic wrap.
+    The phi BCs then overwrite the x halos: the inflow (low-x) region
+    uniformly phib incl. transverse halos (ref:
+    phi_bc_inflow_fixed.c:108-120), the outflow (high-x) region copies
+    the last domain plane (ref: phi_bc_outflow_free.c:110-121)."""
+    pad = [(nh, nh), (0, 0), (0, 0)]
+    for ax in (1, 2):
+        if wallspec is not None and wallspec.walls[ax]:
+            pad[ax] = (1, 1)
+    p = jnp.pad(phi, pad, mode="wrap")
+    p = p.at[:nh].set(phib)
+    p = p.at[-nh:].set(p[-nh - 1])
+    return p
+
+
+def open_x_scalar_ops(cfg: BinaryConfig, wallspec, phib):
+    """(grad, delsq) stencils honoring the open-x / wall halo values
+    (interior sites only; used by the statistics fed integral)."""
+    g_op, d_op = gradient_ops(cfg.gradient)
+    ty = 1 if (wallspec is not None and wallspec.walls[1]) else 0
+    tz = 1 if (wallspec is not None and wallspec.walls[2]) else 0
+
+    def _slice(x):
+        sl = (slice(2, -2), slice(ty, -ty or None), slice(tz, -tz or None))
+        return x[(Ellipsis,) + sl]
+
+    def grad(phi):
+        return _slice(g_op(open_x_ext(phi, wallspec, phib)))
+
+    def delsq(phi):
+        return _slice(d_op(open_x_ext(phi, wallspec, phib)))
+
+    return grad, delsq
+
+
+def make_binary_open_step(cfg: BinaryConfig, wallspec, obc, phib: float):
+    """Binary fluid with an open (inflow/outflow) x boundary and halo
+    plane walls in the transverse directions (ref: serial-open-phi:
+    lb_bc_inflow/outflow_rhou + phi_bc_inflow_fixed/outflow_free).
+
+    State (f, phi, u, gwall) -> state', rho.  Per step: BC-aware phi
+    gradients / mu / stress on an extended-x array, stress-divergence
+    force (one-sided at walls, halo-stress faces at the open ends), CH
+    update with open-x face fluxes (halo u = 0), collide, stream, wall
+    bounce-back, then the rhou open BC on the distributions."""
+    from ludwig_tpu.ops.open_bc import apply_open_bc
+    from ludwig_tpu.ops.walls import no_flux_at_walls, wall_bounce_back
+    from ludwig_tpu.stats import momentum_total
+
+    params = cfg.lb.collision_params()
+    model = cfg.lb.model
+    m = cfg.mobility
+    g_op, d_op = gradient_ops(cfg.gradient)
+    ty = 1 if wallspec.walls[1] else 0
+    tz = 1 if wallspec.walls[2] else 0
+
+    def tsl(x):
+        # drop transverse halos, keep ONE x halo plane each side
+        return x[(Ellipsis, slice(1, -1), slice(ty, -ty or None),
+                  slice(tz, -tz or None))]
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, t=0):
+        f, phi, u, gwall = state
+
+        pext = open_x_ext(phi, wallspec, phib)
+        fields1 = {"phi": tsl(pext), "grad_phi": tsl(g_op(pext)),
+                   "delsq_phi": tsl(d_op(pext))}
+        mu1 = cfg.fe.mu(fields1)          # (X+2, Y, Z) incl. x halos
+        pth1 = cfg.fe.stress(fields1)     # (3, 3, X+2, Y, Z)
+
+        # force = -div(pth): halo faces in x, one-sided at wall planes
+        shape = phi.shape
+        comps = []
+        fwall = []
+        for a in range(3):
+            pax = pth1[a, 0]
+            face_e = 0.5 * (pax[1:-1] + pax[2:])      # east faces
+            face_w0 = 0.5 * (pax[0] + pax[1])         # west face, site 0
+            acc = face_e - jnp.concatenate(
+                [face_w0[None], face_e[:-1]], axis=0)
+            fw = [0.0, 0.0, 0.0]
+            for ax in (1, 2):
+                pax = pth1[a, ax][1:-1]
+                up = jnp.roll(pax, -1, axis=ax)
+                face = 0.5 * (pax + up)
+                if wallspec.walls[ax]:
+                    hi = [slice(None)] * 3
+                    hi[ax] = shape[ax] - 1
+                    lo = [slice(None)] * 3
+                    lo[ax] = 0
+                    face = face.at[tuple(hi)].set(pax[tuple(hi)])
+                    d = face - jnp.roll(face, 1, axis=ax)
+                    d = d.at[tuple(lo)].set(face[tuple(lo)]
+                                            - pax[tuple(lo)])
+                    # wall momentum: the wall takes the NEGATIVE of the
+                    # fluid's net wall-face force (ref:
+                    # pth_force_wall_kernel accumulates the surface
+                    # divergence terms and adds -sum to wall->fnet)
+                    fw[ax] = (jnp.sum(pax[tuple(hi)])
+                              - jnp.sum(pax[tuple(lo)]))
+                else:
+                    d = face - jnp.roll(face, 1, axis=ax)
+                acc = acc + d
+            comps.append(-acc)
+            fwall.append(sum(fw[ax] for ax in (1, 2)))
+        force = jnp.stack(comps).astype(f.dtype)
+        fwall = jnp.stack([jnp.asarray(v, f.dtype) for v in fwall])
+
+        # Cahn-Hilliard with open-x faces (halo u = 0)
+        mu = mu1[1:-1]
+        fluxes = advective_fluxes(u, phi, cfg.advection_order)
+        fluxes = [fluxes[ax] - m * (_up(mu, ax) - mu) for ax in range(3)]
+        # phi_cahn_hilliard calls hydro_u_halo FIRST (ref:
+        # phi_cahn_hilliard.c:225), and the serial halo swap is always
+        # periodic (halo_swap.c:846 tests mpicartsz==1) - so it
+        # overwrites the lb_bc u halos set at ludwig.c:599 with the
+        # periodic wrap: u(0)=u(N), u(N+1)=u(1).  Both end faces thus
+        # share u_face = 0.5*(u(1)+u(N)); only the upwind phi differs
+        # (phib at the west face, the copied edge plane at the east).
+        uf = 0.5 * (u[0, 0] + u[0, -1])
+        fluxes[0] = fluxes[0].at[-1].set(
+            uf * phi[-1] - m * (mu1[-1] - mu[-1]))
+        fw0 = (uf * jnp.where(uf > 0.0, jnp.full_like(phi[0], phib),
+                              phi[0]) - m * (mu[0] - mu1[0]))
+        fluxes = no_flux_at_walls(fluxes, wallspec)
+        div = flux_divergence(fluxes)
+        div = div.at[0].add(fluxes[0][-1] - fw0)
+        phi = phi - div
+
+        f_post, rho, u_new = collide(f, params, force=force)
+        f_new = stream(f_post, model)
+        g_pre = momentum_total(f_new, model)
+        f_new, _, _ = wall_bounce_back(f_new, f_post, model, wallspec,
+                                       rho0=cfg.lb.rho0)
+        gwall = gwall + (g_pre - momentum_total(f_new, model)) + fwall
+        # the impose uses the collision-time hydro (rho = pre-collide
+        # sum, u incl. the half-force correction), not bare post-collide
+        # moments (ref: lb_collide stores hydro rho/u; impose reads them)
+        f_new = apply_open_bc(f_new, f_post, model, obc, axis=0,
+                              edge_hydro=(rho[0], u_new[:, -1]))
+        return (f_new, phi, u_new, gwall), rho
 
     return step
 

@@ -105,6 +105,19 @@ def _relaxation(rt: RunTime) -> RelaxationScheme:
             "trt": RelaxationScheme.TRT}[name]
 
 
+def _symm_fe(rt: RunTime) -> SymmetricFE:
+    """Symmetric FE parameters; both the legacy A/B/K spellings and the
+    preferred symmetric_a/b/kappa names are accepted (ref:
+    symmetric_rt.c:45-86)."""
+    if rt.has_key("symmetric_a"):
+        return SymmetricFE(a=rt.double_required("symmetric_a"),
+                           b=rt.double_required("symmetric_b"),
+                           kappa=rt.double_required("symmetric_kappa"))
+    return SymmetricFE(a=rt.double_required("A"),
+                       b=rt.double_required("B"),
+                       kappa=rt.double_required("K"))
+
+
 def _phi_init(rt: RunTime, size, fe) -> np.ndarray:
     """phi initialisation modes (ref: src/phi_rt.c / field_phi_init.c).
     fe may be None (non-symmetric FEs); interface-width-based modes then
@@ -148,6 +161,21 @@ def _phi_init(rt: RunTime, size, fe) -> np.ndarray:
         prof = np.where(z > 0.5 * lz, np.tanh((z - 0.75 * lz) / xi),
                         -np.tanh((z - 0.25 * lz) / xi))
         return np.broadcast_to(prof[None, None, :], size).copy()
+    if mode in ("block_X", "block_Y", "block_Z"):
+        # central block of given width along one axis (ref:
+        # field_phi_init.c field_phi_init_block_X/Y/Z; coordinate is
+        # the plain 1-based global index, no 0.5 offset)
+        axis = {"block_X": 0, "block_Y": 1, "block_Z": 2}[mode]
+        width = rt.double("phi_init_block_dimension", 10.0)
+        ln = float(size[axis])
+        x = np.arange(1, size[axis] + 1, dtype=np.float64)
+        x1 = 0.5 * (ln - width)
+        x2 = 0.5 * (ln + width)
+        prof = np.where(x > 0.5 * ln, np.tanh((x - x2) / fe.xi0),
+                        -np.tanh((x - x1) / fe.xi0))
+        shape = [1, 1, 1]
+        shape[axis] = size[axis]
+        return np.broadcast_to(prof.reshape(shape), size).copy()
     raise ValueError(f"phi_initialisation '{mode}' not implemented")
 
 
@@ -625,7 +653,11 @@ def build_system(rt: RunTime) -> System:
         if tinit is not None:
             phi0, psi0 = tinit
         else:
-            phi0 = _phi_init(rt, size, None)
+            phi0 = _phi_init(rt, size, fe if fe_name == "surfactant"
+                             else None)
+            if (rt.string("psi_initialisation", "") == "uniform"):
+                # (ref: field_psi_init_rt.c:46-57)
+                psi0_mean = rt.double_required("psi_initialisation_psi0")
             psi0 = np.full(size, psi0_mean)
         solid_ops = None
         ws = None
@@ -676,9 +708,7 @@ def build_system(rt: RunTime) -> System:
         # lb_collision_mrt2, ludwig.c ndist == 2 path)
         from ludwig_tpu.binary_lb import (BinaryLBConfig, initial_binary_lb,
                                           make_binary_lb_step)
-        fe = SymmetricFE(a=rt.double_required("A"),
-                         b=rt.double_required("B"),
-                         kappa=rt.double_required("K"))
+        fe = _symm_fe(rt)
         grad2 = rt.string("fd_gradient_calculation", "3d_27pt_fluid")
         if grad2 == "3d_27pt_solid":
             # no solid sites: reduces to the fluid 27pt stencil
@@ -734,9 +764,7 @@ def build_system(rt: RunTime) -> System:
     if (fe_name in ("symmetric", "symmetric_noise", "symmetric_lb")
             and not (fe_name in ("symmetric", "symmetric_lb")
                      and _has_colloids)):
-        fe = SymmetricFE(a=rt.double_required("A"),
-                         b=rt.double_required("B"),
-                         kappa=rt.double_required("K"))
+        fe = _symm_fe(rt)
         default_grad = "3d_7pt_fluid" if size[2] > 1 else "2d_5pt_fluid"
         bcfg = BinaryConfig(
             lb=lb_cfg, fe=fe,
@@ -759,6 +787,27 @@ def build_system(rt: RunTime) -> System:
             ws = WallSpec(walls=walls)
             lb_cfg = dataclasses.replace(lb_cfg, walls=(False,) * 3)
             bcfg = dataclasses.replace(bcfg, lb=lb_cfg)
+            if rt.switch("lb_bc_open", False):
+                # open x boundary + transverse walls (ref:
+                # serial-open-phi; lb_bc_* + phi_bc_* open conditions)
+                from ludwig_tpu.binary import (make_binary_open_step,
+                                               open_x_scalar_ops)
+                from ludwig_tpu.ops.open_bc import OpenBCConfig
+                obc = OpenBCConfig(
+                    u0=tuple(rt.double_vector("lb_bc_inflow_rhou_u0",
+                                              (0.0, 0.0, 0.0))),
+                    rho0=rt.double("lb_bc_outflow_rhou_rho0", 1.0))
+                phib = rt.double("phi_bc_inflow_fixed_phib", 0.0)
+                f = _distribution_init(rt, lb_cfg)
+                state = (f, jnp.asarray(phi0, lb_cfg.jdtype),
+                         jnp.zeros((3,) + size, lb_cfg.jdtype),
+                         jnp.zeros((3,), lb_cfg.jdtype))
+                step = make_binary_open_step(bcfg, ws, obc, phib)
+                return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg,
+                              solid=None, state=state, step_fn=step,
+                              wallspec=ws,
+                              fe_solid_ops=open_x_scalar_ops(bcfg, ws,
+                                                             phib))
             f = initial_rest(lb_cfg)
             state = (f, jnp.asarray(phi0, lb_cfg.jdtype),
                      jnp.zeros((3,) + size, lb_cfg.jdtype),
@@ -832,9 +881,7 @@ def build_system(rt: RunTime) -> System:
         from ludwig_tpu.lc_droplet_sim import (LCDropletConfig,
                                                initial_droplet,
                                                make_droplet_step)
-        symm = SymmetricFE(a=rt.double_required("A"),
-                           b=rt.double_required("B"),
-                           kappa=rt.double_required("K"))
+        symm = _symm_fe(rt)
         lcfe = BluePhaseFE(
             a0=rt.double_required("lc_a0"),
             gamma=rt.double_required("lc_gamma"),
@@ -1098,9 +1145,7 @@ def build_system(rt: RunTime) -> System:
             from ludwig_tpu.binary_lb import (BinaryLBConfig,
                                               initial_binary_lb_colloid,
                                               make_binary_lb_colloid_step)
-            fe2 = SymmetricFE(a=rt.double_required("A"),
-                              b=rt.double_required("B"),
-                              kappa=rt.double_required("K"))
+            fe2 = _symm_fe(rt)
             l2cfg = BinaryLBConfig(
                 lb=lb_cfg, fe=fe2,
                 mobility=rt.double("mobility", 0.15),
@@ -1122,9 +1167,7 @@ def build_system(rt: RunTime) -> System:
             # binary fluid with resolved colloids (ref: phi_force_colloid)
             from ludwig_tpu.binary_colloid import (initial_binary_colloid,
                                                    make_binary_colloid_step)
-            fe_s = SymmetricFE(a=rt.double_required("A"),
-                               b=rt.double_required("B"),
-                               kappa=rt.double_required("K"))
+            fe_s = _symm_fe(rt)
             bcfg = BinaryConfig(
                 lb=lb_cfg, fe=fe_s,
                 mobility=rt.double("mobility", 1.0),
@@ -1279,9 +1322,12 @@ def _make_stats_fn(sys_: System):
     bcfg = sys_.binary_cfg
     bsolid_ops = None
     if bcfg is not None:
-        from ludwig_tpu.binary import binary_solid_ops
-        bsolid_ops = binary_solid_ops(bcfg, solid=sys_.solid,
-                                      wallspec=sys_.wallspec)
+        if sys_.fe_solid_ops is not None:
+            bsolid_ops = sys_.fe_solid_ops     # open-x BC aware stencils
+        else:
+            from ludwig_tpu.binary import binary_solid_ops
+            bsolid_ops = binary_solid_ops(bcfg, solid=sys_.solid,
+                                          wallspec=sys_.wallspec)
 
     cpar = sys_.colloid_params
 
@@ -1522,8 +1568,8 @@ def _make_stats_fn(sys_: System):
             from ludwig_tpu.two_field import two_fields
             tcfg = sys_.two_field_cfg
             phi, psi = state[1], state[2]
-            res["phi"] = stats.field_stats(phi, mask)
-            res["psi"] = stats.field_stats(psi, mask)
+            res["phi"] = stats.field_stats_ref(phi, mask)
+            res["psi"] = stats.field_stats_ref(psi, mask)
             fields = two_fields(prev[0], prev[1], tcfg.gradient,
                                 solid_ops=sys_.fe_solid_ops)
             fields["phi"] = phi
@@ -1683,8 +1729,9 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
     if sys_.is_two_field:
         is_ternary = type(sys_.two_field_cfg.fe).__name__ == "TernaryFE"
         out.write(stats.format_phi_line("phi", *res["phi"]))
-        out.write(stats.format_phi_line("phi" if is_ternary else "psi",
-                                        *res["psi"]))
+        # both components are labelled [phi] (ref: phi_stats.c:94 the
+        # q1 default label array covers nf = 2)
+        out.write(stats.format_phi_line("phi", *res["psi"]))
         if is_ternary:
             # ref: fe_ternary_stats.c:80-100
             fl = float(res["fe_sum"])

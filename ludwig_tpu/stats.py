@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ludwig_tpu.lattice import LatticeModel
 from ludwig_tpu.lb import hydro_fields
@@ -276,7 +277,12 @@ def velocity_minmax(u: jnp.ndarray,
                     fluid_mask: Optional[jnp.ndarray] = None):
     if fluid_mask is not None:
         u = jnp.where(fluid_mask[None], u, 0.0)
-    return jnp.min(u, axis=(1, 2, 3)), jnp.max(u, axis=(1, 2, 3))
+    # the reference seeds the max accumulator with FLT_MIN (not
+    # -FLT_MAX), so an all-non-positive component reports +1.1754944e-38
+    # (ref: stats_velocity.c:76)
+    flt_min = float(np.finfo(np.float32).tiny)
+    return (jnp.min(u, axis=(1, 2, 3)),
+            jnp.maximum(jnp.max(u, axis=(1, 2, 3)), flt_min))
 
 
 # -- formatting (exact reference formats) ---------------------------------

@@ -21,6 +21,16 @@ REF_DIRS = (
 
 
 def find_case(name: str) -> Tuple[str, str]:
+    """Locate a case; "suite/name" qualifies the suite explicitly
+    (several inputs share a name across suites, e.g. serial-auto-c01
+    exists in both d3q19-short and d3q15 with different models)."""
+    if "/" in name:
+        suite, base = name.split("/", 1)
+        root = os.path.dirname(REF_DIRS[0])
+        inp = os.path.join(root, suite, base + ".inp")
+        if os.path.exists(inp):
+            return inp, os.path.join(root, suite, base + ".log")
+        raise FileNotFoundError(name)
     for d in REF_DIRS:
         inp = os.path.join(d, name + ".inp")
         if os.path.exists(inp):
@@ -34,6 +44,7 @@ def find_case(name: str) -> Tuple[str, str]:
 PRE_STEPS = {
     "serial-rest-c02": ("case", "serial-rest-c01"),
     "serial-poly-st1": ("script", "multi_poly_init"),
+    "d3q19-elec/serial-rest-ec2": ("case", "d3q19-elec/serial-rest-ec1"),
 }
 
 

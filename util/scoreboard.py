@@ -79,7 +79,11 @@ def main():
     args = ap.parse_args()
 
     suite_dir = f"/root/reference/tests/regression/{args.suite}"
-    names = sorted(os.path.splitext(os.path.basename(p))[0]
+    # d3q19-short keeps bare keys (the original board); other suites
+    # get suite-qualified keys because several case names collide
+    # across suites (e.g. serial-auto-c01 in d3q19-short AND d3q15).
+    prefix = "" if args.suite == "d3q19-short" else args.suite + "/"
+    names = sorted(prefix + os.path.splitext(os.path.basename(p))[0]
                    for p in glob.glob(os.path.join(suite_dir, "*.inp")))
     if args.only:
         names = [n for n in names if args.only in n]
