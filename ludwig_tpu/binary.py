@@ -63,8 +63,10 @@ def fe_fields(phi, gradient: str, fourth_order: bool = False,
     reference's ngrad = 4 path, ref: field_grad.h:24-34).  solid_ops
     overrides the stencils with wetting-aware variants
     (ops.stencil.solid_gradient_ops)."""
+    # the symmetric/Brazovskii phi field is created WITH the LE object
+    # (ludwig.c:1185,1268) -> LE-parameterised tomita delsq
     grad, delsq = solid_ops if solid_ops is not None \
-        else gradient_ops(gradient)
+        else gradient_ops(gradient, le_field=True)
     out = {"phi": phi, "grad_phi": grad(phi), "delsq_phi": delsq(phi)}
     if fourth_order:
         out["grad_delsq_phi"] = grad(out["delsq_phi"])
@@ -246,7 +248,7 @@ def open_x_ext(phi, wallspec, phib, nh=2):
 def open_x_scalar_ops(cfg: BinaryConfig, wallspec, phib):
     """(grad, delsq) stencils honoring the open-x / wall halo values
     (interior sites only; used by the statistics fed integral)."""
-    g_op, d_op = gradient_ops(cfg.gradient)
+    g_op, d_op = gradient_ops(cfg.gradient, le_field=True)
     ty = 1 if (wallspec is not None and wallspec.walls[1]) else 0
     tz = 1 if (wallspec is not None and wallspec.walls[2]) else 0
 
@@ -280,7 +282,7 @@ def make_binary_open_step(cfg: BinaryConfig, wallspec, obc, phib: float):
     params = cfg.lb.collision_params()
     model = cfg.lb.model
     m = cfg.mobility
-    g_op, d_op = gradient_ops(cfg.gradient)
+    g_op, d_op = gradient_ops(cfg.gradient, le_field=True)
     ty = 1 if wallspec.walls[1] else 0
     tz = 1 if wallspec.walls[2] else 0
 

@@ -141,10 +141,20 @@ def make_step(cfg: LBConfig, solid=None,
     model = cfg.model
     fluid = None if solid is None else jnp.logical_not(solid)
     wall_u = cfg.wall_u if any(v != 0.0 for v in cfg.wall_u) else None
+    kiss_rho = (cfg.noise is not None and cfg.noise.kiss
+                and cfg.noise.rho)
 
     @partial(jax.jit, donate_argnums=0)
-    def step(f, t=0, force=force_field):
-        shat, ghat = _noise_terms(cfg, params, t)
+    def step(state, t=0, force=force_field):
+        if kiss_rho:
+            # reference-exact per-site KISS stream: state = (f, nstate)
+            f = state[0]
+            shat, ghat, nstate = _noise_terms(cfg, params, t,
+                                              nstate=state[1],
+                                              fluid=fluid)
+        else:
+            f = state
+            shat, ghat = _noise_terms(cfg, params, t)
         f_post, rho, u = collide(f, params, force=force, fluid_mask=fluid,
                                  shat=shat, ghat=ghat)
         if le is not None:
@@ -155,6 +165,8 @@ def make_step(cfg: LBConfig, solid=None,
         if open_bc is not None:
             from ludwig_tpu.ops.open_bc import apply_open_bc_x
             f_new = apply_open_bc_x(f_new, f_post, model, open_bc)
+        if kiss_rho:
+            return (f_new, nstate), rho, u
         return f_new, rho, u
 
     return step

@@ -1293,8 +1293,13 @@ def build_system(rt: RunTime) -> System:
                           wallspec=ws, has_kiss=has_kiss)
         f = _distribution_init(rt, lb_cfg)
         step = make_step(lb_cfg, solid=solid, le=le)
+        has_kiss = nz is not None and nz.kiss and nz.rho
+        state = (f,)
+        if has_kiss:
+            from ludwig_tpu.noise_kiss import kiss_init
+            state = (f, kiss_init(0, size))
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
-                      state=(f,), step_fn=step)
+                      state=state, step_fn=step, has_kiss=has_kiss)
 
     raise ValueError(f"free_energy '{fe_name}' not implemented yet")
 
@@ -1969,6 +1974,9 @@ def run_text(text: str, out=sys.stdout) -> System:
                 u = state[2]
             else:
                 u = state[-1]
+        elif sys_.has_kiss:
+            # plain fluid + reference-exact KISS noise: (f, nstate)
+            state, rho, u = sys_.step_fn(state, t)
         else:
             f, rho, u = sys_.step_fn(state[0], t)
             state = (f,)

@@ -171,10 +171,14 @@ def delsq_d3q27(phi):
 def _tomita_terms(phi, epsilon=0.25, epsilon1=0.25):
     """2-D Tomita stencil.
 
-    Without Lees-Edwards the reference dispatches to grad_cs_kernel
-    with GRAD_EPSILON = DEL2_EPSILON = 0.25 (ref:
-    gradient_2d_tomita_fluid.c:58-66,109) - NOT the epsilon = 0.5
-    operator, which only runs on the LE path (same file :96-107)."""
+    The reference has TWO parameterisations, picked by whether the
+    field was created with a Lees-Edwards object (always true for the
+    symmetric/Brazovskii phi, ludwig.c:1185; NULL for surfactant1 and
+    ternary, ludwig.c:1371,1446):
+      le==NULL -> grad_cs_kernel, GRAD_EPSILON = DEL2_EPSILON = 0.25
+                  (ref: gradient_2d_tomita_fluid.c:58-66,109)
+      le!=NULL -> grad_2d_tomita_fluid_operator, grad epsilon1_ = 0.25
+                  but delsq epsilon_ = 0.5 (same file :53-54,283-333)."""
     rf = 1.0 / (1.0 + 2.0 * epsilon)
     rf1 = 1.0 / (1.0 + 2.0 * epsilon1)
 
@@ -204,6 +208,11 @@ def delsq_tomita(phi):
     return _tomita_terms(phi)[2]
 
 
+def delsq_tomita_le(phi):
+    # the LE-object parameterisation (epsilon_ = 0.5 for delsq only)
+    return _tomita_terms(phi, epsilon=0.5)[2]
+
+
 _GRAD: Dict[str, Callable] = {
     "3d_7pt_fluid": grad_7pt,
     "3d_27pt_fluid": grad_27pt,
@@ -220,11 +229,17 @@ _DELSQ: Dict[str, Callable] = {
 }
 
 
-def gradient_ops(name: str):
-    """(grad, delsq) pair by reference input key fd_gradient_calculation."""
+def gradient_ops(name: str, le_field: bool = False):
+    """(grad, delsq) pair by reference input key fd_gradient_calculation.
+
+    le_field selects the reference's LE-object code path where the two
+    differ: for 2d_tomita the delsq switches to the epsilon = 0.5
+    parameterisation (see _tomita_terms)."""
     if name not in _GRAD:
         raise ValueError(f"unknown gradient stencil '{name}'; "
                          f"have {sorted(_GRAD)}")
+    if le_field and name == "2d_tomita_fluid":
+        return _GRAD[name], delsq_tomita_le
     return _GRAD[name], _DELSQ[name]
 
 
