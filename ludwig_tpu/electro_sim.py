@@ -170,7 +170,7 @@ def gradmu_force(psi, rho, cfg: ElectroSimConfig, psi_up, psi_dn,
 # -- Nernst-Planck (reference d3q7 link fluxes, face formulation) ------------
 
 def np_step(rho, psi, u, fluid, cfg: ElectroSimConfig, psi_up, psi_dn,
-            dt: float):
+            dt: float, mu_ex=None):
     """One NP sub-step, dt = 1/multisteps (ref: nernst_planck.c:349-520,
     np_advective_fluxes, np_no_flux_boundary, nernst_planck_update_d3qx).
 
@@ -178,6 +178,11 @@ def np_step(rho, psi, u, fluid, cfg: ElectroSimConfig, psi_up, psi_dn,
     i+1 along axis a.  Both link directions of the reference collapse
     onto these faces by antisymmetry; the divergence is the face-flux
     difference.  A face is active only when both ends are fluid.
+
+    mu_ex: optional per-species excess (solvation) chemical potential
+    fields in kT units, added to the reduced link potential as
+    mu = mu_ex/e + z psi (ref: nernst_planck_fluxes_d3qx with
+    fe->func->mu_solv, fe_electro_symmetric.c fe_es_mu_ion_solv).
     """
     ek = cfg.ek
     new = []
@@ -192,9 +197,13 @@ def np_step(rho, psi, u, fluid, cfg: ElectroSimConfig, psi_up, psi_dn,
         nk_ = rho[k]
         mu = z * psi          # reduced chemical potential (ideal part
         #                       enters through the linkwise form below)
+        if mu_ex is not None:
+            mu = mu + mu_ex[k] / ek.e
         div = 0.0
         for ax in range(3):
             mu1 = z * psi_up(psi, ax)
+            if mu_ex is not None:
+                mu1 = mu1 + jnp.roll(mu_ex[k], -1, axis=ax) / ek.e
             dmu = mu1 - mu
             b0 = jnp.exp(-dmu)
             b1 = jnp.exp(dmu)

@@ -45,13 +45,57 @@ class ElectroSymmetricFE:
 
     def mu_phi(self, fields, rho, psi):
         """Binary chemical potential with electro coupling terms."""
+        e = electric_field(psi, self.electro)
+        e2 = e[0] ** 2 + e[1] ** 2 + e[2] ** 2
+        return self.mu_phi_coupled(fields, rho, e2)
+
+    def mu_phi_coupled(self, fields, rho, e2):
+        """mu_phi = mu_mix + mu_solv + mu_el with a precomputed E^2
+        (physical units; ref: fe_electro_symmetric.c fe_es_mu_phi)."""
         mu = self.symm.mu(fields)
         for k, dk in enumerate(self.deltamu):
             if dk:
                 mu = mu + 0.5 * rho[k] * dk
-        e = electric_field(psi, self.electro)
-        e2 = e[0] ** 2 + e[1] ** 2 + e[2] ** 2
         return mu + 0.5 * self.gamma * self.epsilonbar * e2
+
+    def stress_coupled(self, fields, rho, e, e2):
+        """Full coupled stress S = S_symm + S_elec + S_couple (ref:
+        fe_electro_symmetric.c fe_es_stress_ex):
+
+          S_elec_ab   = -eps(phi) (E_a E_b - d_ab E^2/2)
+          S_couple_ab = d_ab (1/2) phi [eps_bar gamma E^2
+                                        + sum_k rho_k deltamu_k]
+        """
+        import jax.numpy as jnp
+        phi = fields["phi"]
+        s = self.symm.stress(fields)
+        epsloc = self.var_epsilon(phi)
+        s_couple = 0.5 * phi * self.epsilonbar * self.gamma * e2
+        for k, dk in enumerate(self.deltamu):
+            if dk:
+                s_couple = s_couple + 0.5 * phi * rho[k] * dk
+        rows = []
+        for a in range(3):
+            row = []
+            for b in range(3):
+                v = s[a, b] - epsloc * (e[a] * e[b]
+                                        - (0.5 * e2 if a == b else 0.0))
+                if a == b:
+                    v = v + s_couple
+                row.append(v)
+            rows.append(jnp.stack(row))
+        return jnp.stack(rows)
+
+    def fed_coupled(self, fields, rho, psi):
+        """fed = f_electro + f_symm + sum_k rho_k mu_solv_k (ref:
+        fe_electro_symmetric.c fe_es_fed)."""
+        from ludwig_tpu.electro import fe_electro_fed
+        fed = fe_electro_fed(rho, self.electro, psi)
+        fed = fed + self.symm.fed(fields)
+        ms = self.mu_solv(fields["phi"])
+        for k in range(len(self.deltamu)):
+            fed = fed + rho[k] * ms[k]
+        return fed
 
 
 def poisson_sor_var_epsilon(psi0: jnp.ndarray, rho_el: jnp.ndarray,

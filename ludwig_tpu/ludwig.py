@@ -59,6 +59,7 @@ class System:
     fe_solid_ops: Optional[object] = None      # two-field wetting stencils
     has_kiss: bool = False    # per-site KISS noise state rides the state
     colloid_charge: Optional[tuple] = None     # (N, 2) input charges
+    es_cfg: Optional[object] = None   # fe_electro_symmetric coupled run
 
     @property
     def is_binary(self) -> bool:
@@ -1107,6 +1108,39 @@ def build_system(rt: RunTime) -> System:
                           electro_cfg=ecfg, colloid_params=cparams,
                           colloid_charge=tuple(qq),
                           hydro_on=ecfg.hydrodynamics)
+        if fe_name == "fe_electro_symmetric":
+            # coupled binary + electrokinetics (ref:
+            # fe_electro_symmetric.c; ludwig.c psi section + CH update)
+            from ludwig_tpu.electro_symm import (ElectroSymmConfig,
+                                                 make_electro_symm_step)
+            from ludwig_tpu.fe.electro_symmetric import ElectroSymmetricFE
+            fe_s = _symm_fe(rt)
+            eps1 = rt.double("electrokinetics_epsilon1", ek.epsilon)
+            eps2 = rt.double("electrokinetics_epsilon2", ek.epsilon)
+            ek = dataclasses.replace(ek, epsilon=0.5 * (eps1 + eps2))
+            es_fe = ElectroSymmetricFE(
+                symm=fe_s, electro=ek, epsilon1=eps1, epsilon2=eps2,
+                deltamu=(rt.double("electrosymmetric_delta_mu0", 0.0),
+                         rt.double("electrosymmetric_delta_mu1", 0.0)))
+            escfg = ElectroSymmConfig(
+                lb=lb_cfg, ek=ek, fe=es_fe,
+                mobility=rt.double("mobility", 1.0),
+                advection_order=rt.int("fd_advection_scheme_order", 1),
+                gradient=rt.string("fd_gradient_calculation",
+                                   "3d_7pt_fluid"),
+                e0=e0, hydrodynamics=rt.switch("hydrodynamics", True),
+                force_method=rt.string("fe_force_method",
+                                       "stress_divergence"))
+            phi0 = _phi_init(rt, size, fe_s)
+            f = _distribution_init(rt, lb_cfg)
+            state = (f, jnp.asarray(phi0, jd), jnp.asarray(psi0, jd),
+                     jnp.asarray(rho_k, jd), jnp.zeros((3,) + size, jd))
+            step = make_electro_symm_step(escfg)
+            ecfg = dataclasses.replace(ecfg, ek=ek)
+            return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
+                          solid=None, state=state, step_fn=step,
+                          electro_cfg=ecfg, es_cfg=escfg,
+                          hydro_on=escfg.hydrodynamics)
         f = _distribution_init(rt, lb_cfg)
         state = (f, jnp.asarray(psi0, jd), jnp.asarray(rho_k, jd),
                  jnp.zeros((3,) + size, jd), jnp.zeros((3,), jd))
@@ -1493,21 +1527,39 @@ def _make_stats_fn(sys_: System):
         if sys_.electro_cfg is not None:
             from ludwig_tpu.electro import fe_electro_fed, rho_elec
             ek = sys_.electro_cfg.ek
-            psi, rhok, gwall = state[1], state[2], state[4]
+            if sys_.es_cfg is not None:
+                phi, psi, rhok = state[1], state[2], state[3]
+                gwall = None
+            else:
+                psi, rhok, gwall = state[1], state[2], state[4]
 
             def tmm(x):
-                return (jnp.sum(x), jnp.min(x), jnp.max(x))
+                # plain site-order total (ref: psi_stats.c
+                # psi_stats_local accumulation)
+                return (stats.seq_sum(x), jnp.min(x), jnp.max(x))
 
             res["psi3"] = tmm(psi)
             res["rhok"] = [tmm(rhok[k]) for k in range(ek.nk)]
             res["elc"] = tmm(rho_elec(rhok, ek))
-            fed = fe_electro_fed(rhok, ek, psi)
+            if sys_.es_cfg is not None:
+                # coupled run: [phi] line + the coupled fed, with the
+                # stale start-of-step gradients (reference stats run
+                # after the update but field_grad is from the top of
+                # the step)
+                from ludwig_tpu.binary import fe_fields
+                res["phi"] = stats.field_stats_ref(phi)
+                pphi = prev[0] if prev else phi
+                fields = fe_fields(pphi, sys_.es_cfg.gradient)
+                fields["phi"] = phi
+                fed = sys_.es_cfg.fe.fed_coupled(fields, rhok, psi)
+            else:
+                fed = fe_electro_fed(rhok, ek, psi)
             if mask is None:
                 fluid = jnp.mean(fed)
             else:
                 fluid = jnp.sum(jnp.where(mask, fed, 0.0)) / jnp.sum(mask)
             res["fed"] = (jnp.mean(fed), fluid)
-            if mask is not None:
+            if mask is not None and gwall is not None:
                 res["gwall"] = gwall
         if sys_.lb2_cfg is not None:
             from ludwig_tpu.binary_lb import g_moments
@@ -1699,6 +1751,10 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
         def _3(tot, mn, mx):
             return (f"{float(tot):14.7e} {float(mn):14.7e} "
                     f"{float(mx):14.7e}\n")
+        if "phi" in res:
+            # coupled fe_electro_symmetric: [phi] precedes the psi
+            # block (ref: serial-elec-do1.log:127)
+            out.write(stats.format_phi_line("phi", *res["phi"]))
         out.write("[psi] " + _3(*res["psi3"]))
         for k in range(len(res["rhok"])):
             out.write("[rho] " + _3(*res["rhok"][k]))
@@ -1937,6 +1993,8 @@ def run_text(text: str, out=sys.stdout) -> System:
         if sys_.is_binary_lb:
             from ludwig_tpu.binary_lb import g_moments
             return (g_moments(state[1], sys_.lb_cfg.model)[0],)
+        if sys_.es_cfg is not None:
+            return (jnp.array(state[1]),)    # start-of-step phi
         if (sys_.is_binary or sys_.is_two_field or sys_.is_droplet
                 or sys_.is_polar):
             return tuple(jnp.array(x) for x in state[1:-1])
@@ -1960,7 +2018,7 @@ def run_text(text: str, out=sys.stdout) -> System:
             state, rho, u = sys_.step_fn(state, t)
         elif sys_.is_electro:
             state, rho = sys_.step_fn(state, t)
-            u = state[3]
+            u = state[4] if sys_.es_cfg is not None else state[3]
         elif sys_.is_binary_lb:
             state, (rho, _phi) = sys_.step_fn(state, t)
             u = state[2]
