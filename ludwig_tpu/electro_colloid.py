@@ -152,6 +152,42 @@ def gradmu_force_colloid(psi, rho, cfg: ElectroSimConfig, psi_up, psi_dn,
     return ffluid, jnp.stack(fcoll)
 
 
+def divstress_force_colloid(psi, rho, cfg: ElectroSimConfig, psi_up,
+                            psi_dn, fluid, inside, pid, n_part):
+    """(fluid force field, per-particle force) for the stress-divergence
+    method (ref: psi_force.c psi_force_divstress): pure Maxwell stress
+    S_ab = -eps (E_a E_b - d_ab E^2/2), no momentum correction;
+    colloid-site forces accumulate on the owning particle.
+
+    The v0.20 fe_electro_stress adds an ideal-gas d_ab kT sum_k rho_k
+    term, but the v0.2.19-era behaviour that serial-elec-ep1 was logged
+    with does NOT include it (verified against the committed log: with
+    the term the electrophoretic velocity is off by 4.5e-5 relative,
+    without it the case matches to print precision)."""
+    ek = cfg.ek
+    kt = 1.0 / ek.beta
+    e = []
+    for ax in range(3):
+        e.append(-0.5 * (psi_up(psi, ax) - psi_dn(psi, ax)) * (kt / ek.e))
+    e2 = e[0] * e[0] + e[1] * e[1] + e[2] * e[2]
+    force = []
+    for a in range(3):
+        acc = 0.0
+        for b in range(3):
+            s_ab = -ek.epsilon * (e[a] * e[b] - (0.5 * e2 if a == b
+                                                 else 0.0))
+            acc = acc + 0.5 * (jnp.roll(s_ab, -1, axis=b)
+                               - jnp.roll(s_ab, 1, axis=b))
+        force.append(-acc)
+    force = jnp.stack(force)
+    fcoll = []
+    for n in range(n_part):
+        m = ((pid == n) & inside).astype(force.dtype)
+        fcoll.append(jnp.stack([jnp.sum(m * force[a]) for a in range(3)]))
+    ffluid = jnp.where(fluid[None], force, 0.0)
+    return ffluid, jnp.stack(fcoll)
+
+
 def zeta_potential(psi, fluid, inside):
     """Mean of the link-midpoint potential over the colloid surface
     (ref: psi_colloid.c psi_colloid_zetapotential; one colloid only)."""
@@ -171,7 +207,8 @@ def zeta_potential(psi, fluid, inside):
 
 def make_electro_colloid_step(cfg: ElectroSimConfig, params: ColloidParams,
                               q_coll, rebuild_freq: int = 1,
-                              force_fn=None):
+                              force_fn=None,
+                              force_method="phi_gradmu_correction"):
     """Jitted step for (f, R, V, W, dr, Rmap, Msw, psi, rho, u, deltaq).
 
     q_coll: (N, 2) input charges (colloid_one_q0 / q1)."""
@@ -227,13 +264,20 @@ def make_electro_colloid_step(cfg: ElectroSimConfig, params: ColloidParams,
         psi = poisson_sor_ref(psi, rho_elec(rho, cfg.ek), cfg.ek,
                               psi_up, psi_dn)
 
-        force, fcoll = gradmu_force_colloid(psi, rho, cfg, psi_up,
-                                            psi_dn, fluid, inside, pid,
-                                            params.n)
+        if force_method == "stress_divergence":
+            force, fcoll = divstress_force_colloid(
+                psi, rho, cfg, psi_up, psi_dn, fluid, inside, pid,
+                params.n)
+        else:
+            force, fcoll = gradmu_force_colloid(psi, rho, cfg, psi_up,
+                                                psi_dn, fluid, inside,
+                                                pid, params.n)
         for _ in range(m_sub):
             rho = np_step(rho, psi, u if cfg.hydrodynamics else None,
                           fluid, cfg, psi_up, psi_dn, dt)
-        psi = psi - jnp.mean(psi)
+        # plain site-order sum (ref: psi.c psi_zero_mean)
+        from ludwig_tpu.stats import seq_sum
+        psi = psi - seq_sum(psi) / float(np.prod(size))
 
         fb_force = force.astype(f.dtype)
         if any(v != 0.0 for v in params.gravity):

@@ -317,8 +317,10 @@ def make_electro_step(cfg: ElectroSimConfig,
             rho = np_step(rho, psi, u if cfg.hydrodynamics else None,
                           fl, cfg, psi_up, psi_dn, dt)
 
-        # 4. zero-mean potential
-        psi = psi - jnp.mean(psi)
+        # 4. zero-mean potential (plain site-order sum, ref: psi.c
+        # psi_zero_mean)
+        from ludwig_tpu.stats import seq_sum
+        psi = psi - seq_sum(psi) / n_sites
 
         # 5. LB update
         if cfg.hydrodynamics:

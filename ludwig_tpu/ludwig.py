@@ -369,6 +369,7 @@ def _parse_colloids(rt, size, rho0, eta):
             mm.append(tuple(mv) if any(mv) else (1.0, 0.0, 0.0))
             typ.append({0: "default", 1: "active",
                         2: "subgrid"}.get(rec["type"], "default"))
+            qq.append((rec.get("q0", 0.0), rec.get("q1", 0.0)))
             rngs.append(rec.get("rng", 1 + ni))
             ss.append(tuple(rec.get("s", (0.0, 0.0, 0.0))))
             _fx = rec.get("isfixedr", 0)
@@ -1102,7 +1103,11 @@ def build_system(rt: RunTime) -> System:
             step = make_electro_colloid_step(
                 ecfg, cparams, qq,
                 rebuild_freq=rt.int("colloid_rebuild_freq", 1),
-                force_fn=force_fn)
+                force_fn=force_fn,
+                # the v0.2.19-era default for psi runs was the Maxwell
+                # stress divergence (serial-elec-ep1.log:38)
+                force_method=rt.string("fe_force_method",
+                                       "stress_divergence"))
             return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
                           solid=None, state=state, step_fn=step,
                           electro_cfg=ecfg, colloid_params=cparams,
@@ -1500,7 +1505,8 @@ def _make_stats_fn(sys_: System):
                                        ek.nk)
 
                 def tmm(x):
-                    return (jnp.sum(x), jnp.min(x), jnp.max(x))
+                    # plain site-order total (ref: psi_stats.c)
+                    return (stats.seq_sum(x), jnp.min(x), jnp.max(x))
 
                 res["psi3"] = tmm(psi)
                 res["rhok"] = [tmm(rhok[k]) for k in range(ek.nk)]
@@ -1759,7 +1765,9 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
         for k in range(len(res["rhok"])):
             out.write("[rho] " + _3(*res["rhok"][k]))
         out.write("[elc] " + _3(*res["elc"]))
-        if "psi_zeta" in res:
+        if "psi_zeta" in res and in_loop:
+            # the reference computes the zeta potential only inside the
+            # time loop (ref: ludwig.c statistics step, not at t = 0)
             out.write(f"[psi_zeta] {float(res['psi_zeta']):14.7e}\n")
         if "fe_colloid" in res:
             # ncolloid > 0, no area (ref: stats_free_energy.c:119-124)
@@ -1950,6 +1958,12 @@ def run_text(text: str, out=sys.stdout) -> System:
                 rec["b1"], rec["b2"] = cp.b1[n], cp.b2[n]
                 rec["type"] = {"default": 0, "active": 1,
                                "subgrid": 2}.get(cp.types[n], 0)                     if cp.types else 0
+                if sys_.colloid_charge is not None:
+                    rec["q0"], rec["q1"] = (
+                        float(v) for v in sys_.colloid_charge[n])
+                    dq = np.asarray(jax.device_get(state[10]))
+                    rec["deltaq0"], rec["deltaq1"] = (float(dq[n, 0]),
+                                                      float(dq[n, 1]))
                 recs.append(rec)
             write_colloid_file(
                 _os.path.join(iodir, f"config.cds{step:08d}.001-001"),
