@@ -354,8 +354,17 @@ def _parse_colloids(rt, size, rho0, eta):
             stub = rt.string("colloid_file_stub", "config.cds")
             path = f"{stub}{nstart:08d}.001-001"
         else:
-            stub = rt.string("colloid_file_stub", "config.cds") + ".init"
-            path = stub if os.path.exists(stub) else stub + ".001-001"
+            stub = rt.string("colloid_file_stub", "config.cds")
+            # the reference reads <stub>.init for fresh runs but plain
+            # <stub>.%3.3d-%3.3d files also appear in the suites
+            # (e.g. colloids-serial-pair.001-001)
+            for cand in (stub + ".init", stub + ".init.001-001",
+                         stub + ".001-001", stub):
+                if os.path.exists(cand):
+                    path = cand
+                    break
+            else:
+                path = stub + ".init"
         recs = read_colloid_file(path)
         for ni, rec in enumerate(recs):
             a0.append(rec["a0"])
@@ -1552,10 +1561,10 @@ def _make_stats_fn(sys_: System):
                 # stale start-of-step gradients (reference stats run
                 # after the update but field_grad is from the top of
                 # the step)
-                from ludwig_tpu.binary import fe_fields
+                from ludwig_tpu.binary import fe_fields as _es_flds
                 res["phi"] = stats.field_stats_ref(phi)
                 pphi = prev[0] if prev else phi
-                fields = fe_fields(pphi, sys_.es_cfg.gradient)
+                fields = _es_flds(pphi, sys_.es_cfg.gradient)
                 fields["phi"] = phi
                 fed = sys_.es_cfg.fe.fed_coupled(fields, rhok, psi)
             else:
@@ -1793,7 +1802,9 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
             out.write("\nFree energies - timestep f v f/v f_s1 fs_s2 \n")
             out.write(f"[fe] {int(tstep):14d} {fsum:17.10e} {vol:17.10e} "
                       f"{fsum / vol:17.10e} {0.0:17.10e} {0.0:17.10e}\n")
-        else:
+        elif in_loop or sys_.rt.int("_log_vintage", 9999) >= 14:
+            # v0.11-era logs print no [fed] in the initial-conditions
+            # block (ref: iodrop-mpi1-io1.log vs serial-spin-fd1.log)
             out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_two_field:
         is_ternary = type(sys_.two_field_cfg.fe).__name__ == "TernaryFE"

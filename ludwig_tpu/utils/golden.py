@@ -45,6 +45,9 @@ PRE_STEPS = {
     "serial-rest-c02": ("case", "serial-rest-c01"),
     "serial-poly-st1": ("script", "multi_poly_init"),
     "d3q19-elec/serial-rest-ec2": ("case", "d3q19-elec/serial-rest-ec1"),
+    "d3q19-io/iodrop-mpi1-io3": ("case", "d3q19-io/iodrop-mpi1-io2"),
+    "d3q19-io/iodrop-mpi2-io3": ("case", "d3q19-io/iodrop-mpi2-io2"),
+    "d3q19-io/iodrop-mpi4-io3": ("case", "d3q19-io/iodrop-mpi4-io2"),
 }
 
 
@@ -69,17 +72,41 @@ def run_case(name: str, workdir: Optional[str] = None,
     import jax
 
     from ludwig_tpu.ludwig import run_text
-    inp, _ = find_case(name)
+    inp, log = find_case(name)
     with open(inp) as fh:
         text = fh.read()
     suite = os.path.basename(os.path.dirname(inp))
     nvel = {"d2q9": 9, "d3q15": 15, "d3q27": 27}.get(
         suite.split("-")[0], 19)
     text = f"lb_nvel {nvel}\n" + text
+    # committed logs span reference versions with (slightly) different
+    # report formats; pass the log's vintage through so run_text can
+    # reproduce the right one (e.g. v0.11 prints no [fed] at t = 0)
+    try:
+        with open(log) as fh:
+            head = fh.readline()
+        import re as _re
+        m = _re.search(r"Ludwig v(\d+)\.(\d+)", head)
+        if m:
+            text = (f"_log_vintage {int(m.group(1)) * 100 + int(m.group(2))}\n"
+                    + text)
+    except OSError:
+        pass
     cwd = os.getcwd()
     try:
         if workdir:
             os.chdir(workdir)
+        # suite data files (e.g. colloid input configurations like
+        # colloids-serial-pair.001-001) live next to the inputs; make
+        # them visible in the working directory
+        suite_dir = os.path.dirname(inp)
+        for fn in os.listdir(suite_dir):
+            if (not fn.endswith((".inp", ".log", "Makefile"))
+                    and not os.path.exists(fn)):
+                try:
+                    os.symlink(os.path.join(suite_dir, fn), fn)
+                except OSError:
+                    pass
         pre = PRE_STEPS.get(name)
         if pre is not None:
             kind, what = pre
