@@ -304,7 +304,7 @@ def make_binary_lb_colloid_step(cfg: BinaryLBConfig, params,
 
 
 def initial_binary_lb_colloid(cfg: BinaryLBConfig, params, phi0, R0,
-                              V0=None):
+                              V0=None, W0=None, dr0=None):
     lb = cfg.lb
     nc = params.n
     jd = lb.jdtype
@@ -316,9 +316,13 @@ def initial_binary_lb_colloid(cfg: BinaryLBConfig, params, phi0, R0,
     R = jnp.asarray(np.array(R0), jd)
     V = (jnp.asarray(np.array(V0), jd) if V0 is not None
          else jnp.zeros((nc, 3), jd))
+    W = (jnp.asarray(np.array(W0), jd) if W0 is not None
+         else jnp.zeros((nc, 3), jd))
+    dr = (jnp.asarray(np.array(dr0), jd) if dr0 is not None
+          else jnp.zeros((nc, 3), jd))
     mm = (np.array(params.m, np.float64) if params.m
           else np.tile([1.0, 0.0, 0.0], (nc, 1)))
-    return (f, R, V, jnp.zeros((nc, 3), jd), jnp.zeros((nc, 3), jd),
+    return (f, R, V, W, dr,
             jnp.array(R), jnp.asarray(mm, jd), g,
             jnp.zeros((3,) + tuple(lb.size), jd),
             jnp.zeros((nc,), jd))

@@ -728,7 +728,8 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
             f, V, W, Msw, gwbb = bbl_step_fast(
                 f, Rmap, V, W, model, params, size,
                 ext_force=ext, ext_torque=ext_t, rho0=cfg.rho0,
-                deltam=deltam, f0_corr=f0c, t0_corr=t0c, M=Msw)
+                deltam=deltam, f0_corr=f0c, t0_corr=t0c, M=Msw,
+                pid_inside=(pid, inside))
         else:
             f, V, W, Msw, gwbb = bbl_step(
                 f, Rmap, V, W, model, params, size,

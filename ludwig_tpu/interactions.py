@@ -84,14 +84,39 @@ def soft_sphere_ij_forces(R: jnp.ndarray, ah: jnp.ndarray, box,
 
 
 def yukawa_forces(R, box, epsilon: float, kappa: float, rc: float):
-    """V = eps exp(-kappa r)/r, cut-and-shifted (ref: pair_yukawa.c)."""
+    """V = eps exp(-kappa r)/r, cut-and-FORCE-shifted so both V and
+    dV/dr vanish at rc (ref: pair_yukawa.c:207-215: the pair force is
+    f = -(dV/dr - dV/dr|_rc))."""
+    import math
     n = R.shape[0]
     r12 = pair_separations(R, box)
     r = jnp.sqrt(jnp.sum(r12 * r12, axis=-1))
     r = jnp.where(_pair_mask(n), r, 1.0)
     act = jnp.logical_and(_pair_mask(n), r < rc)
-    fmod = epsilon * jnp.exp(-kappa * r) * (kappa * r + 1.0) / (r * r)
-    fvec = jnp.where(act[..., None], -fmod[..., None] * r12 / r[..., None],
+    # -dV/dr = eps e^{-kr} (1/r)(1/r + k); dvcut = dV/dr at rc
+    fmod = epsilon * jnp.exp(-kappa * r) * (1.0 / r) * (1.0 / r + kappa)
+    dvcut = -epsilon * math.exp(-kappa * rc) * (1.0 / rc) * (1.0 / rc
+                                                             + kappa)
+    f = fmod + dvcut
+    fvec = jnp.where(act[..., None], -f[..., None] * r12 / r[..., None],
+                     0.0)
+    return jnp.sum(fvec, axis=1)
+
+
+def lj_cut_forces(R, box, epsilon: float, sigma: float, rc: float):
+    """Lennard-Jones, cut-and-force-shifted (ref: pair_lj_cut.c:
+    f = -(dV/dr - dvcut), dV/dr = -24 eps (2 rs^2 - rs)/r with
+    rs = (sigma/r)^6)."""
+    n = R.shape[0]
+    r12 = pair_separations(R, box)
+    r = jnp.sqrt(jnp.sum(r12 * r12, axis=-1))
+    r = jnp.where(_pair_mask(n), r, 1.0)
+    act = jnp.logical_and(_pair_mask(n), r <= rc)
+    rs = (sigma / r) ** 6
+    rsc = (sigma / rc) ** 6
+    dvcut = -24.0 * (1.0 / rc) * epsilon * (2.0 * rsc * rsc - rsc)
+    f = -(-24.0 * (1.0 / r) * epsilon * (2.0 * rs * rs - rs) - dvcut)
+    fvec = jnp.where(act[..., None], -f[..., None] * r12 / r[..., None],
                      0.0)
     return jnp.sum(fvec, axis=1)
 
@@ -118,6 +143,37 @@ def lubrication_normal(R, V, ah, box, eta: float, rch: float):
     du = V[:, None, :] - V[None, :, :]
     rdotdu = jnp.sum(rhat * du, axis=-1)
     fvec = jnp.where(act[..., None], (fmod * rdotdu)[..., None] * rhat, 0.0)
+    return jnp.sum(fvec, axis=1)
+
+
+def lubrication_tangential(R, V, ah, box, eta: float, rch: float):
+    """Tangential lubrication correction (ref: lubrication.c:293-315):
+
+      fmod = -(24/15) pi eta a1 a2 (2 a1^2 + a1 a2 + 2 a2^2)
+             [ln((a1+a2)/2h) - ln((a1+a2)/2rch)] / (a1+a2)^3
+      F = fmod (du - (rhat.du) rhat)
+    """
+    n = R.shape[0]
+    r12 = pair_separations(R, box)
+    r = jnp.sqrt(jnp.sum(r12 * r12, axis=-1))
+    r = jnp.where(_pair_mask(n), r, 1.0)
+    a1 = ah[:, None]
+    a2 = ah[None, :]
+    h = r - a1 - a2
+    act = jnp.logical_and(_pair_mask(n),
+                          jnp.logical_and(h < rch, h > 1e-12))
+    hsafe = jnp.maximum(h, 1e-6)
+    asum = a1 + a2
+    fmod = -(24.0 / 15.0) * np.pi * eta * a1 * a2 * (
+        2.0 * a1 * a1 + a1 * a2 + 2.0 * a2 * a2) * (
+        jnp.log(0.5 * asum / hsafe) - np.log(1.0)
+        - jnp.log(0.5 * asum / rch)) / (asum * asum * asum)
+    rhat = r12 / r[..., None]
+    du = V[:, None, :] - V[None, :, :]
+    rdotdu = jnp.sum(rhat * du, axis=-1)
+    fvec = jnp.where(act[..., None],
+                     fmod[..., None] * (du - rdotdu[..., None] * rhat),
+                     0.0)
     return jnp.sum(fvec, axis=1)
 
 

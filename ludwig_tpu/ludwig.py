@@ -315,6 +315,7 @@ def _parse_colloids(rt, size, rho0, eta):
     rngs = []
     fixedr = []
     ss = []
+    drs, ws = [], []     # from_file deferred move + angular velocity
     from ludwig_tpu.colloids import ColloidParams, make_colloid_step
     a0, ah, rr, vv = [], [], [], []
     b1, b2, mm, typ = [], [], [], []
@@ -372,6 +373,8 @@ def _parse_colloids(rt, size, rho0, eta):
             al.append(rec.get("al", 0.0))
             rr.append([c - 1.0 for c in rec["r"]])
             vv.append(tuple(rec["v"]))
+            drs.append(tuple(rec.get("dr", (0.0, 0.0, 0.0))))
+            ws.append(tuple(rec.get("w", (0.0, 0.0, 0.0))))
             b1.append(rec["b1"])
             b2.append(rec["b2"])
             mv = rec["m"]
@@ -496,6 +499,32 @@ def _parse_colloids(rt, size, rho0, eta):
         ah_arr = jnp.asarray(np.array(ah))
         force_terms.append(lambda R, V: soft_sphere_forces(
             R, ah_arr, size, eps_, sig_, nu_, hc_)[0])
+    if rt.int("lennard_jones_on", 0) and nc > 1:
+        from ludwig_tpu.interactions import lj_cut_forces
+        lj_eps = rt.double_required("lj_epsilon")
+        lj_sig = rt.double_required("lj_sigma")
+        lj_rc = rt.double_required("lj_cutoff")
+        force_terms.append(lambda R, V: lj_cut_forces(
+            R, size, lj_eps, lj_sig, lj_rc))
+    if rt.int("yukawa_on", 0) and nc > 1:
+        from ludwig_tpu.interactions import yukawa_forces
+        yk_eps = rt.double_required("yukawa_epsilon")
+        yk_kap = rt.double_required("yukawa_kappa")
+        yk_rc = rt.double_required("yukawa_cutoff")
+        force_terms.append(lambda R, V: yukawa_forces(
+            R, size, yk_eps, yk_kap, yk_rc))
+    if rt.int("lubrication_on", 0) and nc > 1:
+        ah_arr3 = jnp.asarray(np.array(ah))
+        rcn = rt.double("lubrication_normal_cutoff", 0.0)
+        rct = rt.double("lubrication_tangential_cutoff", 0.0)
+        if rcn > 0.0:
+            from ludwig_tpu.interactions import lubrication_normal
+            force_terms.append(lambda R, V: lubrication_normal(
+                R, V, ah_arr3, size, eta, rcn))
+        if rct > 0.0:
+            from ludwig_tpu.interactions import lubrication_tangential
+            force_terms.append(lambda R, V: lubrication_tangential(
+                R, V, ah_arr3, size, eta, rct))
     force_fn = None
     if force_terms:
         def force_fn(R, V):
@@ -509,7 +538,10 @@ def _parse_colloids(rt, size, rho0, eta):
         rngs = rngs + [1 + i for i in range(len(rngs), len(rr))]
     if len(ss) < len(rr):
         ss = ss + [(0.0, 0.0, 0.0)] * (len(rr) - len(ss))
-    return cparams, rr, vv, typ, al, force_fn, qq, rngs, ss
+    if len(drs) < len(rr):
+        drs = drs + [(0.0, 0.0, 0.0)] * (len(rr) - len(drs))
+        ws = ws + [(0.0, 0.0, 0.0)] * (len(rr) - len(ws))
+    return cparams, rr, vv, typ, al, force_fn, qq, rngs, ss, (drs, ws)
 
 
 def build_system(rt: RunTime) -> System:
@@ -1033,7 +1065,7 @@ def build_system(rt: RunTime) -> System:
             # q-tensor branch; pth_force_colloid; fe_lc_stats.c)
             from ludwig_tpu.lc_colloid import (initial_lc_colloid,
                                                make_lc_colloid_step)
-            cparams, rr, vv, typ, al, force_fn, _qq, _rngs, ss = _colloids
+            cparams, rr, vv, typ, al, force_fn, _qq, _rngs, ss, _drw = _colloids
             state = initial_lc_colloid(lcfg, cparams, q5, rr, vv)
             step = make_lc_colloid_step(
                 lcfg, cparams,
@@ -1098,7 +1130,7 @@ def build_system(rt: RunTime) -> System:
             from ludwig_tpu.electro_colloid import (
                 colloid_rho_set, initial_electro_colloid,
                 make_electro_colloid_step)
-            cparams, rr, vv, typ, al, force_fn, qq, _rngs, _ss = _colloids
+            cparams, rr, vv, typ, al, force_fn, qq, _rngs, _ss, _drw = _colloids
             pid, inside = build_map(jnp.asarray(np.array(rr), jd),
                                     cparams, size)
             rho_j = colloid_rho_set(
@@ -1167,7 +1199,7 @@ def build_system(rt: RunTime) -> System:
     if (fe_name in ("none", "symmetric", "symmetric_lb")
             and _colloids is not None):
         from ludwig_tpu.colloids import make_colloid_step
-        cparams, rr, vv, typ, al, force_fn, _qq, _rngs, ss = _colloids
+        cparams, rr, vv, typ, al, force_fn, _qq, _rngs, ss, _drw = _colloids
         f = _distribution_init(rt, lb_cfg)
         from ludwig_tpu.colloids import ColloidState
         R0 = jnp.asarray(np.array(rr), lb_cfg.jdtype)
@@ -1201,7 +1233,8 @@ def build_system(rt: RunTime) -> System:
                                    "3d_27pt_solid"))
             phi0 = _phi_init(rt, size, fe2)
             state = initial_binary_lb_colloid(l2cfg, cparams, phi0, rr,
-                                              vv)
+                                              vv, W0=_drw[1],
+                                              dr0=_drw[0])
             step = make_binary_lb_colloid_step(
                 l2cfg, cparams,
                 rebuild_freq=rt.int("colloid_rebuild_freq", 1),
@@ -1233,11 +1266,15 @@ def build_system(rt: RunTime) -> System:
             return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg,
                           solid=None, state=state, step_fn=step,
                           colloid_params=cparams)
+        # from_file configurations carry angular velocity and the
+        # deferred move dr (ref: colloid state read; the first update
+        # moves each particle by the stored dr)
+        _dr0, _w0 = _drw
         state = ColloidState(
             f, R0,
             jnp.asarray(np.array(vv), lb_cfg.jdtype),
-            jnp.zeros((cparams.n, 3), lb_cfg.jdtype),
-            jnp.zeros((cparams.n, 3), lb_cfg.jdtype),  # dr (deferred move)
+            jnp.asarray(np.array(_w0), lb_cfg.jdtype),
+            jnp.asarray(np.array(_dr0), lb_cfg.jdtype),
             jnp.array(R0),                        # map/link positions
             jnp.asarray(np.array(cparams.m), lb_cfg.jdtype))
         if nz is not None and nz.kiss and nz.rho:
@@ -1791,11 +1828,15 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
         out.write(stats.format_phi_line("phi", *res["phi"]))
         if "fe_colloid" in res:
             # ncolloid > 0, no area: 4-value row (ref:
-            # stats_free_energy.c:119-124)
-            fsum, vol = (float(v) for v in res["fe_colloid"])
-            out.write("\nFree energies - timestep f v f/v f_s a f_s/a\n")
-            out.write(f"[fe] {int(tstep):14d} {fsum:17.10e} {vol:17.10e} "
-                      f"{fsum / vol:17.10e} {0.0:17.10e}\n")
+            # stats_free_energy.c:119-124).  v0.7-era logs print no
+            # block at t = 0 (serial-spin-c03 vs v0.12 serial-spin-c01)
+            if in_loop or sys_.rt.int("_log_vintage", 9999) >= 12:
+                fsum, vol = (float(v) for v in res["fe_colloid"])
+                out.write("\nFree energies - timestep f v f/v "
+                          "f_s a f_s/a\n")
+                out.write(f"[fe] {int(tstep):14d} {fsum:17.10e} "
+                          f"{vol:17.10e} "
+                          f"{fsum / vol:17.10e} {0.0:17.10e}\n")
         elif "fe_sum_v" in res:
             # walls present (ref: stats_free_energy.c:103-105)
             fsum, vol = (float(v) for v in res["fe_sum_v"])
