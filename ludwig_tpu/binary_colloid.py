@@ -79,7 +79,9 @@ def colloid_fe_force(pth, pid, inside, model, n_part,
 
 
 def phi_remove_replace_conserve(phi, inside_old, inside_new, pid_old,
-                                pid_new, model, n_part, phi0=0.0):
+                                pid_new, model, n_part, phi0=0.0,
+                                conserve=True,
+                                walls=(False, False, False)):
     """Order-parameter bookkeeping over a change of discrete shape
     (ref: build.c build_remove_order_parameter / _replace_order_parameter
     FD branch / build_conservation_phi).
@@ -102,9 +104,21 @@ def phi_remove_replace_conserve(phi, inside_old, inside_new, pid_old,
     # old map; ref: build_replace_order_parameter)
     num = jnp.zeros_like(phi)
     den = jnp.zeros_like(phi)
+    size = phi.shape
     for p in range(1, model.nvel):
         sh = tuple(-int(v) for v in model.cv[p])
         wf = roll3(was_fluid, sh)
+        if any(walls):
+            # wall-crossing neighbours are MAP_BOUNDARY: excluded
+            # (ref: build_replace_order_parameter status check)
+            keep = np.ones(size, bool)
+            for ax in range(3):
+                cax = int(model.cv[p][ax])
+                if walls[ax] and cax != 0:
+                    sel = [slice(None)] * 3
+                    sel[ax] = size[ax] - 1 if cax > 0 else 0
+                    keep[tuple(sel)] = False
+            wf = wf * jnp.asarray(keep, phi.dtype)
         w = float(model.wv[p])
         num = num + w * wf * roll3(phi, sh)
         den = den + w * wf
@@ -115,6 +129,11 @@ def phi_remove_replace_conserve(phi, inside_old, inside_new, pid_old,
         m = jnp.logical_and(newly_fluid, pid_old == n).astype(phi.dtype)
         dphi[n] = dphi[n] - jnp.sum(m * (phi - phi0))
 
+    if not conserve:
+        # pre-v0.12 reference: no build_conservation_phi - removed and
+        # interpolated order parameter is NOT put back (serial-coll-rfd,
+        # v0.8.14 log)
+        return phi
     # conservation put-back on |c|=1 fluid links of the NEW map
     fluid = jnp.logical_not(inside_new)
     masks = []
@@ -137,8 +156,13 @@ def phi_remove_replace_conserve(phi, inside_old, inside_new, pid_old,
 
 def make_binary_colloid_step(bcfg: BinaryConfig, params: ColloidParams,
                              rebuild_freq: int = 1, force_fn=None,
-                             phi_ref: float = 0.0):
-    """Jitted step for (ColloidState..., phi, u)."""
+                             phi_ref: float = 0.0, wallspec=None,
+                             conserve_phi: bool = True):
+    """Jitted step for (ColloidState..., phi, u[, gwall]).
+
+    wallspec: halo plane walls around the suspension (ref: wall.c +
+    phi_force_colloid.c pth_force_wall_kernel; serial-coll-rfd).  The
+    state gains a gwall wall-momentum accumulator."""
     cfg = bcfg.lb
     model = cfg.model
     cparams = cfg.collision_params()
@@ -156,9 +180,18 @@ def make_binary_colloid_step(bcfg: BinaryConfig, params: ColloidParams,
             phi_remove_replace_conserve_fast, remove_replace_fast,
             solid_body_u)
 
+    has_walls = wallspec is not None and wallspec.any
+
     @partial(jax.jit, static_argnums=2, donate_argnums=0)
     def _step(state, t, rebuild):
-        f, R, V, W, dr, Rmap, Msw, phi, u = state
+        # state carries the step's stale gradients (sg, sd) for the
+        # statistics fed, like the LC state does (the reference stats
+        # read field_grad computed at the top of the step)
+        if has_walls:
+            f, R, V, W, dr, Rmap, Msw, phi, u, _sg, _sd, gwall = state
+        else:
+            f, R, V, W, dr, Rmap, Msw, phi, u, _sg, _sd = state
+            gwall = None
         L = jnp.asarray(np.array(size, np.float64), R.dtype)
         fxm = params.fixedr_mask(R.dtype)
         R = jnp.mod(R + (dr if fxm is None else fxm * dr), L)
@@ -170,12 +203,14 @@ def make_binary_colloid_step(bcfg: BinaryConfig, params: ColloidParams,
             pid_old, inside_old = bmap(Rmap, params, size)
             Rmap = R
             pid, inside = bmap(R, params, size)
+            wkw = ({"walls": wallspec.walls} if has_walls and not fast
+                   else {})
             f, deltam, f0c, t0c = rr_fn(
                 f, R, V, W, inside_old, pid_old, inside, pid, model,
-                params, size, rho0=cfg.rho0)
+                params, size, rho0=cfg.rho0, **wkw)
             phi = prc_fn(
                 phi, inside_old, inside, pid_old, pid, model, params.n,
-                phi0=phi_ref)
+                phi0=phi_ref, conserve=conserve_phi, **wkw)
         else:
             pid, inside = bmap(Rmap, params, size)
             deltam = f0c = t0c = None
@@ -200,18 +235,32 @@ def make_binary_colloid_step(bcfg: BinaryConfig, params: ColloidParams,
         # solid-aware gradients with (uniform) colloid wetting
         grad, delsq = solid27_scalar_ops(
             size, fluid=fluid, rkappa=1.0 / bcfg.fe.kappa,
-            c=bcfg.wetting[0], h=bcfg.wetting[1])
+            c=bcfg.wetting[0], h=bcfg.wetting[1],
+            walls=(wallspec.walls if has_walls else (False,) * 3))
         fields = {"phi": phi, "grad_phi": grad(phi),
                   "delsq_phi": delsq(phi)}
+        sg, sd = fields["grad_phi"], fields["delsq_phi"]
         mu = bcfg.fe.mu(fields)
         pth = bcfg.fe.stress(fields)
 
-        force = stress_divergence_force_map(pth, fluid).astype(f.dtype)
+        force = stress_divergence_force_map(
+            pth, fluid, wallspec=wallspec).astype(f.dtype)
         fe_part = (colloid_fe_force_fast(pth, pid, inside, model,
                                          params.n) if fast else
-                   colloid_fe_force(pth, pid, inside, model, params.n))
+                   colloid_fe_force(
+                       pth, pid, inside, model, params.n,
+                       walls=(wallspec.walls if has_walls
+                              else (False,) * 3)))
+        if has_walls:
+            # what fluid + particles gain, the walls lose (ref:
+            # pth_force_wall_kernel -> wall->fnet)
+            fsum = jnp.sum(jnp.where(fluid[None], force, 0.0),
+                           axis=(1, 2, 3))
+            gwall = gwall - (fsum.astype(gwall.dtype)
+                             + jnp.sum(fe_part, axis=0))
 
-        phi = cahn_hilliard_update(phi, mu, u, ch, solid=inside)
+        phi = cahn_hilliard_update(phi, mu, u, ch, solid=inside,
+                                   wallspec=wallspec)
 
         # fluid gravity compensation (ref: interaction.c
         # colloids_update_forces_fluid_gravity)
@@ -228,14 +277,32 @@ def make_binary_colloid_step(bcfg: BinaryConfig, params: ColloidParams,
             ext = ext + force_fn(R, V).astype(ext.dtype)
         Vold = V
         bblf = bbl_step_fast if fast else bbl_step
-        f, V, W, Msw, _ = bblf(f, Rmap, V, W, model, params, size,
-                               ext_force=ext, rho0=cfg.rho0,
-                               deltam=deltam, f0_corr=f0c,
-                               t0_corr=t0c, M=Msw)
+        if fast:
+            f, V, W, Msw, gwbb = bblf(f, Rmap, V, W, model, params, size,
+                                      ext_force=ext, rho0=cfg.rho0,
+                                      deltam=deltam, f0_corr=f0c,
+                                      t0_corr=t0c, M=Msw)
+        else:
+            f, V, W, Msw, gwbb = bblf(
+                f, Rmap, V, W, model, params, size,
+                ext_force=ext, rho0=cfg.rho0,
+                deltam=deltam, f0_corr=f0c, t0_corr=t0c, M=Msw,
+                walls=(wallspec.walls if has_walls else (False,) * 3))
         dr = 0.5 * (Vold + V)
 
+        if has_walls:
+            from ludwig_tpu.ops.walls import wall_bounce_back
+            gwall = gwall + gwbb
+            f_post = f
+            f = stream(f, model)
+            f, _, gwb = wall_bounce_back(f, f_post, model, wallspec,
+                                         rho0=cfg.rho0, fluid=fluid)
+            gwall = gwall + gwb
+            return (f, R, V, W, dr, Rmap, Msw, phi, u_new, sg, sd,
+                    gwall), (rho, u_new)
         f = stream(f, model)
-        return (f, R, V, W, dr, Rmap, Msw, phi, u_new), (rho, u_new)
+        return (f, R, V, W, dr, Rmap, Msw, phi, u_new,
+                sg, sd), (rho, u_new)
 
     def step(state, t=0):
         return _step(state, t, int(t) % rebuild_freq == 0)
@@ -244,7 +311,7 @@ def make_binary_colloid_step(bcfg: BinaryConfig, params: ColloidParams,
 
 
 def initial_binary_colloid(bcfg: BinaryConfig, params: ColloidParams,
-                           phi0, R0, V0=None):
+                           phi0, R0, V0=None, W0=None, dr0=None):
     cfg = bcfg.lb
     from ludwig_tpu.lb import initial_rest
     nc = params.n
@@ -253,11 +320,17 @@ def initial_binary_colloid(bcfg: BinaryConfig, params: ColloidParams,
     R = jnp.asarray(np.array(R0), jd)
     V = (jnp.asarray(np.array(V0), jd) if V0 is not None
          else jnp.zeros((nc, 3), jd))
+    W = (jnp.asarray(np.array(W0), jd) if W0 is not None
+         else jnp.zeros((nc, 3), jd))
+    dr = (jnp.asarray(np.array(dr0), jd) if dr0 is not None
+          else jnp.zeros((nc, 3), jd))
     mm = (np.array(params.m, np.float64) if params.m
           else np.tile([1.0, 0.0, 0.0], (nc, 1)))
-    return (f, R, V, jnp.zeros((nc, 3), jd), jnp.zeros((nc, 3), jd),
+    phi_j = jnp.asarray(phi0, jd)
+    return (f, R, V, W, dr,
             jnp.array(R), jnp.asarray(mm, jd),
-            jnp.asarray(phi0, jd), jnp.zeros((3,) + size_of(cfg), jd))
+            phi_j, jnp.zeros((3,) + size_of(cfg), jd),
+            jnp.zeros((3,) + size_of(cfg), jd), jnp.zeros_like(phi_j))
 
 
 def size_of(cfg):

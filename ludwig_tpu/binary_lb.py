@@ -197,7 +197,7 @@ def initial_binary_lb(cfg: BinaryLBConfig, phi0: np.ndarray):
 def make_binary_lb_colloid_step(cfg: BinaryLBConfig, params,
                                 rebuild_freq: int = 1, force_fn=None,
                                 phi_ref: float = 0.0,
-                                wetting=(0.0, 0.0)):
+                                wetting=(0.0, 0.0), wallspec=None):
     """Full-LB binary fluid with resolved colloids.
 
     State: (f, R, V, W, dr, Rmap, Msw, g, u, dphi) with dphi the
@@ -213,7 +213,8 @@ def make_binary_lb_colloid_step(cfg: BinaryLBConfig, params,
     with the thermodynamic stress in the equilibrium + g collision
     (fluid sites only) -> BBL for f (implicit velocity solve) and for g
     with the deficit spread (ref: bbl.c:683-691) -> propagation."""
-    from ludwig_tpu.colloids import refresh_inside
+    from ludwig_tpu.colloids import bbl_step, refresh_inside, \
+        remove_replace
     from ludwig_tpu.colloids_fast import (bbl_step_fast, build_map_fast,
                                           g_bbl_fast,
                                           g_remove_replace_fast,
@@ -227,10 +228,16 @@ def make_binary_lb_colloid_step(cfg: BinaryLBConfig, params,
     cparams = lb.collision_params()
     size = lb.size
     grav = jnp.asarray(np.array(params.gravity, np.float64), lb.jdtype)
+    has_walls = wallspec is not None and wallspec.any
+    walls = wallspec.walls if has_walls else (False,) * 3
 
     @partial(jax.jit, static_argnums=2, donate_argnums=0)
     def _step(state, t, rebuild):
-        f, R, V, W, dr, Rmap, Msw, g, u, dphi = state
+        if has_walls:
+            f, R, V, W, dr, Rmap, Msw, g, u, dphi, _sg, _sd, gwall = state
+        else:
+            f, R, V, W, dr, Rmap, Msw, g, u, dphi, _sg, _sd = state
+            gwall = None
         L = jnp.asarray(np.array(size, np.float64), R.dtype)
         fxm = params.fixedr_mask(R.dtype)
         R = jnp.mod(R + (dr if fxm is None else fxm * dr), L)
@@ -238,12 +245,17 @@ def make_binary_lb_colloid_step(cfg: BinaryLBConfig, params,
             pid_old, inside_old = build_map_fast(Rmap, params, size)
             Rmap = R
             pid, inside = build_map_fast(R, params, size)
-            f, deltam, f0c, t0c = remove_replace_fast(
-                f, R, V, W, inside_old, pid_old, inside, pid, model,
-                params, size, rho0=lb.rho0)
+            if has_walls:
+                f, deltam, f0c, t0c = remove_replace(
+                    f, R, V, W, inside_old, pid_old, inside, pid, model,
+                    params, size, rho0=lb.rho0, walls=walls)
+            else:
+                f, deltam, f0c, t0c = remove_replace_fast(
+                    f, R, V, W, inside_old, pid_old, inside, pid, model,
+                    params, size, rho0=lb.rho0)
             g, dd = g_remove_replace_fast(
                 g, inside_old, inside, pid_old, pid, model, params.n,
-                phi0=phi_ref)
+                phi0=phi_ref, walls=walls)
             dphi = dphi + dd
         else:
             pid, inside = build_map_fast(Rmap, params, size)
@@ -259,9 +271,10 @@ def make_binary_lb_colloid_step(cfg: BinaryLBConfig, params,
         phi, _ = g_moments(g, model)
         grad, delsq = solid27_scalar_ops(
             size, fluid=fluid, rkappa=1.0 / cfg.fe.kappa,
-            c=wetting[0], h=wetting[1])
+            c=wetting[0], h=wetting[1], walls=walls)
         fields = {"phi": phi, "grad_phi": grad(phi),
                   "delsq_phi": delsq(phi)}
+        sg, sd = fields["grad_phi"], fields["delsq_phi"]
         mu = cfg.fe.mu(fields)
         sth = cfg.fe.stress(fields)
 
@@ -282,20 +295,39 @@ def make_binary_lb_colloid_step(cfg: BinaryLBConfig, params,
         if force_fn is not None:
             ext = ext + force_fn(R, V).astype(ext.dtype)
         Vold = V
-        f, V, W, Msw, _ = bbl_step_fast(f, Rmap, V, W, model, params,
-                                        size, ext_force=ext,
-                                        rho0=lb.rho0, deltam=deltam,
-                                        f0_corr=f0c, t0_corr=t0c, M=Msw)
+        if has_walls:
+            f, V, W, Msw, gwbb = bbl_step(
+                f, Rmap, V, W, model, params, size, ext_force=ext,
+                rho0=lb.rho0, deltam=deltam, f0_corr=f0c, t0_corr=t0c,
+                M=Msw, walls=walls)
+            gwall = gwall + gwbb
+        else:
+            f, V, W, Msw, _ = bbl_step_fast(
+                f, Rmap, V, W, model, params, size, ext_force=ext,
+                rho0=lb.rho0, deltam=deltam,
+                f0_corr=f0c, t0_corr=t0c, M=Msw)
         # g bounce-back with the post-collision phi and the NEW
         # velocities (ref: bbl.c pass2, lb_0th_moment at site i)
         phi_post, _ = g_moments(g, model)
         g, dphi = g_bbl_fast(g, phi_post, Rmap, V, W, model, params,
-                             size, dphi)
+                             size, dphi, walls=walls)
         dr = 0.5 * (Vold + V)
 
+        if has_walls:
+            from ludwig_tpu.ops.walls import wall_bounce_back
+            f_post, g_post = f, g
+            f = stream(f, model)
+            g = stream(g, model)
+            f, g, gwb = wall_bounce_back(f, f_post, model, wallspec,
+                                         rho0=lb.rho0, g_post=g_post,
+                                         g_new=g, fluid=fluid)
+            gwall = gwall + gwb
+            return (f, R, V, W, dr, Rmap, Msw, g, u_new, dphi,
+                    sg, sd, gwall), (rho, u_new)
         f = stream(f, model)
         g = stream(g, model)
-        return (f, R, V, W, dr, Rmap, Msw, g, u_new, dphi), (rho, u_new)
+        return (f, R, V, W, dr, Rmap, Msw, g, u_new, dphi,
+                sg, sd), (rho, u_new)
 
     def step(state, t=0):
         return _step(state, t, int(t) % rebuild_freq == 0)
@@ -325,4 +357,6 @@ def initial_binary_lb_colloid(cfg: BinaryLBConfig, params, phi0, R0,
     return (f, R, V, W, dr,
             jnp.array(R), jnp.asarray(mm, jd), g,
             jnp.zeros((3,) + tuple(lb.size), jd),
-            jnp.zeros((nc,), jd))
+            jnp.zeros((nc,), jd),
+            jnp.zeros((3,) + tuple(lb.size), jd),
+            jnp.zeros(tuple(lb.size), jd))

@@ -176,7 +176,7 @@ def build_map(R: jnp.ndarray, params: ColloidParams, size,
 
 def remove_replace(f, R, V, W, inside_old, pid_old, inside_new, pid_new,
                    model: LatticeModel, params: ColloidParams, size,
-                   rho0: float = 1.0):
+                   rho0: float = 1.0, walls=(False, False, False)):
     """Fluid removal/replacement bookkeeping when particles move
     (ref: build.c build_remove_fluid :735-770, build_replace_fluid
     :775-860):
@@ -205,9 +205,48 @@ def remove_replace(f, R, V, W, inside_old, pid_old, inside_new, pid_new,
         shift = tuple(-int(v) for v in model.cv[p])  # value at site + c_p
         w = float(model.wv[p])
         m = roll3(fluid_old, shift).astype(f.dtype)
+        if any(walls):
+            # neighbours across a wall plane are MAP_BOUNDARY in the
+            # reference and excluded from the replacement average
+            # (ref: build_replace_order_parameter status check)
+            keep = np.ones(size, bool)
+            for ax in range(3):
+                cax = int(model.cv[p][ax])
+                if walls[ax] and cax != 0:
+                    sel = [slice(None)] * 3
+                    sel[ax] = size[ax] - 1 if cax > 0 else 0
+                    keep[tuple(sel)] = False
+            m = m * jnp.asarray(keep, f.dtype)
         wsum = wsum + w * m
         newf = newf + w * m[None] * roll3(f, shift, first_axis=1)
     newf = newf / jnp.maximum(wsum, 1e-30)[None]
+    if any(walls):
+        # no-donor fallback: equilibrium at (rho0, solid-body u of the
+        # OLD owner) - happens when a particle near a wall uncovers a
+        # site whose neighbours are all solid/boundary (ref:
+        # build.c build_replace_fluid nweight == 0 ->
+        # build_replace_fluid_local)
+        ub = jnp.zeros((3,) + tuple(size), f.dtype)
+        for n in range(N):
+            d = _min_image(coords - R[n][:, None, None, None],
+                           L[:, None, None, None])
+            wxr = jnp.stack([W[n][1] * d[2] - W[n][2] * d[1],
+                             W[n][2] * d[0] - W[n][0] * d[2],
+                             W[n][0] * d[1] - W[n][1] * d[0]])
+            ub = jnp.where((pid_old == n)[None],
+                           V[n][:, None, None, None] + wxr, ub)
+        rcs2 = 3.0
+        udotu = ub[0] * ub[0] + ub[1] * ub[1] + ub[2] * ub[2]
+        feq = []
+        for p in range(model.nvel):
+            c = model.cv[p]
+            w = float(model.wv[p])
+            udotc = sum(float(c[a]) * ub[a] for a in range(3))
+            sdotq = udotc * udotc - (1.0 / rcs2) * udotu
+            feq.append(w * (rho0 + rcs2 * udotc
+                            + 0.5 * rcs2 * rcs2 * sdotq))
+        feq = jnp.stack(feq)
+        newf = jnp.where((wsum <= 0.0)[None], feq, newf)
 
     rho_f = sum(f[q] for q in range(model.nvel))
     from ludwig_tpu.ops.collide import unrolled_matvec

@@ -344,7 +344,7 @@ def remove_replace_fast(f, R, V, W, inside_old, pid_old, inside_new,
 
 def phi_remove_replace_conserve_fast(phi, inside_old, inside_new,
                                      pid_old, pid_new, model, n_part,
-                                     phi0=0.0):
+                                     phi0=0.0, conserve=True):
     """Segment-sum version of
     binary_colloid.phi_remove_replace_conserve."""
     newly_solid = jnp.logical_and(jnp.logical_not(inside_old), inside_new)
@@ -373,6 +373,9 @@ def phi_remove_replace_conserve_fast(phi, inside_old, inside_new,
     dphi = dphi - seg(newly_fluid.astype(phi.dtype) * (phi - phi0),
                       ids_nf)
 
+    if not conserve:
+        # pre-v0.12 reference: no build_conservation_phi
+        return phi
     # put-back over |c|=1 fluid links of the new map
     fluid = jnp.logical_not(inside_new)
     masks = []
@@ -395,8 +398,22 @@ def phi_remove_replace_conserve_fast(phi, inside_old, inside_new,
     return phi
 
 
+def _nowall_keep(size, c, walls, dtype=bool):
+    """Static mask: False at sites whose neighbour along c crosses a
+    wall plane (the roll wraps, but no such link exists in the
+    reference's map)."""
+    keep = np.ones(size, bool)
+    for ax in range(3):
+        cax = int(c[ax])
+        if walls[ax] and cax != 0:
+            sel = [slice(None)] * 3
+            sel[ax] = size[ax] - 1 if cax > 0 else 0
+            keep[tuple(sel)] = False
+    return keep
+
+
 def g_bbl_fast(g, phi, R, Vn, Wn, model, params, size, deltaphi,
-               sumw=None):
+               sumw=None, walls=(False, False, False)):
     """Order-parameter (ndist == 2) bounce-back on links.
 
     Per fluid link: dg = phi(i) vdotc; the particle's deficit
@@ -425,6 +442,10 @@ def g_bbl_fast(g, phi, R, Vn, Wn, model, params, size, deltaphi,
         for q in range(1, nvel):
             sh = tuple(-int(v) for v in model.cv[q])
             m = jnp.logical_and(fluid, roll3(inside, sh))
+            if any(walls):
+                m = jnp.logical_and(
+                    m, jnp.asarray(_nowall_keep(size, model.cv[q],
+                                                walls)))
             ids = jnp.where(m, roll3(pid, sh), N).reshape(-1)
             sumw = sumw + float(model.wv[q]) * seg(
                 m.astype(g.dtype), ids)
@@ -439,6 +460,9 @@ def g_bbl_fast(g, phi, R, Vn, Wn, model, params, size, deltaphi,
         c = model.cv[q]
         sh = tuple(-int(v) for v in c)
         m = jnp.logical_and(fluid, roll3(inside, sh))
+        if any(walls):
+            m = jnp.logical_and(
+                m, jnp.asarray(_nowall_keep(size, c, walls)))
         pid_n = roll3(pid, sh)
         ids = jnp.where(m, pid_n, N).reshape(-1)
         ownp = jnp.where(m, pid_n, N)
@@ -469,7 +493,8 @@ def g_bbl_fast(g, phi, R, Vn, Wn, model, params, size, deltaphi,
 
 
 def g_remove_replace_fast(g, inside_old, inside_new, pid_old, pid_new,
-                          model, n_part, phi0=0.0):
+                          model, n_part, phi0=0.0,
+                          walls=(False, False, False)):
     """ndist == 2 shape-change bookkeeping: the g distribution at a
     newly fluid site is replaced by the wv-weighted neighbour average
     (sites fluid before the update), and the particle deficit accounts
@@ -491,10 +516,21 @@ def g_remove_replace_fast(g, inside_old, inside_new, pid_old, pid_new,
 
     wsum = 0.0
     newg = jnp.zeros_like(g)
+    size = inside_old.shape
     for p in range(1, model.nvel):
         sh = tuple(-int(v) for v in model.cv[p])
         w = float(model.wv[p])
         m = roll3(was_fluid, sh)
+        if any(walls):
+            # wall-crossing neighbours are MAP_BOUNDARY: excluded
+            keep = np.ones(size, bool)
+            for ax in range(3):
+                cax = int(model.cv[p][ax])
+                if walls[ax] and cax != 0:
+                    sel = [slice(None)] * 3
+                    sel[ax] = size[ax] - 1 if cax > 0 else 0
+                    keep[tuple(sel)] = False
+            m = m * jnp.asarray(keep, g.dtype)
         wsum = wsum + w * m
         newg = newg + w * m[None] * roll3(g, sh, first_axis=1)
     newg = newg / jnp.maximum(wsum, 1e-30)[None]

@@ -1232,18 +1232,28 @@ def build_system(rt: RunTime) -> System:
                 gradient=rt.string("fd_gradient_calculation",
                                    "3d_27pt_solid"))
             phi0 = _phi_init(rt, size, fe2)
+            ws_l2 = None
+            if any(walls):
+                from ludwig_tpu.ops.walls import WallSpec
+                ws_l2 = WallSpec(walls=walls)
+                lb_cfg = dataclasses.replace(lb_cfg, walls=(False,) * 3)
+                l2cfg = dataclasses.replace(l2cfg, lb=lb_cfg)
             state = initial_binary_lb_colloid(l2cfg, cparams, phi0, rr,
                                               vv, W0=_drw[1],
                                               dr0=_drw[0])
+            if ws_l2 is not None:
+                state = state + (jnp.zeros((3,), lb_cfg.jdtype),)
             step = make_binary_lb_colloid_step(
                 l2cfg, cparams,
                 rebuild_freq=rt.int("colloid_rebuild_freq", 1),
                 force_fn=force_fn, phi_ref=rt.double("phi0", 0.0),
                 wetting=(rt.double("colloid_one_c", 0.0),
-                         rt.double("colloid_one_h", 0.0)))
+                         rt.double("colloid_one_h", 0.0)),
+                wallspec=ws_l2)
             return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
                           solid=None, state=state, step_fn=step,
-                          lb2_cfg=l2cfg, colloid_params=cparams)
+                          lb2_cfg=l2cfg, colloid_params=cparams,
+                          wallspec=ws_l2)
         if fe_name == "symmetric":
             # binary fluid with resolved colloids (ref: phi_force_colloid)
             from ludwig_tpu.binary_colloid import (initial_binary_colloid,
@@ -1258,14 +1268,27 @@ def build_system(rt: RunTime) -> System:
                 wetting=(rt.double("colloid_one_c", 0.0),
                          rt.double("colloid_one_h", 0.0)))
             phi0 = _phi_init(rt, size, fe_s)
-            state = initial_binary_colloid(bcfg, cparams, phi0, rr, vv)
+            ws_bc = None
+            if any(walls):
+                from ludwig_tpu.ops.walls import WallSpec
+                ws_bc = WallSpec(walls=walls)
+                lb_cfg = dataclasses.replace(lb_cfg, walls=(False,) * 3)
+                bcfg = dataclasses.replace(bcfg, lb=lb_cfg)
+            state = initial_binary_colloid(bcfg, cparams, phi0, rr, vv,
+                                           W0=_drw[1], dr0=_drw[0])
+            if ws_bc is not None:
+                state = state + (jnp.zeros((3,), lb_cfg.jdtype),)
             step = make_binary_colloid_step(
                 bcfg, cparams,
                 rebuild_freq=rt.int("colloid_rebuild_freq", 1),
-                force_fn=force_fn, phi_ref=rt.double("phi0", 0.0))
+                force_fn=force_fn, phi_ref=rt.double("phi0", 0.0),
+                wallspec=ws_bc,
+                # build_conservation_phi arrived ~v0.12; older logs
+                # (serial-coll-rfd, v0.8) have no put-back
+                conserve_phi=rt.int("_log_vintage", 9999) >= 12)
             return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg,
                           solid=None, state=state, step_fn=step,
-                          colloid_params=cparams)
+                          colloid_params=cparams, wallspec=ws_bc)
         # from_file configurations carry angular velocity and the
         # deferred move dr (ref: colloid state read; the first update
         # moves each particle by the stored dr)
@@ -1421,7 +1444,9 @@ def _make_stats_fn(sys_: System):
 
     cpar = sys_.colloid_params
 
-    @jax.jit
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnums=3)
     def compute(state, u, prev, coswt=1.0):
         # coswt: phase of the external electric field as the HOST stats
         # see it.  The reference's fe params live in a calloc'd struct
@@ -1458,6 +1483,11 @@ def _make_stats_fn(sys_: System):
             if (sys_.wallspec is not None
                     and getattr(state, "gwall", None) is not None):
                 res["gwall"] = state.gwall
+            elif sys_.wallspec is not None and bcfg is not None:
+                # binary colloid tuple state: gwall rides at the end
+                res["gwall"] = state[11]
+            elif sys_.wallspec is not None and sys_.lb2_cfg is not None:
+                res["gwall"] = state[12]
             # The reference prints "Particle statistics" from
             # interact_compute at the TOP of the step (ludwig.c:543),
             # i.e. with the PREVIOUS step's velocities (prev[0]).
@@ -1466,17 +1496,25 @@ def _make_stats_fn(sys_: System):
             if bcfg is not None:
                 # binary + colloids: phi stats and the ncolloid > 0
                 # free-energy block (ref: stats_free_energy.c:112-124,
-                # fluid-masked, stale start-of-step gradients)
-                from ludwig_tpu.ops.solid_stencil import solid27_scalar_ops
+                # fluid-masked, stale top-of-step gradients - the step
+                # stashes the gradients it computed as state[9]/[10])
                 phi = state[7]
                 res["phi"] = stats.field_stats_ref(phi, fl, klein="kahan")
-                grad, delsq = solid27_scalar_ops(
-                    sys_.lb_cfg.size, fluid=fl,
-                    rkappa=1.0 / bcfg.fe.kappa, c=bcfg.wetting[0],
-                    h=bcfg.wetting[1])
-                pphi = prev[1] if prev and len(prev) > 1 else phi
-                fields = {"phi": phi, "grad_phi": grad(pphi),
-                          "delsq_phi": delsq(pphi)}
+                if coswt == 0.0:
+                    # initial statistics: gradients freshly computed at
+                    # setup (the state stash is still zeros)
+                    from ludwig_tpu.ops.solid_stencil import \
+                        solid27_scalar_ops
+                    grad, delsq = solid27_scalar_ops(
+                        sys_.lb_cfg.size, fluid=fl,
+                        rkappa=1.0 / bcfg.fe.kappa, c=bcfg.wetting[0],
+                        h=bcfg.wetting[1],
+                        walls=(sys_.wallspec.walls if sys_.wallspec
+                               else (False,) * 3))
+                    sg, sd = grad(phi), delsq(phi)
+                else:
+                    sg, sd = state[9], state[10]
+                fields = {"phi": phi, "grad_phi": sg, "delsq_phi": sd}
                 fed = bcfg.fe.fed(fields)
                 res["fe_colloid"] = (jnp.sum(jnp.where(fl, fed, 0.0)),
                                      jnp.sum(fl.astype(fed.dtype)))
@@ -1498,12 +1536,18 @@ def _make_stats_fn(sys_: System):
                 mean2 = tot2 / nfl
                 var2 = (var + mean * mean) - mean2 * mean2
                 res["phi"] = (tot2, mean2, var2, mn, mx)
-                grad, delsq = solid27_scalar_ops(
-                    sys_.lb_cfg.size, fluid=fl,
-                    rkappa=1.0 / l2.fe.kappa, c=0.0, h=0.0)
-                pphi = prev[1] if prev and len(prev) > 1 else phi
-                fields = {"phi": phi, "grad_phi": grad(pphi),
-                          "delsq_phi": delsq(pphi)}
+                if coswt == 0.0:
+                    # initial stats: the state stash is still zeros
+                    grad, delsq = solid27_scalar_ops(
+                        sys_.lb_cfg.size, fluid=fl,
+                        rkappa=1.0 / l2.fe.kappa, c=0.0, h=0.0,
+                        walls=(sys_.wallspec.walls if sys_.wallspec
+                               else (False,) * 3))
+                    sg, sd = grad(phi), delsq(phi)
+                else:
+                    # the step's own top-of-step gradients
+                    sg, sd = state[10], state[11]
+                fields = {"phi": phi, "grad_phi": sg, "delsq_phi": sd}
                 fed = l2.fe.fed(fields)
                 res["fe_colloid"] = (jnp.sum(jnp.where(fl, fed, 0.0)),
                                      jnp.sum(fl.astype(fed.dtype)))
@@ -1563,8 +1607,14 @@ def _make_stats_fn(sys_: System):
                 if cpar.n == 1:
                     res["psi_zeta"] = zeta_potential(psi, fl, inside)
             return res
-        res = {"rho": stats.rho_stats_ref(f, model, mask),
-               "g": stats.momentum_total_ref(f, model, mask),
+        _old_stats = sys_.rt.int("_log_vintage", 9999) < 12
+        _g_fn = (stats.momentum_total_plain if _old_stats
+                 else stats.momentum_total_ref)   # pre-kahan era
+        _blocks = (tuple(sys_.rt.int_vector("_mpi_grid", (1, 1, 1)))
+                   if _old_stats else None)
+        res = {"rho": stats.rho_stats_ref(f, model, mask,
+                                          blocks=_blocks),
+               "g": _g_fn(f, model, mask),
                "umm": stats.velocity_minmax(u, mask)}
         if sys_.wallspec is not None:
             if sys_.is_binary:
@@ -1830,22 +1880,32 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
             # ncolloid > 0, no area: 4-value row (ref:
             # stats_free_energy.c:119-124).  v0.7-era logs print no
             # block at t = 0 (serial-spin-c03 vs v0.12 serial-spin-c01)
-            if in_loop or sys_.rt.int("_log_vintage", 9999) >= 12:
+            if in_loop or sys_.rt.int("_t0_fe", 1) == 1:
                 fsum, vol = (float(v) for v in res["fe_colloid"])
-                out.write("\nFree energies - timestep f v f/v "
-                          "f_s a f_s/a\n")
-                out.write(f"[fe] {int(tstep):14d} {fsum:17.10e} "
-                          f"{vol:17.10e} "
-                          f"{fsum / vol:17.10e} {0.0:17.10e}\n")
+                if sys_.wallspec is not None:
+                    # walls take precedence in the header (ref:
+                    # stats_free_energy.c wall branch; serial-coll-rfd)
+                    out.write("\nFree energies - timestep f v f/v "
+                              "f_s1 fs_s2 \n")
+                    out.write(f"[fe] {int(tstep):14d} {fsum:17.10e} "
+                              f"{vol:17.10e} {fsum / vol:17.10e} "
+                              f"{0.0:17.10e} {0.0:17.10e}\n")
+                else:
+                    out.write("\nFree energies - timestep f v f/v "
+                              "f_s a f_s/a\n")
+                    out.write(f"[fe] {int(tstep):14d} {fsum:17.10e} "
+                              f"{vol:17.10e} "
+                              f"{fsum / vol:17.10e} {0.0:17.10e}\n")
         elif "fe_sum_v" in res:
             # walls present (ref: stats_free_energy.c:103-105)
             fsum, vol = (float(v) for v in res["fe_sum_v"])
             out.write("\nFree energies - timestep f v f/v f_s1 fs_s2 \n")
             out.write(f"[fe] {int(tstep):14d} {fsum:17.10e} {vol:17.10e} "
                       f"{fsum / vol:17.10e} {0.0:17.10e} {0.0:17.10e}\n")
-        elif in_loop or sys_.rt.int("_log_vintage", 9999) >= 14:
-            # v0.11-era logs print no [fed] in the initial-conditions
-            # block (ref: iodrop-mpi1-io1.log vs serial-spin-fd1.log)
+        elif in_loop or sys_.rt.int("_t0_fe", 1) == 1:
+            # some logs print no [fed] in the initial-conditions block
+            # (sniffed from the committed log; iodrop-mpi1-io1 vs
+            # serial-spin-fd1)
             out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_two_field:
         is_ternary = type(sys_.two_field_cfg.fe).__name__ == "TernaryFE"
@@ -1892,22 +1952,31 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
             out.write(f"[fe] {int(tstep):14d} {ftot:17.10e} {vol:17.10e} "
                       f"{ftot / vol:17.10e} {fs:17.10e}\n")
     elif sys_.is_lc:
-        for n, name in enumerate(("Qxx", "Qxy", "Qxz", "Qyy", "Qyz")):
+        # some old logs label every tensor component [phi] (sniffed
+        # from the committed log, the version string does not
+        # discriminate; ref: pmpi08-chol-s01 vs serial-chol-st3)
+        _qnames = (("phi",) * 5
+                   if sys_.rt.string("_q_labels", "q") == "phi"
+                   else ("Qxx", "Qxy", "Qxz", "Qyy", "Qyz"))
+        for n, name in enumerate(_qnames):
             out.write(stats.format_phi_line(name, *res["q5"][n]))
-        ftot, vol, x3, x4 = (float(v) for v in res["fe_lc"])
-        rs = sys_.lc_cfg.fe.redshift
-        if sys_.lc_cfg.has_walls:
-            out.write("\nFree energies - timestep f v f/v f_s1 fs_s2 "
-                      "redshift\n")
-            out.write(f"[fe] {int(tstep):14d} {ftot:17.10e} {vol:17.10e} "
-                      f"{ftot / vol:17.10e} {x3:17.10e} {x4:17.10e} "
-                      f"{rs:17.10e}\n")
-        else:
-            out.write("\nFree energies - timestep f v f/v f_bulk/v "
-                      "f_grad/v redshift\n")
-            out.write(f"[fe] {int(tstep):14d} {ftot:17.10e} {vol:17.10e} "
-                      f"{ftot / vol:17.10e} {x3 / vol:17.10e} "
-                      f"{x4 / vol:17.10e} {rs:17.10e}\n")
+        if in_loop or sys_.rt.int("_t0_fe", 1) == 1:
+            ftot, vol, x3, x4 = (float(v) for v in res["fe_lc"])
+            rs = sys_.lc_cfg.fe.redshift
+            if sys_.lc_cfg.has_walls:
+                out.write("\nFree energies - timestep f v f/v f_s1 "
+                          "fs_s2 redshift\n")
+                out.write(f"[fe] {int(tstep):14d} {ftot:17.10e} "
+                          f"{vol:17.10e} "
+                          f"{ftot / vol:17.10e} {x3:17.10e} {x4:17.10e} "
+                          f"{rs:17.10e}\n")
+            else:
+                out.write("\nFree energies - timestep f v f/v f_bulk/v "
+                          "f_grad/v redshift\n")
+                out.write(f"[fe] {int(tstep):14d} {ftot:17.10e} "
+                          f"{vol:17.10e} "
+                          f"{ftot / vol:17.10e} {x3 / vol:17.10e} "
+                          f"{x4 / vol:17.10e} {rs:17.10e}\n")
     g = res["g"]
     if "gwall" in res and "gc" not in res:
         gw = res["gwall"]

@@ -142,7 +142,8 @@ def rho_stats(f: jnp.ndarray, model: LatticeModel,
 
 
 def rho_stats_ref(f: jnp.ndarray, model: LatticeModel,
-                  fluid_mask: Optional[jnp.ndarray] = None):
+                  fluid_mask: Optional[jnp.ndarray] = None,
+                  blocks=None):
     """Reference-exact density stats: sequential (site-order) naive sums
     and var = E[rho^2] - E[rho]^2 (ref: stats_distribution.c:62-115).
 
@@ -151,9 +152,26 @@ def rho_stats_ref(f: jnp.ndarray, model: LatticeModel,
     pairwise/compensated sum differs by more than the regression diff
     tolerance.  A lax.scan reproduces the reference's running sums
     bit-for-bit (adding a masked 0.0 is exact, so masking == skipping).
-    """
+
+    blocks: optional MPI decomposition (gx, gy, gz) of the committed
+    log's run - each rank sums its own subdomain in local site order,
+    and the partials combine in cart-rank (row-major) order, exactly
+    like the MPI_Reduce of the parallel reference run (the variance
+    roundoff is decomposition-dependent; ref: pmpi08-chol-s01)."""
     rho = jnp.sum(f, axis=0)
-    flat = rho.reshape(-1)
+    if blocks is not None and tuple(blocks) != (1, 1, 1):
+        gx, gy, gz = blocks
+        X, Y, Z = rho.shape
+        bx, by, bz = X // gx, Y // gy, Z // gz
+        # (gx,bx,gy,by,gz,bz) -> rank-major, local-site-minor order
+        r5 = rho.reshape(gx, bx, gy, by, gz, bz)
+        rho_flat = jnp.transpose(r5, (0, 2, 4, 1, 3, 5)).reshape(-1)
+        if fluid_mask is not None:
+            m5 = fluid_mask.reshape(gx, bx, gy, by, gz, bz)
+            fluid_mask = jnp.transpose(m5, (0, 2, 4, 1, 3, 5)).reshape(-1)
+        flat = rho_flat
+    else:
+        flat = rho.reshape(-1)
     if fluid_mask is None:
         w = jnp.ones_like(flat)
         n = jnp.asarray(float(flat.size), flat.dtype)
@@ -170,9 +188,26 @@ def rho_stats_ref(f: jnp.ndarray, model: LatticeModel,
         xm = wi * x
         return (s + xm, s2 + xm * x), ()
 
-    (total, sumsq), _ = jax.lax.scan(body, (jnp.zeros((), flat.dtype),
-                                            jnp.zeros((), flat.dtype)),
-                                     (flat, w))
+    z = jnp.zeros((), flat.dtype)
+    if blocks is not None and tuple(blocks) != (1, 1, 1):
+        # independent per-rank partials, then a sequential rank-order
+        # combine (MPI_SUM of the local accumulators)
+        nb = int(np.prod(blocks))
+        fb = flat.reshape(nb, -1)
+        wb = w.reshape(nb, -1)
+
+        def rank_sums(xr, wr):
+            (s, s2), _ = jax.lax.scan(body, (z, z), (xr, wr))
+            return s, s2
+
+        ss, ss2 = jax.vmap(rank_sums)(fb, wb)
+
+        def comb(c, v):
+            return (c[0] + v[0], c[1] + v[1]), ()
+
+        (total, sumsq), _ = jax.lax.scan(comb, (z, z), (ss, ss2))
+    else:
+        (total, sumsq), _ = jax.lax.scan(body, (z, z), (flat, w))
     mean = total / n
     var = (sumsq / n) - mean * mean
     return total, mean, var, rmin, rmax
@@ -233,6 +268,39 @@ def momentum_total_ref(f: jnp.ndarray, model: LatticeModel,
 
     z = jnp.zeros((3,), f.dtype)
     (tot, _), _ = jax.lax.scan(body, (z, z), xs)
+    return tot
+
+
+def momentum_total_plain(f: jnp.ndarray, model: LatticeModel,
+                         fluid_mask: Optional[jnp.ndarray] = None):
+    """(3,) total momentum via a PLAIN (uncompensated) site-major,
+    p-minor sequential sum - the pre-v0.12 reference accumulation
+    (stats_distribution.c before the kahan_t rewrite).  Used for golden
+    parity against old logs whose near-zero totals carry the plain-sum
+    roundoff (e.g. pmpi08-spin-fd1's 3.6379788e-12 at t = 0)."""
+    import numpy as np
+    nvel = model.nvel
+    cv = np.asarray(model.cv, np.float64)
+    # per-site momentum first (sequential p-fold), THEN a plain
+    # site-order sum of the per-site values
+    g = [None, None, None]
+    for a in range(3):
+        acc = None
+        for p in range(nvel):
+            cpa = float(cv[p][a])
+            if cpa == 0.0:
+                continue
+            t = cpa * f[p]
+            acc = t if acc is None else acc + t
+        g[a] = acc if acc is not None else jnp.zeros_like(f[0])
+    persite = jnp.stack(g, axis=-1).reshape(-1, 3)
+    if fluid_mask is not None:
+        persite = jnp.where(fluid_mask.reshape(-1)[:, None], persite, 0.0)
+
+    def body(s, v):
+        return s + v, ()
+
+    tot, _ = jax.lax.scan(body, jnp.zeros((3,), f.dtype), persite)
     return tot
 
 

@@ -83,13 +83,34 @@ def run_case(name: str, workdir: Optional[str] = None,
     # report formats; pass the log's vintage through so run_text can
     # reproduce the right one (e.g. v0.11 prints no [fed] at t = 0)
     try:
+        import re as _re
         with open(log) as fh:
             head = fh.readline()
-        import re as _re
+            body = fh.read(4000)
         m = _re.search(r"Ludwig v(\d+)\.(\d+)", head)
         if m:
             text = (f"_log_vintage {int(m.group(1)) * 100 + int(m.group(2))}\n"
                     + text)
+        md = _re.search(r"Decomposition:\s+(\d+) (\d+) (\d+)", body)
+        if md:
+            text = (f"_mpi_grid {md.group(1)}_{md.group(2)}_{md.group(3)}\n"
+                    + text)
+        # tensor-stat labels vary WITHIN reference versions (v0.7.32
+        # chol-st3 prints [Qxx], v0.7.33 pmpi08-chol-s01 prints [phi]);
+        # sniff the actual label from the committed log
+        with open(log) as fh:
+            whole = fh.read()
+        if "[Qxx]" in whole:
+            text = "_q_labels q\n" + text
+        elif "\n[phi]" in whole and "lc_" in text:
+            text = "_q_labels phi\n" + text
+        # whether the initial-conditions block carries a free-energy
+        # line also varies within versions; sniff it
+        mi = _re.search(r"Initial conditions\.(.*?)Starting", whole,
+                        _re.S)
+        if mi:
+            t0fe = int("[fe]" in mi.group(1) or "[fed]" in mi.group(1))
+            text = f"_t0_fe {t0fe}\n" + text
     except OSError:
         pass
     cwd = os.getcwd()
