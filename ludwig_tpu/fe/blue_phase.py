@@ -311,3 +311,47 @@ class BluePhaseFE:
                 row.append(val + jnp.zeros_like(q[0][0]))
             rows.append(jnp.stack(row))
         return jnp.stack(rows)
+
+def redshift_compute(fe, fields, redshift_old):
+    """New redshift from the current Q configuration (ref:
+    blue_phase.c:1443 fe_lc_redshift_compute, enabled by
+    lc_redshift_update): minimise the gradient free energy over the
+    redshift r, with kappa(r) = kappa r^2 and q0(r) = q0/r:
+
+      r_new = -egrad_linear / (2 egrad_square)
+
+    egrad_linear = sum_sites 2 q0 kappa1 sum_ab Q_ab e_agd d_g Q_db
+    egrad_square = sum_sites (kappa1 |dQ|^2 - kappa1 dQ:dQ^T
+                              + kappa0 (div Q)^2) / 2
+
+    using the UNREDSHIFTED input parameters.  Falls back to the old
+    value when |r_new| < 1e-11 or the square term vanishes."""
+    import jax.numpy as jnp
+    q = q5_to_q33(fields["q"])
+    dq = dq_tensor(fields["grad_q"])  # dq[c][a][b] = d_c Q_ab
+
+    dq0 = 0.0
+    for a in range(3):
+        s = sum(dq[b][a][b] for b in range(3))
+        dq0 = dq0 + s * s
+    dq1 = 0.0
+    dq2 = 0.0
+    dq3 = 0.0
+    for a in range(3):
+        for b in range(3):
+            for g in range(3):
+                dq1 = dq1 + dq[g][a][b] * dq[g][a][b]
+                dq2 = dq2 + dq[a][b][g] * dq[b][a][g]
+            s = 0.0
+            for g in range(3):
+                for d in range(3):
+                    e = eps(a, g, d)
+                    if e:
+                        s = s + e * dq[g][d][b]
+            dq3 = dq3 + q[a][b] * s
+    e0 = jnp.sum(2.0 * fe.q0 * fe.kappa1 * dq3)
+    e1 = jnp.sum(0.5 * (fe.kappa1 * dq1 - fe.kappa1 * dq2
+                        + fe.kappa0 * dq0))
+    rnew = jnp.where(e1 != 0.0, -0.5 * e0 / jnp.where(e1 != 0.0, e1, 1.0),
+                     redshift_old)
+    return jnp.where(jnp.abs(rnew) < 1e-11, redshift_old, rnew)

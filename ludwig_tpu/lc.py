@@ -46,6 +46,9 @@ class LCConfig:
     hydrodynamics: bool = True
     wallspec: Optional[WallSpec] = None
     anchoring: Optional[AnchoringParams] = None
+    # dynamic redshift recompute each step (ref: blue_phase.c:1443
+    # fe_lc_redshift_compute, input key lc_redshift_update)
+    redshift_update: bool = False
     # carry the start-of-step gradients in the state: the reference
     # computes statistics with the gradients of the PREVIOUS q (the
     # field_grad is refreshed at the top of the loop, before the BE
@@ -96,8 +99,13 @@ def make_lc_step(cfg: LCConfig, solid=None):
 
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
+        import dataclasses as _dc
         if cfg.keep_grads:
             state = state[:-2]
+        rs = None
+        if cfg.redshift_update:
+            rs = state[-1]
+            state = state[:-1]
         if cfg.has_walls:
             f, q5, u, gwall = state
         else:
@@ -105,10 +113,15 @@ def make_lc_step(cfg: LCConfig, solid=None):
             gwall = None
         fields = lc_fields(q5, cfg.gradient, anchoring=cfg.anchoring,
                            walls=walls3)
-        h = cfg.fe.molecular_field(fields)
+        lcfg = cfg
+        if cfg.redshift_update:
+            from ludwig_tpu.fe.blue_phase import redshift_compute
+            rs = redshift_compute(cfg.fe, fields, rs)
+            lcfg = _dc.replace(cfg, fe=_dc.replace(cfg.fe, redshift=rs))
+        h = lcfg.fe.molecular_field(fields)
 
         if cfg.hydrodynamics:
-            force, fwall = _lc_force(cfg, fields, h, f.dtype)
+            force, fwall = _lc_force(lcfg, fields, h, f.dtype)
             q5 = beris_edwards_update(q5, h, u, be, fluid_mask=fluid,
                                       wallspec=cfg.wallspec)
             f, rho, u_new = collide(f, params, force=force,
@@ -135,6 +148,8 @@ def make_lc_step(cfg: LCConfig, solid=None):
             u_new = u
 
         out = (f, q5, u_new, gwall) if cfg.has_walls else (f, q5, u_new)
+        if cfg.redshift_update:
+            out = out + (rs,)
         if cfg.keep_grads:
             out = out + (fields["grad_q"], fields["delsq_q"])
         return out, rho
@@ -273,6 +288,8 @@ def initial_lc(cfg: LCConfig, q0_field: np.ndarray):
     state = (f, q5, u)
     if cfg.has_walls:
         state = state + (jnp.zeros((3,), cfg.lb.jdtype),)
+    if cfg.redshift_update:
+        state = state + (jnp.asarray(cfg.fe.redshift, cfg.lb.jdtype),)
     if cfg.keep_grads:
         fields = lc_fields(q5, cfg.gradient, anchoring=cfg.anchoring,
                            walls=cfg.wallspec.walls if cfg.has_walls

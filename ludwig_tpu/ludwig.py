@@ -513,6 +513,14 @@ def _parse_colloids(rt, size, rho0, eta):
         yk_rc = rt.double_required("yukawa_cutoff")
         force_terms.append(lambda R, V: yukawa_forces(
             R, size, yk_eps, yk_kap, yk_rc))
+    f0_driven = rt.double("driving_force_magnitude", 0.0)
+    if f0_driven != 0.0:
+        # driven colloid: constant force f0 along the particle's spin
+        # direction s (ref: driven_colloid.c driven_colloid_force;
+        # key driven_colloid_rt.c 'driving_force_magnitude')
+        s_arr = jnp.asarray(np.array(
+            ss + [(0.0, 0.0, 0.0)] * (nc - len(ss)), np.float64))
+        force_terms.append(lambda R, V: f0_driven * s_arr)
     if rt.int("lubrication_on", 0) and nc > 1:
         ah_arr3 = jnp.asarray(np.array(ah))
         rcn = rt.double("lubrication_normal_cutoff", 0.0)
@@ -1003,7 +1011,8 @@ def build_system(rt: RunTime) -> System:
             advection_order=rt.int("fd_advection_scheme_order", 1),
             gradient=gradient,
             hydrodynamics=rt.switch("hydrodynamics", True),
-            wallspec=wallspec, anchoring=anchoring, keep_grads=True)
+            wallspec=wallspec, anchoring=anchoring, keep_grads=True,
+            redshift_update=rt.switch("lc_redshift_update", False))
         nplanes_lc = rt.int("N_LE_plane", 0)
         mode = rt.string("lc_q_initialisation", "nematic")
         amp = rt.double("lc_q_init_amplitude", fe.amplitude0)
@@ -1805,8 +1814,16 @@ def _make_stats_fn(sys_: System):
                       else (False,) * 3)
                 fields = lc_fields(q5, lcfg.gradient,
                                    anchoring=lcfg.anchoring, walls=w3)
-            fed = lcfg.fe.fed(fields) + _lc_efield_adjust(
-                lcfg.fe, q5, coswt)
+            fe_stats = lcfg.fe
+            if getattr(lcfg, "redshift_update", False):
+                # the state carries the dynamically recomputed redshift
+                # (before the keep_grads tail)
+                rs_idx = -3 if lcfg.keep_grads else -1
+                res["redshift"] = state[rs_idx]
+                import dataclasses as _dc
+                fe_stats = _dc.replace(lcfg.fe, redshift=state[rs_idx])
+            fed = fe_stats.fed(fields) + _lc_efield_adjust(
+                fe_stats, q5, coswt)
             if mask is None:
                 ftot = jnp.sum(fed)
                 vol = jnp.asarray(float(fed.size), fed.dtype)
@@ -1819,7 +1836,7 @@ def _make_stats_fn(sys_: System):
                 res["fe_lc"] = (ftot, vol, fs1, fs2)
                 res["gwall"] = state[3]
             else:
-                bulk, grad = lcfg.fe.fed_bulk_grad(fields)
+                bulk, grad = fe_stats.fed_bulk_grad(fields)
                 if mask is None:
                     bsum, gsum = jnp.sum(bulk), jnp.sum(grad)
                 else:
@@ -1962,7 +1979,7 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
             out.write(stats.format_phi_line(name, *res["q5"][n]))
         if in_loop or sys_.rt.int("_t0_fe", 1) == 1:
             ftot, vol, x3, x4 = (float(v) for v in res["fe_lc"])
-            rs = sys_.lc_cfg.fe.redshift
+            rs = float(res.get("redshift", sys_.lc_cfg.fe.redshift))
             if sys_.lc_cfg.has_walls:
                 out.write("\nFree energies - timestep f v f/v f_s1 "
                           "fs_s2 redshift\n")
