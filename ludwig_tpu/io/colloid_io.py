@@ -127,3 +127,15 @@ def read_colloid_file_binary(path: str) -> List[dict]:
         s["rebuild"] = 1
         out.append(s)
     return out
+
+
+def write_colloid_file_binary(path: str, states: List[dict]) -> None:
+    """Binary records: int32 count header, then 32 int32 + 48 float64
+    per particle (ref: colloid.c colloid_state_write_binary)."""
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("i", len(states)))
+        for s in states:
+            ints = [int(v) for v in _iter_scalars(s, INT_FIELDS)]
+            dbls = [float(v) for v in _iter_scalars(s, DBL_FIELDS)]
+            fh.write(struct.pack("32i", *ints))
+            fh.write(struct.pack("48d", *dbls))
