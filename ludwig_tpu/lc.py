@@ -49,6 +49,10 @@ class LCConfig:
     # dynamic redshift recompute each step (ref: blue_phase.c:1443
     # fe_lc_redshift_compute, input key lc_redshift_update)
     redshift_update: bool = False
+    # fluctuating Q dynamics (ref: blue_phase_beris_edwards.c noise
+    # branch; input keys lc_noise + temperature); 0 = off
+    noise_kt: float = 0.0
+    noise_seed: int = 8361235
     # carry the start-of-step gradients in the state: the reference
     # computes statistics with the gradients of the PREVIOUS q (the
     # field_grad is refreshed at the top of the loop, before the BE
@@ -120,10 +124,17 @@ def make_lc_step(cfg: LCConfig, solid=None):
             lcfg = _dc.replace(cfg, fe=_dc.replace(cfg.fe, redshift=rs))
         h = lcfg.fe.molecular_field(fields)
 
+        noise5 = None
+        if cfg.noise_kt > 0.0:
+            from ludwig_tpu.noise import qab_noise5
+            noise5 = qab_noise5(cfg.noise_seed, t, cfg.lb.size,
+                                cfg.noise_kt, cfg.gamma,
+                                dtype=cfg.lb.jdtype)
         if cfg.hydrodynamics:
             force, fwall = _lc_force(lcfg, fields, h, f.dtype)
             q5 = beris_edwards_update(q5, h, u, be, fluid_mask=fluid,
-                                      wallspec=cfg.wallspec)
+                                      wallspec=cfg.wallspec,
+                                      noise5=noise5)
             f, rho, u_new = collide(f, params, force=force,
                                     fluid_mask=fluid)
             if cfg.has_walls:
@@ -143,7 +154,8 @@ def make_lc_step(cfg: LCConfig, solid=None):
                 f = stream_bounce_back(f, model, solid=solid,
                                        rho0=cfg.lb.rho0)
         else:
-            q5 = beris_edwards_update(q5, h, None, be, fluid_mask=fluid)
+            q5 = beris_edwards_update(q5, h, None, be, fluid_mask=fluid,
+                                      noise5=noise5)
             rho = jnp.ones_like(q5[0])
             u_new = u
 

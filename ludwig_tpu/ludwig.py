@@ -1012,7 +1012,10 @@ def build_system(rt: RunTime) -> System:
             gradient=gradient,
             hydrodynamics=rt.switch("hydrodynamics", True),
             wallspec=wallspec, anchoring=anchoring, keep_grads=True,
-            redshift_update=rt.switch("lc_redshift_update", False))
+            redshift_update=rt.switch("lc_redshift_update", False),
+            noise_kt=(rt.double("temperature", 0.0)
+                      if rt.switch("lc_noise", False) else 0.0),
+            noise_seed=rt.int("random_seed", 8361235))
         nplanes_lc = rt.int("N_LE_plane", 0)
         mode = rt.string("lc_q_initialisation", "nematic")
         amp = rt.double("lc_q_init_amplitude", fe.amplitude0)

@@ -171,3 +171,28 @@ def ch_random_flux(seed: int, step, shape, kt: float, mobility: float,
     var = math.sqrt(2.0 * kt * mobility)
     r = discrete_deviates(seed + 104729, step, 3, shape, dtype)
     return [var * r[0], var * r[1], var * r[2]]
+
+def qab_noise5(seed, step, size, kt: float, gamma: float,
+               dtype=jnp.float64):
+    """Fluctuating Q-tensor noise in the 5-component representation
+    (ref: blue_phase_beris_edwards.c:403-417 + beris_edw_tmatrix):
+    five unit-variance discrete deviates per site, scaled by
+    var = sqrt(2 kT Gamma) and projected through the traceless
+    symmetric basis T^d_ab.  (The reference marks this path as
+    untested - assert(0) at :355 - so the deviates here come from the
+    stateless counter-based stream rather than the per-site KISS
+    state.)"""
+    import math
+    var = math.sqrt(2.0 * kt * gamma)
+    c = discrete_deviates(seed, step, 5, size, dtype) * var
+    s32 = math.sqrt(1.5) / 3.0
+    s12 = math.sqrt(0.5)
+    s2h = math.sqrt(2.0) / 2.0
+    return jnp.stack([
+        -s32 * c[0] + s12 * c[1],   # chi_xx
+        s2h * c[2],                 # chi_xy
+        s2h * c[3],                 # chi_xz
+        -s32 * c[0] - s12 * c[1],   # chi_yy
+        s2h * c[4],                 # chi_yz
+    ])
+
