@@ -2060,6 +2060,47 @@ def run_text(text: str, out=sys.stdout) -> System:
     n_start = rt.int("N_start", 0)
     sys_.n_start = n_start
 
+    # reference-format binary field output (ref: ludwig.c
+    # is_phi_output_step/is_vel_output_step; io_impl_mpio.c records)
+    freq_phi = rt.int("freq_phi", 0)
+    freq_vel = rt.int("freq_vel", 0)
+    freq_psi = rt.int("freq_psi", 0)
+    _periodic = tuple(rt.int_vector("periodicity", (1, 1, 1)))
+
+    def _ref_dump(step, state, u):
+        from ludwig_tpu.io.ref_format import write_ref_field
+        if freq_phi and step % freq_phi == 0:
+            if sys_.is_lc:
+                write_ref_field(iodir, "q", step,
+                                jax.device_get(state[1]),
+                                periodic=_periodic)
+            elif sys_.is_binary_lb:
+                from ludwig_tpu.binary_lb import g_moments
+                write_ref_field(
+                    iodir, "phi", step,
+                    jax.device_get(g_moments(state[1],
+                                             sys_.lb_cfg.model)[0]),
+                    periodic=_periodic)
+            elif sys_.is_binary or sys_.is_two_field or sys_.is_droplet:
+                write_ref_field(iodir, "phi", step,
+                                jax.device_get(state[1]),
+                                periodic=_periodic)
+            elif sys_.is_colloid and sys_.binary_cfg is not None:
+                write_ref_field(iodir, "phi", step,
+                                jax.device_get(state[7]),
+                                periodic=_periodic)
+        if freq_vel and step % freq_vel == 0:
+            write_ref_field(iodir, "vel", step, jax.device_get(u),
+                            periodic=_periodic)
+        if freq_psi and step % freq_psi == 0 and sys_.is_electro:
+            off = 1 if sys_.es_cfg is not None else 0
+            write_ref_field(iodir, "psi", step,
+                            jax.device_get(state[1 + off]),
+                            periodic=_periodic)
+            write_ref_field(iodir, "rho", step,
+                            jax.device_get(state[2 + off]),
+                            periodic=_periodic)
+
     def _field_names():
         names = ["dist"]
         if sys_.is_binary:
@@ -2199,6 +2240,8 @@ def run_text(text: str, out=sys.stdout) -> System:
                               with_velocity=sys_.hydro_on, prev=prev)
         if freq_config and t % freq_config == 0:
             _dump(t, state)
+        if freq_phi or freq_vel or freq_psi:
+            _ref_dump(t, state, u)
 
     if config_at_end and ncycles > 0:
         _dump(sys_.n_start + ncycles, state)
