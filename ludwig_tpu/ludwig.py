@@ -1358,6 +1358,20 @@ def build_system(rt: RunTime) -> System:
 
                 def torque_fn(R, V):
                     return _ewald(R, S0, emu, erc, size)[1]
+        b0 = tuple(rt.double_vector("magnetic_b0", (0.0, 0.0, 0.0)))
+        if any(b0):
+            # torque s x B on each dipole (ref: interaction.c:417-419
+            # btorque; physics_rt.c magnetic_b0)
+            S0b = jnp.asarray(np.array(
+                [list(ssv) for ssv in
+                 (ss if ss else [(0.0, 0.0, 0.0)] * cparams.n)]),
+                lb_cfg.jdtype)
+            b0j = jnp.asarray(np.array(b0), lb_cfg.jdtype)
+            _prev_t = torque_fn
+
+            def torque_fn(R, V, _p=_prev_t):
+                tq = jnp.cross(S0b, b0j[None, :])
+                return tq + (_p(R, V) if _p is not None else 0.0)
         step = make_colloid_step(lb_cfg, cparams,
                                  rebuild_freq=rt.int("colloid_rebuild_freq",
                                                      1),
