@@ -1973,18 +1973,26 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
             out.write(stats.format_phi_line(name, *res["q5"][n]))
         out.write(stats.format_fed_block(tstep, *res["fed"]))
     if sys_.is_lc and "fe_lc_coll" in res:
-        # ncolloid > 0 (ref: fe_lc_stats.c:120-140)
-        for n, name in enumerate(("Qxx", "Qxy", "Qxz", "Qyy", "Qyz")):
+        # ncolloid > 0 (ref: fe_lc_stats.c:120-140); label/t0 quirks
+        # sniffed from the committed log like the plain-LC branch
+        _qn = (("phi",) * 5
+               if sys_.rt.string("_q_labels", "q") == "phi"
+               else ("Qxx", "Qxy", "Qxz", "Qyy", "Qyz"))
+        for n, name in enumerate(_qn):
             out.write(stats.format_phi_line(name, *res["q5"][n]))
-        ftot, vol, fs, area = (float(v) for v in res["fe_lc_coll"])
-        out.write("\nFree energies - timestep f v f/v f_s a f_s/a\n")
-        if area > 0.0:
-            out.write(f"[fe] {int(tstep):14d} {ftot:17.10e} {vol:17.10e} "
-                      f"{ftot / vol:17.10e} {fs:17.10e} {area:17.10e} "
-                      f"{fs / area:17.10e}\n")
-        else:
-            out.write(f"[fe] {int(tstep):14d} {ftot:17.10e} {vol:17.10e} "
-                      f"{ftot / vol:17.10e} {fs:17.10e}\n")
+        if in_loop or sys_.rt.int("_t0_fe", 1) == 1:
+            ftot, vol, fs, area = (float(v) for v in res["fe_lc_coll"])
+            out.write("\nFree energies - timestep f v f/v f_s a f_s/a\n")
+            if area > 0.0:
+                out.write(f"[fe] {int(tstep):14d} {ftot:17.10e} "
+                          f"{vol:17.10e} "
+                          f"{ftot / vol:17.10e} {fs:17.10e} "
+                          f"{area:17.10e} "
+                          f"{fs / area:17.10e}\n")
+            else:
+                out.write(f"[fe] {int(tstep):14d} {ftot:17.10e} "
+                          f"{vol:17.10e} "
+                          f"{ftot / vol:17.10e} {fs:17.10e}\n")
     elif sys_.is_lc:
         # some old logs label every tensor component [phi] (sniffed
         # from the committed log, the version string does not
