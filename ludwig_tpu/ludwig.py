@@ -13,6 +13,7 @@ FP-tolerant diffs apply.
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
 from typing import Optional
@@ -1575,6 +1576,15 @@ def _make_stats_fn(sys_: System):
                     sg, sd = state[10], state[11]
                 fields = {"phi": phi, "grad_phi": sg, "delsq_phi": sd}
                 fed = l2.fe.fed(fields)
+                if os.environ.get("LTP_FED_DUMP") and not isinstance(
+                        fed, jax.core.Tracer):
+                    import numpy as _np
+                    n = getattr(compute, "_dump_n", 0)
+                    compute._dump_n = n + 1
+                    _np.savez(f"{os.environ['LTP_FED_DUMP']}.{n}.npz",
+                              fed=_np.asarray(fed), fl=_np.asarray(fl),
+                              phi=_np.asarray(phi), sg=_np.asarray(sg),
+                              sd=_np.asarray(sd))
                 res["fe_colloid"] = (jnp.sum(jnp.where(fl, fed, 0.0)),
                                      jnp.sum(fl.astype(fed.dtype)))
             if sys_.lc_cfg is not None:
