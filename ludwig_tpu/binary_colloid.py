@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ludwig_tpu.binary import BinaryConfig
-from ludwig_tpu.colloids import (ColloidParams, ColloidState, _min_image,
+from ludwig_tpu.colloids import (position_update, ColloidParams, ColloidState, _min_image,
                                  bbl_step, build_map, refresh_inside,
                                  remove_replace, site_coords)
 from ludwig_tpu.dynamics.cahn_hilliard import (CahnHilliardParams,
@@ -194,7 +194,7 @@ def make_binary_colloid_step(bcfg: BinaryConfig, params: ColloidParams,
             gwall = None
         L = jnp.asarray(np.array(size, np.float64), R.dtype)
         fxm = params.fixedr_mask(R.dtype)
-        R = jnp.mod(R + (dr if fxm is None else fxm * dr), L)
+        R = position_update(R, (dr if fxm is None else fxm * dr), size)
         bmap = build_map_fast if fast else build_map
         rr_fn = remove_replace_fast if fast else remove_replace
         prc_fn = (phi_remove_replace_conserve_fast if fast
@@ -225,11 +225,14 @@ def make_binary_colloid_step(bcfg: BinaryConfig, params: ColloidParams,
             for n in range(params.n):
                 d = _min_image(coords - R[n][:, None, None, None],
                                L[:, None, None, None])
-                wxr = jnp.stack([W[n][1] * d[2] - W[n][2] * d[1],
-                                 W[n][2] * d[0] - W[n][0] * d[2],
-                                 W[n][0] * d[1] - W[n][1] * d[0]])
+                # (v + w_b rb_c) - w_c rb_b per component - the
+                # reference's association (ref: bbl.c pass0 ub[X])
+                ubn = jnp.stack([
+                    (V[n][0] + W[n][1] * d[2]) - W[n][2] * d[1],
+                    (V[n][1] + W[n][2] * d[0]) - W[n][0] * d[2],
+                    (V[n][2] + W[n][0] * d[1]) - W[n][1] * d[0]])
                 mask = (pid == n)[None]
-                ub = jnp.where(mask, V[n][:, None, None, None] + wxr, ub)
+                ub = jnp.where(mask, ubn, ub)
         f = refresh_inside(f, model, inside, ub, cfg.rho0)
 
         # solid-aware gradients with (uniform) colloid wetting

@@ -213,7 +213,7 @@ def make_binary_lb_colloid_step(cfg: BinaryLBConfig, params,
     with the thermodynamic stress in the equilibrium + g collision
     (fluid sites only) -> BBL for f (implicit velocity solve) and for g
     with the deficit spread (ref: bbl.c:683-691) -> propagation."""
-    from ludwig_tpu.colloids import bbl_step, refresh_inside, \
+    from ludwig_tpu.colloids import bbl_step, position_update, refresh_inside, \
         remove_replace
     from ludwig_tpu.colloids_fast import (bbl_step_fast, build_map_fast,
                                           g_bbl_fast,
@@ -240,7 +240,7 @@ def make_binary_lb_colloid_step(cfg: BinaryLBConfig, params,
             gwall = None
         L = jnp.asarray(np.array(size, np.float64), R.dtype)
         fxm = params.fixedr_mask(R.dtype)
-        R = jnp.mod(R + (dr if fxm is None else fxm * dr), L)
+        R = position_update(R, (dr if fxm is None else fxm * dr), size)
         if rebuild:
             pid_old, inside_old = build_map_fast(Rmap, params, size)
             Rmap = R

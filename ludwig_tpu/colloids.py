@@ -22,6 +22,7 @@ axis).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -139,6 +140,182 @@ def solve6(A, b):
     return x
 
 
+def gauss_solve6_ref(A, b):
+    """6x6 Gaussian elimination transcribing bbl_update_colloids
+    bitwise (ref: bbl.c:750-880): rows stay in place with ipivot
+    bookkeeping (no swaps), the pivot of column k is the LAST
+    not-yet-pivoted row attaining max |a| (the reference's ``>=``
+    running scan), the pivot row is scaled by the RECIPROCAL of the
+    pivot element (multiply, not divide), elimination touches columns
+    j >= k of not-yet-pivoted rows only, and back substitution runs in
+    ipivot order.  The solution is read from the xb slots directly, as
+    the reference does (pc->s.v[ia] = xb[ia])."""
+    n = 6
+    M = A
+    x = b
+    avail = jnp.ones((n,), bool)
+    rows = jnp.arange(n)
+    ipiv = []
+    for k in range(n):
+        vals = jnp.where(avail, jnp.abs(M[:, k]), -1.0)
+        ip = (n - 1) - jnp.argmax(vals[::-1])      # last max wins
+        onehot = rows == ip
+        avail = jnp.logical_and(avail, jnp.logical_not(onehot))
+        ipiv.append(ip)
+        tmp = 1.0 / M[ip, k]
+        colk = rows >= k
+        Mp = jnp.where(colk, M[ip] * tmp, M[ip])   # scaled pivot row
+        M = jnp.where(onehot[:, None], Mp[None, :], M)
+        xp = x[ip] * tmp
+        x = x.at[ip].set(xp)
+        fac = jnp.where(avail, M[:, k], 0.0)
+        M = M - fac[:, None] * jnp.where(colk, Mp, 0.0)[None, :]
+        x = x - fac * xp
+    for idash in range(n - 1, -1, -1):
+        ip = ipiv[idash]
+        tmp = x[ip]
+        for k2 in range(idash + 1, n):
+            tmp = tmp - M[ip, k2] * x[ipiv[k2]]
+        x = x.at[ip].set(tmp)
+    return x
+
+
+def _xyz_tree(p):
+    """colloid_sums_halo consolidation of per-periodic-image partial
+    sums: one pairwise combine per dimension, X then Y then Z (ref:
+    colloid_sums.c:164-166).  Each copy does own + received, and FP
+    addition is commutative, so only the pairing NESTING matters.
+    p: (2, 2, 2, nt) partials indexed [bx, by, bz]."""
+    q = p[0] + p[1]
+    q = q[0] + q[1]
+    return q[0] + q[1]
+
+
+def _image_geometry(Rn, a0n, size):
+    """Static cube extents and the 8 periodic-image corner positions
+    for the reference's per-copy link traversal (ref: build.c:362-368
+    clipped bounding cube per copy; colloids_halo.c shifted copies).
+
+    Returns (Ds, corners, signs): Ds static per-axis cube sizes,
+    corners (8, 3) int32 clipped window starts (image order
+    [bx, by, bz] with z fastest), signs (3,) the wrap direction
+    (+1 toward +L when the particle sits in the lower half)."""
+    import math
+    Ds = tuple(min(int(2 * math.ceil(a0n) + 5), int(size[a]))
+               for a in range(3))
+    L = jnp.asarray(np.array(size, np.float64), Rn.dtype)
+    sgn = jnp.where(Rn < 0.5 * L, 1.0, -1.0)
+    corners = []
+    for bx in (0, 1):
+        for by in (0, 1):
+            for bz in (0, 1):
+                bvec = jnp.asarray(np.array([bx, by, bz], np.float64),
+                                   Rn.dtype)
+                rpos = Rn + sgn * L * bvec
+                cs = []
+                for a in range(3):
+                    c0 = jnp.floor(rpos[a] - a0n) - 1.0
+                    c0 = jnp.clip(c0, 0.0, float(size[a] - Ds[a]))
+                    cs.append(c0.astype(jnp.int32))
+                corners.append(jnp.stack(cs))
+    return Ds, jnp.stack(corners), sgn
+
+
+def _ordered_image_reduce(make_terms, nt, Rn, size, Ds, corners, sgn,
+                          dtype, seed=None):
+    """Reference-order link reduction: for each of the 8 periodic
+    images, a site-major (x, y, z ascending) velocity-minor sequential
+    sum over the image's clipped bounding cube (ref: build.c:369-470
+    traversal order, bbl.c pass1 link-list order), followed by the
+    X-Y-Z consolidation tree of colloid_sums_halo.
+
+    make_terms(corner, ccoords) -> (nt, Q-1, Dx, Dy, Dz) in-cube,
+    already masked to this particle's links (zeros elsewhere: a
+    sequential FP sum is invariant under interleaved exact zeros).
+    seed: initial accumulator contents (the build-time remove/replace
+    contributions, ref: bbl.c:410 'f0 before additions'): either
+    (8, nt) per periodic image - the reference accumulates them into
+    the copy owning each removal site - or (nt,) applied to the real
+    copy only."""
+    L = jnp.asarray(np.array(size, np.float64), dtype)
+    partials = []
+    for img in range(8):
+        bvec = np.array([(img >> 2) & 1, (img >> 1) & 1, img & 1],
+                        np.float64)
+        corner = corners[img]
+        axes = [jnp.arange(Ds[a], dtype=dtype) + corner[a].astype(dtype)
+                for a in range(3)]
+        ccoords = jnp.stack(jnp.meshgrid(*axes, indexing="ij"))
+        # membership: site belongs to THIS image iff its wrap pattern
+        # matches (round((i - R)/L) == sgn*b per axis)
+        rnd = jnp.round((ccoords - Rn[:, None, None, None])
+                        / L[:, None, None, None])
+        want = sgn * jnp.asarray(bvec, dtype)
+        member = jnp.logical_and(
+            jnp.logical_and(rnd[0] == want[0], rnd[1] == want[1]),
+            rnd[2] == want[2])
+        terms = make_terms(corner, ccoords)
+        vals = terms * member[None, None].astype(dtype)
+        flat = jnp.transpose(vals, (2, 3, 4, 1, 0)).reshape(
+            -1, nt).astype(dtype)
+        if seed is None:
+            init = jnp.zeros((nt,), dtype)
+        elif seed.ndim == 2:
+            init = seed[img]
+        else:
+            init = seed if img == 0 else jnp.zeros((nt,), dtype)
+
+        def body(s, v):
+            return s + v, ()
+
+        out, _ = jax.lax.scan(body, init, flat)
+        partials.append(out)
+        if os.environ.get("LTP_BBL_DUMP_CUBE"):
+            def _cwriter(v, c, img=img):
+                import numpy as _np
+                k = getattr(_ordered_image_reduce, "_nc", 0)
+                _ordered_image_reduce._nc = k + 1
+                _np.savez(f"{os.environ['LTP_BBL_DUMP_CUBE']}.{k}.npz",
+                          vals=_np.asarray(v), corner=_np.asarray(c),
+                          img=img)
+            jax.debug.callback(_cwriter, vals, corner, ordered=True)
+    if os.environ.get("LTP_BBL_DUMP_PARTIALS"):
+        def _pwriter(ps):
+            with open(os.environ["LTP_BBL_DUMP_PARTIALS"], "a") as fh2:
+                for i in range(8):
+                    fh2.write(f"img {i} " + " ".join(
+                        float(v).hex() for v in ps[i]) + "\n")
+        jax.debug.callback(_pwriter, jnp.stack(partials), ordered=True)
+    return _xyz_tree(jnp.stack(partials).reshape(2, 2, 2, nt))
+
+
+def _cube(x, corner, Ds, comp_axes=0):
+    """dynamic_slice of the trailing (X, Y, Z) axes at corner."""
+    start = [jnp.zeros((), jnp.int32)] * comp_axes + list(corner)
+    sizes = tuple(x.shape[:comp_axes]) + tuple(Ds)
+    return jax.lax.dynamic_slice(x, start, sizes)
+
+
+def position_update(R, dr, size):
+    """Reference-faithful particle position update.
+
+    The reference stores 1-BASED positions and leaves them unwrapped
+    until the real copy crosses the domain edge Lmin + L = L + 0.5,
+    where it is replaced by its periodic image shifted by an exact
+    +-L (ref: colloids.c:1028 r += dr; colloids_halo.c:355 r + rperiod;
+    cell relocation colloids.c:669).  Our positions are stored 0-based
+    (R = r_ref - 1, which is exact), but the += dr must round in the
+    reference's 1-based BINADE - e.g. 32 + dr rounds dr's tail one bit
+    coarser than 31 + dr - so the update runs as ((R + 1) + dr) - 1;
+    the +-1 shifts are exact, the wrap thresholds are the reference's
+    [0.5, L + 0.5) in the 1-based frame."""
+    L = jnp.asarray(np.array(size, np.float64), R.dtype)
+    r1 = (R + 1.0) + dr
+    r1 = jnp.where(r1 >= L + 0.5, r1 - L, r1)
+    r1 = jnp.where(r1 < 0.5, r1 + L, r1)
+    return r1 - 1.0
+
+
 def site_coords(size, dtype=jnp.float64):
     x = np.arange(size[0], dtype=np.float64)
     y = np.arange(size[1], dtype=np.float64)
@@ -176,10 +353,11 @@ def build_map(R: jnp.ndarray, params: ColloidParams, size,
 
 def remove_replace(f, R, V, W, inside_old, pid_old, inside_new, pid_new,
                    model: LatticeModel, params: ColloidParams, size,
-                   rho0: float = 1.0, walls=(False, False, False)):
+                   rho0: float = 1.0, walls=(False, False, False),
+                   per_image: bool = False):
     """Fluid removal/replacement bookkeeping when particles move
     (ref: build.c build_remove_fluid :735-770, build_replace_fluid
-    :775-860):
+    :832-940):
 
     * covered sites (fluid -> solid): the particle absorbs the removed
       fluid's momentum (f0 += g, t0 += rb x g) and mass deficit
@@ -189,7 +367,16 @@ def remove_replace(f, R, V, W, inside_old, pid_old, inside_new, pid_new,
       update; the particle pays the created momentum (f0 -= g_new,
       deltam += rho_new - rho0).
 
-    Returns (f, deltam (N,), f0c (N,3), t0c (N,3)).
+    All per-site arithmetic transcribes the reference's accumulation
+    order bitwise (ascending-p moment chains, reciprocal-multiply
+    normalisation).  With per_image=True, the per-particle sums come
+    back split per periodic image, (N, 8, 7) rows
+    [deltam, f0 x3, t0 x3], accumulated per image in the reference's
+    row-major site order - these seed the bbl pass1 accumulators
+    exactly as the reference's per-copy build contributions do.
+
+    Returns (f, deltam (N,), f0c (N,3), t0c (N,3))
+    or (f, seeds (N, 8, 7)) when per_image is True.
     """
     N = params.n
     coords = site_coords(size, f.dtype)
@@ -219,42 +406,120 @@ def remove_replace(f, R, V, W, inside_old, pid_old, inside_new, pid_new,
             m = m * jnp.asarray(keep, f.dtype)
         wsum = wsum + w * m
         newf = newf + w * m[None] * roll3(f, shift, first_axis=1)
-    newf = newf / jnp.maximum(wsum, 1e-30)[None]
+    # ref: weight = 1.0/weight; newf[p] *= weight (reciprocal multiply)
+    rw = 1.0 / jnp.where(wsum > 0.0, wsum, 1.0)
+    newf = newf * rw[None]
     if any(walls):
-        # no-donor fallback: equilibrium at (rho0, solid-body u of the
+        # no-donor fallback: reprojection at (rho0, solid-body u of the
         # OLD owner) - happens when a particle near a wall uncovers a
         # site whose neighbours are all solid/boundary (ref:
         # build.c build_replace_fluid nweight == 0 ->
-        # build_replace_fluid_local)
+        # build_replace_fluid_local); term-exact polynomial
         ub = jnp.zeros((3,) + tuple(size), f.dtype)
         for n in range(N):
             d = _min_image(coords - R[n][:, None, None, None],
                            L[:, None, None, None])
-            wxr = jnp.stack([W[n][1] * d[2] - W[n][2] * d[1],
-                             W[n][2] * d[0] - W[n][0] * d[2],
-                             W[n][0] * d[1] - W[n][1] * d[0]])
-            ub = jnp.where((pid_old == n)[None],
-                           V[n][:, None, None, None] + wxr, ub)
-        rcs2 = 3.0
-        udotu = ub[0] * ub[0] + ub[1] * ub[1] + ub[2] * ub[2]
+            ubn = jnp.stack([
+                (V[n][0] + W[n][1] * d[2]) - W[n][2] * d[1],
+                (V[n][1] + W[n][2] * d[0]) - W[n][0] * d[2],
+                (V[n][2] + W[n][0] * d[1]) - W[n][1] * d[0]])
+            ub = jnp.where((pid_old == n)[None], ubn, ub)
+        cv = np.asarray(model.cv, np.float64)
+        rcs2 = 1.0 / CS2
         feq = []
         for p in range(model.nvel):
-            c = model.cv[p]
             w = float(model.wv[p])
-            udotc = sum(float(c[a]) * ub[a] for a in range(3))
-            sdotq = udotc * udotc - (1.0 / rcs2) * udotu
+            udotc = cv[p][0] * ub[0] + cv[p][1] * ub[1] + cv[p][2] * ub[2]
+            sdotq = 0.0
+            for ia in range(3):
+                for ib in range(3):
+                    qab = float(cv[p][ia] * cv[p][ib]) - CS2 * (ia == ib)
+                    sdotq = sdotq + (qab * ub[ia]) * ub[ib]
             feq.append(w * (rho0 + rcs2 * udotc
                             + 0.5 * rcs2 * rcs2 * sdotq))
         feq = jnp.stack(feq)
         newf = jnp.where((wsum <= 0.0)[None], feq, newf)
 
-    rho_f = sum(f[q] for q in range(model.nvel))
-    from ludwig_tpu.ops.collide import unrolled_matvec
-    g_f = unrolled_matvec(model.cv.T.astype(np.float64),
-                          [f[q] for q in range(model.nvel)])
-    rho_n = sum(newf[q] for q in range(model.nvel))
-    g_n = unrolled_matvec(model.cv.T.astype(np.float64),
-                          [newf[q] for q in range(model.nvel)])
+    # per-site moments in the reference's accumulation order
+    # (ref: lb_0th_moment / lb_1st_moment p-ascending chains;
+    #  build_replace_fluid's g accumulates NEGATED terms)
+    cv = np.asarray(model.cv, np.float64)
+    rho_f = f[0]
+    for q in range(1, model.nvel):
+        rho_f = rho_f + f[q]
+    g_f = [None, None, None]
+    for a in range(3):
+        acc = 0.0
+        for q in range(model.nvel):
+            acc = acc + float(cv[q][a]) * f[q]
+        g_f[a] = acc
+    rho_n = newf[0]
+    gneg = [0.0, 0.0, 0.0]
+    for q in range(model.nvel):
+        if q > 0:
+            rho_n = rho_n + newf[q]
+        for a in range(3):
+            gneg[a] = gneg[a] - newf[q] * float(cv[q][a])
+
+    if per_image:
+        seeds = []
+        for n in range(N):
+            cov = jnp.logical_and(covered, pid_new == n)
+            unc = jnp.logical_and(uncovered, pid_old == n)
+            d = _min_image(coords - R[n][:, None, None, None],
+                           L[:, None, None, None])
+
+            def site_terms(mask, rho_s, g_s, d=d):
+                dmass = jnp.where(mask, rho_s - rho0, 0.0)
+                gm = [jnp.where(mask, g_s[a], 0.0) for a in range(3)]
+                t = [jnp.where(mask, d[1] * g_s[2] - d[2] * g_s[1], 0.0),
+                     jnp.where(mask, d[2] * g_s[0] - d[0] * g_s[2], 0.0),
+                     jnp.where(mask, d[0] * g_s[1] - d[1] * g_s[0], 0.0)]
+                return dmass, gm, t
+
+            dmc, gc, tc = site_terms(cov, rho_f, g_f)
+            dmu, gu, tu = site_terms(unc, rho_n, gneg)
+            rows = [(-dmc) + dmu]
+            for a in range(3):
+                rows.append(gc[a] + gu[a])
+            for a in range(3):
+                rows.append(tc[a] + tu[a])
+            a0n = float(params.a0[n])
+            Ds, corners, sgn = _image_geometry(R[n], a0n, size)
+            terms_full = jnp.stack(rows)[:, None]   # (7, 1, X, Y, Z)
+
+            def mk(corner, ccoords, T=terms_full):
+                return _cube(T, corner, Ds, 2)
+
+            img = []
+            Lj = jnp.asarray(np.array(size, np.float64), f.dtype)
+            for i in range(8):
+                bvec = np.array([(i >> 2) & 1, (i >> 1) & 1, i & 1],
+                                np.float64)
+                corner = corners[i]
+                axes = [jnp.arange(Ds[a], dtype=f.dtype)
+                        + corner[a].astype(f.dtype) for a in range(3)]
+                cc = jnp.stack(jnp.meshgrid(*axes, indexing="ij"))
+                rnd = jnp.round((cc - R[n][:, None, None, None])
+                                / Lj[:, None, None, None])
+                want = sgn * jnp.asarray(bvec, f.dtype)
+                member = jnp.logical_and(
+                    jnp.logical_and(rnd[0] == want[0],
+                                    rnd[1] == want[1]),
+                    rnd[2] == want[2])
+                vals = mk(corner, cc) * member[None, None].astype(f.dtype)
+                flat = jnp.transpose(vals, (2, 3, 4, 1, 0)).reshape(
+                    -1, 7).astype(f.dtype)
+
+                def body(s, v):
+                    return s + v, ()
+
+                out, _ = jax.lax.scan(body, jnp.zeros((7,), f.dtype),
+                                      flat)
+                img.append(out)
+            seeds.append(jnp.stack(img))
+        f = jnp.where(uncovered[None], newf, f)
+        return f, jnp.stack(seeds)
 
     deltam, f0c, t0c = [], [], []
     for n in range(N):
@@ -264,28 +529,37 @@ def remove_replace(f, R, V, W, inside_old, pid_old, inside_new, pid_new,
                        L[:, None, None, None])
         dm = (-jnp.sum(cov * (rho_f - rho0))
               + jnp.sum(unc * (rho_n - rho0)))
-        f0 = [jnp.sum(cov * g_f[a]) - jnp.sum(unc * g_n[a])
+        f0 = [jnp.sum(cov * g_f[a]) + jnp.sum(unc * gneg[a])
               for a in range(3)]
+
         def rbx(ga, mask):
             return [jnp.sum(mask * (d[1] * ga[2] - d[2] * ga[1])),
                     jnp.sum(mask * (d[2] * ga[0] - d[0] * ga[2])),
                     jnp.sum(mask * (d[0] * ga[1] - d[1] * ga[0]))]
         tcov = rbx(g_f, cov)
-        tunc = rbx(g_n, unc)
+        tunc = rbx(gneg, unc)
         deltam.append(dm)
         f0c.append(jnp.stack(f0))
-        t0c.append(jnp.stack([tcov[a] - tunc[a] for a in range(3)]))
+        t0c.append(jnp.stack([tcov[a] + tunc[a] for a in range(3)]))
 
     f = jnp.where(uncovered[None], newf, f)
     return f, jnp.stack(deltam), jnp.stack(f0c), jnp.stack(t0c)
+
+
+_bbl_dbg = []   # env-gated (LTP_BBL_DUMP) eager-mode debug stash
 
 
 def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
              params: ColloidParams, size,
              ext_force=None, ext_torque=None, rho0: float = 1.0,
              deltam=None, f0_corr=None, t0_corr=None, M=None,
-             wall_drag=None, walls=(False, False, False)):
+             wall_drag=None, walls=(False, False, False),
+             rr_seeds=None):
     """Bounce-back on links with the implicit velocity update.
+
+    rr_seeds: (N, 8, 7) per-periodic-image remove/replace seed rows
+    [deltam, f0 x3, t0 x3] from remove_replace(per_image=True);
+    supersedes deltam/f0_corr/t0_corr when given.
 
     Returns (f_after_bbl, V_new, W_new, M_new, diag).
     f is post-collision; the BBL writes the boundary distributions at
@@ -342,42 +616,219 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
     gw_acc = [jnp.zeros((), f.dtype) for _ in range(3)]
 
     # Gather per-particle link sums (loop over N: small fixed capacity).
-    mass = jnp.asarray([(4.0 / 3.0) * np.pi * params.rho0 * a ** 3
-                        for a in params.a0], f.dtype)
-    moment = jnp.asarray([(2.0 / 5.0) * (4.0 / 3.0) * np.pi * params.rho0
-                          * a ** 5 for a in params.a0], f.dtype)
+    # Reference arithmetic exactly (ref: bbl.c:786-787):
+    # mass = (4/3) pi rho0 a0^3; moment = (2/5) mass a0^2 - the moment
+    # is computed FROM the rounded mass, not from scratch.
+    _mass_vals = [(4.0 / 3.0) * float(np.pi) * params.rho0 * a ** 3
+                  for a in params.a0]
+    mass = jnp.asarray(_mass_vals, f.dtype)
+    moment = jnp.asarray([(2.0 / 5.0) * mv_ * a ** 2
+                          for mv_, a in zip(_mass_vals, params.a0)],
+                         f.dtype)
 
-    # pre-pass: sum of link weights per particle (needed to normalise
-    # deltam/cbar before the force sums, ref: pass1 rsumw preamble)
-    sumw_all = []
-    for n in range(N):
-        s = 0.0
-        for qi, q in enumerate(range(1, nvel)):
-            m = jnp.logical_and(link_mask[qi], link_pid[qi] == n)
-            s = s + float(model.wv[q]) * jnp.sum(m.astype(f.dtype))
-        sumw_all.append(jnp.maximum(s, 1e-30))
+    # Whole-lattice f(j, ji) seen from the outside site i, per q
+    # (the inside end of every link, used by solid-solid and wall links)
+    fr_all = jnp.stack([roll3(f[int(model.reverse[q])],
+                              tuple(-int(v) for v in model.cv[q]))
+                        for q in range(1, nvel)])
+    cq_np = np.asarray(model.cv[1:], np.float64)          # (Q-1, 3)
+    wq_np = np.asarray(model.wv[1:], np.float64)
+    cq = jnp.asarray(cq_np, f.dtype)
+    wq = jnp.asarray(wq_np, f.dtype)
+    wq4 = wq[:, None, None, None]
 
     Vn, Wn = [], []
     dfs = []           # per-particle data for pass 2
     sump_all = []
     deltam_all = []
     for n in range(N):
-        sumw = 0.0
-        cbar = [0.0, 0.0, 0.0]
-        rxcbar = [0.0, 0.0, 0.0]
-        f0 = [0.0, 0.0, 0.0]
-        t0 = [0.0, 0.0, 0.0]
-        zeta = jnp.zeros((6, 6), f.dtype)
         geoms = []
         active = params.is_active(n)
-        sump_n = 0.0
         dma_updates = []
-        # shape-change mass deficit, normalised by the link weight sum
-        dmn = (deltam[n] / sumw_all[n]) if deltam is not None else 0.0
+        mv = None
+        b1s = b2s = 0.0
+        if active:
+            mv = (M[n] if M is not None
+                  else jnp.asarray(np.asarray(params.m[n], np.float64)
+                                   / np.linalg.norm(params.m[n]),
+                                   f.dtype))
+            b1s = float(params.b1[n])
+            b2s = float(params.b2[n]) if len(params.b2) > n else 0.0
+
+        def _squirm_dma(rb, delta):
+            """Raw squirmer slip dm_a, arithmetic per the reference
+            (ref: bbl.c pass1 squirmer section): mod = |rb||m|;
+            cost = rb.m/mod (clamped cost^2 <= 1); tans = (rb x m) x rb;
+            dm_a = sum_a -delta P(cost) tans_a c_a / |tans|.
+            rb: 3-list of lattices; delta: scalar or broadcastable."""
+            rbmod = jnp.sqrt(rb[0] ** 2 + rb[1] ** 2 + rb[2] ** 2)
+            mmod = jnp.sqrt(mv[0] ** 2 + mv[1] ** 2 + mv[2] ** 2)
+            mod = rbmod * mmod
+            rmod = jnp.where(mod == 0.0, 0.0,
+                             1.0 / jnp.where(mod == 0.0, 1.0, mod))
+            rdotm = rb[0] * mv[0] + rb[1] * mv[1] + rb[2] * mv[2]
+            cost = rmod * rdotm
+            cost = jnp.where(cost * cost > 1.0, 1.0, cost)
+            sint = jnp.sqrt(1.0 - cost * cost)
+            v1 = [rb[1] * mv[2] - rb[2] * mv[1],
+                  rb[2] * mv[0] - rb[0] * mv[2],
+                  rb[0] * mv[1] - rb[1] * mv[0]]
+            tans = [v1[1] * rb[2] - v1[2] * rb[1],
+                    v1[2] * rb[0] - v1[0] * rb[2],
+                    v1[0] * rb[1] - v1[1] * rb[0]]
+            tmod = jnp.sqrt(tans[0] ** 2 + tans[1] ** 2 + tans[2] ** 2)
+            rmod = jnp.where(tmod == 0.0, 0.0,
+                             1.0 / jnp.where(tmod == 0.0, 1.0, tmod))
+            pleg = -sint * (b2s * cost + b1s)
+            return tans, delta, pleg, rmod
+
+        # ---- reference-order link reductions --------------------------
+        # Per-link sums run in the reference's exact order: per periodic
+        # image a site-major (x,y,z) velocity-minor sequential sum over
+        # the clipped bounding cube, then the X-Y-Z consolidation tree
+        # (see _ordered_image_reduce).  The terms are built in-cube.
+        a0n = float(params.a0[n])
+        Ds, img_corners, sgn = _image_geometry(R[n], a0n, size)
+        mf_st = jnp.stack([jnp.logical_and(link_mask[qi],
+                                           link_pid[qi] == n)
+                           for qi in range(nvel - 1)])
+        mcc_st = jnp.stack([jnp.logical_and(link_cc[qi],
+                                            link_pid[qi] == n)
+                            for qi in range(nvel - 1)])
+        mw_st = None
+        if any(lw is not None for lw in link_wall):
+            mw_st = jnp.stack([
+                (jnp.logical_and(link_wall[qi], link_pid[qi] == n)
+                 if link_wall[qi] is not None
+                 else jnp.zeros(tuple(size), bool))
+                for qi in range(nvel - 1)])
+
+        def _cube_geom(ccoords):
+            d = _min_image(ccoords - R[n][:, None, None, None],
+                           L[:, None, None, None])
+            rb = [d[a][None] + (0.5 * cq[:, a])[:, None, None, None]
+                  for a in range(3)]
+            rbxc = [rb[1] * cq[:, 2][:, None, None, None]
+                    - rb[2] * cq[:, 1][:, None, None, None],
+                    rb[2] * cq[:, 0][:, None, None, None]
+                    - rb[0] * cq[:, 2][:, None, None, None],
+                    rb[0] * cq[:, 1][:, None, None, None]
+                    - rb[1] * cq[:, 0][:, None, None, None]]
+            return rb, rbxc
+
+        # Phase A: STRUCTURE sums (ref: build_link_mean at build time,
+        # consolidated by COLLOID_SUM_STRUCTURE)
+        def _termsA(corner, ccoords):
+            _, rbxc = _cube_geom(ccoords)
+            mfc = _cube(mf_st, corner, Ds, 1).astype(f.dtype)
+            t = [wq4 * mfc]
+            for a in range(3):
+                t.append((wq * cq[:, a])[:, None, None, None] * mfc)
+            for a in range(3):
+                t.append((wq4 * rbxc[a]) * mfc)
+            return jnp.stack(t)
+
+        redA = _ordered_image_reduce(_termsA, 7, R[n], size, Ds,
+                                     img_corners, sgn, f.dtype)
+        sumw = redA[0]
+        rsumw = 1.0 / sumw
+        cbarn = [redA[1 + a] * rsumw for a in range(3)]
+        rxcbarn = [redA[4 + a] * rsumw for a in range(3)]
+        # shape-change mass deficit, normalised (ref: pc->deltam *= rsumw)
+        if rr_seeds is not None:
+            # per-image build partials consolidated by the STRUCTURE
+            # tree, like sumw/cbar (ref: colloid_sums m1 carries deltam)
+            dmn = _xyz_tree(rr_seeds[n, :, 0].reshape(2, 2, 2, 1))[0] \
+                * rsumw
+        else:
+            dmn = (deltam[n] * rsumw) if deltam is not None else 0.0
         deltam_all.append(dmn)
+
+        # Phase B: pass1 sums (f0, t0, zeta, sump), seeded with the
+        # remove/replace build contributions (ref: bbl.c:410 f0 holds
+        # the build momentum before pass1 adds the link terms)
+        delta_q = ((2.0 * rcs2) * wq * rho0)[:, None, None, None]
+        six_c = [cq[:, a] - cbarn[a] for a in range(3)]     # (Q-1,)
+        ztri = [(ia, ib) for ia in range(6) for ib in range(ia, 6)]
+
+        def _termsB(corner, ccoords):
+            rb, rbxc = _cube_geom(ccoords)
+            mfc = _cube(mf_st, corner, Ds, 1)
+            mccc = _cube(mcc_st, corner, Ds, 1)
+            mf_f = mfc.astype(f.dtype)
+            fc = _cube(f, corner, Ds, 1)[1:]
+            frc = _cube(fr_all, corner, Ds, 1)
+            dmf = 2.0 * fc - wq4 * dmn
+            dma = None
+            if active:
+                tans, dlt, pleg, rmod = _squirm_dma(rb, delta_q)
+                dma = 0.0
+                for a in range(3):
+                    dma = dma + ((-dlt) * pleg * rmod * tans[a]
+                                 * cq[:, a][:, None, None, None])
+                dmf = dmf + dma
+            dm_all = jnp.where(mfc, dmf, 0.0)
+            dm_all = dm_all + jnp.where(mccc, fc + frc, 0.0)
+            if mw_st is not None:
+                mwc = _cube(mw_st, corner, Ds, 1)
+                dm_all = dm_all + jnp.where(mwc, wq4 * rho0 + frc, 0.0)
+            t = []
+            for a in range(3):
+                t.append(dm_all * cq[:, a][:, None, None, None])
+            for a in range(3):
+                t.append(dm_all * rbxc[a])
+            rr = [rbxc[a] - rxcbarn[a] for a in range(3)]
+            six = [sc[:, None, None, None] for sc in six_c] + rr
+            for (ia, ib) in ztri:
+                t.append(((delta_q * six[ia]) * six[ib]) * mf_f)
+            t.append(jnp.where(mfc, dma, 0.0) if active
+                     else jnp.zeros_like(dm_all))
+            return jnp.stack(t)
+
+        if rr_seeds is not None:
+            seedB = jnp.zeros((8, 28), f.dtype)
+            seedB = seedB.at[:, 0:3].set(rr_seeds[n, :, 1:4])
+            seedB = seedB.at[:, 3:6].set(rr_seeds[n, :, 4:7])
+        else:
+            seedB = jnp.zeros((28,), f.dtype)
+            if f0_corr is not None:
+                seedB = seedB.at[0:3].set(f0_corr[n])
+            if t0_corr is not None:
+                seedB = seedB.at[3:6].set(t0_corr[n])
+        redB = _ordered_image_reduce(_termsB, 28, R[n], size, Ds,
+                                     img_corners, sgn, f.dtype,
+                                     seed=seedB)
+        f0 = [redB[a] for a in range(3)]
+        t0 = [redB[3 + a] for a in range(3)]
+        zpack = redB[6:27]
+        sump_raw = redB[27]
+
+        # Phase C: active mass conservation (ref: bbl_active_conservation
+        # sump /= sumw; fc0/tc0 = per-link sums of -w sump (c, rb x c),
+        # consolidated by COLLOID_SUM_ACTIVE)
+        sump_n = sump_raw / sumw if active else jnp.zeros((), f.dtype)
+        if active:
+            def _termsC(corner, ccoords):
+                _, rbxc = _cube_geom(ccoords)
+                mf_f = _cube(mf_st, corner, Ds, 1).astype(f.dtype)
+                dmq = -(wq4 * sump_n)
+                t = [(dmq * cq[:, a][:, None, None, None]) * mf_f
+                     for a in range(3)]
+                t += [(dmq * rbxc[a]) * mf_f for a in range(3)]
+                return jnp.stack(t)
+
+            redC = _ordered_image_reduce(_termsC, 6, R[n], size, Ds,
+                                         img_corners, sgn, f.dtype)
+            fc0 = [redC[a] for a in range(3)]
+            tc0 = [redC[3 + a] for a in range(3)]
+        else:
+            fc0 = [jnp.zeros((), f.dtype)] * 3
+            tc0 = [jnp.zeros((), f.dtype)] * 3
+        sump_all.append(sump_n)
+
+        # ---- whole-lattice per-q geometry for pass 2 + slip updates ---
         for qi, q in enumerate(range(1, nvel)):
             m = jnp.logical_and(link_mask[qi], link_pid[qi] == n)
-            any_m = m  # bool lattice
             c = np.asarray(model.cv[q], np.float64)
             w = float(model.wv[q])
             # rb = (site - R_n, min image) + 0.5 c  (ref: build.c:407)
@@ -387,67 +838,19 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
             rbxc = [rb[1] * c[2] - rb[2] * c[1],
                     rb[2] * c[0] - rb[0] * c[2],
                     rb[0] * c[1] - rb[1] * c[0]]
-            dm = 2.0 * f[q] - w * dmn
             delta = 2.0 * rcs2 * w * rho0
-            msk = any_m.astype(f.dtype)
+            msk = m.astype(f.dtype)
 
             if active:
-                # squirmer surface slip, arithmetic per the reference
-                # (ref: bbl.c pass1 squirmer section):
-                # mod = |rb||m|; cost = rb.m/mod (clamped cost^2 <= 1);
-                # tans = (rb x m) x rb; dm_a = -delta P_1(cost) t.c/|t|
-                mv = (M[n] if M is not None
-                      else jnp.asarray(np.asarray(params.m[n], np.float64)
-                                       / np.linalg.norm(params.m[n]),
-                                       f.dtype))
-                b1 = float(params.b1[n])
-                b2 = float(params.b2[n]) if len(params.b2) > n else 0.0
-                rbmod = jnp.sqrt(rb[0] ** 2 + rb[1] ** 2 + rb[2] ** 2)
-                mmod = jnp.sqrt(mv[0] ** 2 + mv[1] ** 2 + mv[2] ** 2)
-                mod = rbmod * mmod
-                rmod = jnp.where(mod == 0.0, 0.0,
-                                 1.0 / jnp.where(mod == 0.0, 1.0, mod))
-                rdotm = rb[0] * mv[0] + rb[1] * mv[1] + rb[2] * mv[2]
-                cost = rmod * rdotm
-                cost = jnp.where(cost * cost > 1.0, 1.0, cost)
-                sint = jnp.sqrt(1.0 - cost * cost)
-                v1 = [rb[1] * mv[2] - rb[2] * mv[1],
-                      rb[2] * mv[0] - rb[0] * mv[2],
-                      rb[0] * mv[1] - rb[1] * mv[0]]
-                tans = [v1[1] * rb[2] - v1[2] * rb[1],
-                        v1[2] * rb[0] - v1[0] * rb[2],
-                        v1[0] * rb[1] - v1[1] * rb[0]]
-                tmod = jnp.sqrt(tans[0] ** 2 + tans[1] ** 2 + tans[2] ** 2)
-                rmod = jnp.where(tmod == 0.0, 0.0,
-                                 1.0 / jnp.where(tmod == 0.0, 1.0, tmod))
-                pleg = -sint * (b2 * cost + b1)
+                tans, dlt, pleg, rmod = _squirm_dma(rb, delta)
                 dm_a = 0.0
                 for a in range(3):
                     if c[a]:
-                        dm_a = dm_a + (-delta) * pleg * rmod * tans[a] \
+                        dm_a = dm_a + (-dlt) * pleg * rmod * tans[a] \
                             * float(c[a])
                 dm_a = dm_a * msk   # only defined on this particle's links
-                dm = dm + dm_a
                 dma_updates.append((q, jnp.where(m, dm_a, 0.0)))
-                sump_n = sump_n + jnp.sum(msk * dm_a)
 
-            nlinks_q = jnp.sum(msk)
-            sumw = sumw + w * nlinks_q
-            for a in range(3):
-                cbar[a] = cbar[a] + w * float(c[a]) * nlinks_q
-                rxcbar[a] = rxcbar[a] + w * jnp.sum(msk * rbxc[a])
-                f0[a] = f0[a] + float(c[a]) * jnp.sum(msk * dm)
-                t0[a] = t0[a] + jnp.sum(msk * dm * rbxc[a])
-            # solid-solid links: dm = f(i, q) + f(j, rev q), force and
-            # torque only (delta = 0 - no drag, no sumw/cbar; ref:
-            # bbl.c pass1 'else' virtual momentum transfer)
-            mcc = jnp.logical_and(link_cc[qi], link_pid[qi] == n)
-            mskc = mcc.astype(f.dtype)
-            dmcc = f[q] + roll3(f[int(model.reverse[q])],
-                                tuple(-int(v) for v in model.cv[q]))
-            for a in range(3):
-                f0[a] = f0[a] + float(c[a]) * jnp.sum(mskc * dmcc)
-                t0[a] = t0[a] + jnp.sum(mskc * dmcc * rbxc[a])
             if link_wall[qi] is not None:
                 # colloid-wall link (LINK_BOUNDARY; ref: bbl.c pass1
                 # 'else' virtual transfer).  The wall halo site holds
@@ -462,9 +865,6 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
                 rq = int(model.reverse[q])
                 shn = tuple(-int(v) for v in model.cv[q])
                 dmw = w * rho0 + roll3(f[rq], shn)   # f(i,ij) + f(j,ji)
-                for a in range(3):
-                    f0[a] = f0[a] + float(c[a]) * jnp.sum(mw * dmw)
-                    t0[a] = t0[a] + jnp.sum(mw * dmw * rbxc[a])
                 # the wall's own link list accounts the same link with
                 # the opposite orientation (ref: wall.c wall_bbl_kernel
                 # MAP_COLLOID branch): fp = f(i_w, ij_w) + f(j_w=halo,
@@ -478,58 +878,37 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
         for (q, upd) in dma_updates:
             f = f.at[q].add(upd)
 
-        rsumw = 1.0 / jnp.maximum(sumw, 1e-30)
-        cbarn = [cb * rsumw for cb in cbar]
-        rxcbarn = [rx * rsumw for rx in rxcbar]
-        # active mass conservation: sump /= sumw, and the compensating
-        # force/torque fc0/tc0 = sum_links (-w sump) (c, rb x c) enter
-        # the implicit solve (ref: bbl.c bbl_active_conservation)
-        sump_n = sump_n * rsumw
-        sump_all.append(sump_n)
-        fc0 = [-sump_n * cbar[a] for a in range(3)]
-        tc0 = [-sump_n * rxcbar[a] for a in range(3)]
-
-        # drag matrix with missing-link corrections c -> c - cbar
-        zrows = [[0.0] * 6 for _ in range(6)]
-        for (m, c, w, rb, rbxc) in geoms:
-            msk = m.astype(f.dtype)
-            delta = 2.0 * rcs2 * w * rho0
-            cc = [float(c[a]) - cbarn[a] for a in range(3)]
-            rr = [rbxc[a] - rxcbarn[a] for a in range(3)]
-            six = cc + rr
-            for ia in range(6):
-                for ib in range(ia, 6):
-                    # scalars (cc) and lattice fields (rr) mix; the sum
-                    # over the mask handles both.
-                    term = delta * jnp.sum(msk * (six[ia] * six[ib]))
-                    zrows[ia][ib] = zrows[ia][ib] + term
-        for ia in range(6):
-            for ib in range(ia):
-                zrows[ia][ib] = zrows[ib][ia]
-        A = jnp.stack([jnp.stack([jnp.asarray(zrows[ia][ib], f.dtype)
-                                  for ib in range(6)]) for ia in range(6)])
-        A = A + jnp.diag(jnp.concatenate([jnp.full((3,), mass[n]),
-                                          jnp.full((3,), moment[n])]))
+        # 6x6 implicit solve, transcribing bbl_update_colloids (ref:
+        # bbl.c:750-880).  zpack is the packed upper triangle zeta[21].
+        zrows = [[None] * 6 for _ in range(6)]
+        for k, (ia, ib) in enumerate(ztri):
+            zrows[ia][ib] = zpack[k]
+            zrows[ib][ia] = zpack[k]
+        Amat = jnp.stack([jnp.stack([zrows[ia][ib] for ib in range(6)])
+                          for ia in range(6)])
+        Amat = Amat + jnp.diag(jnp.concatenate([
+            jnp.full((3,), mass[n]), jnp.full((3,), moment[n])]))
         if wall_drag is not None:
             # wall lubrication correction on the translational diagonal
             # (ref: bbl.c:789-805 a[i][i] = mass + zeta - dwall)
-            A = A - jnp.diag(jnp.concatenate([wall_drag[n],
-                                              jnp.zeros((3,), f.dtype)]))
+            Amat = Amat - jnp.diag(jnp.concatenate([wall_drag[n],
+                                                    jnp.zeros((3,),
+                                                              f.dtype)]))
         fe = jnp.zeros(3, f.dtype) if ext_force is None else ext_force[n]
         te = jnp.zeros(3, f.dtype) if ext_torque is None else ext_torque[n]
-        if f0_corr is not None:
-            fe = fe + f0_corr[n]
-        if t0_corr is not None:
-            te = te + t0_corr[n]
+        # rhs exactly as the reference: ((mass v + f0) + force) + fc0
         b = jnp.concatenate([
             mass[n] * V[n] + jnp.stack([f0[0], f0[1], f0[2]]) + fe
             + jnp.stack(fc0),
             moment[n] * W[n] + jnp.stack([t0[0], t0[1], t0[2]]) + te
             + jnp.stack(tc0)])
-        x = solve6(A, b)
+        x = gauss_solve6_ref(Amat, b)
         Vn.append(x[:3])
         Wn.append(x[3:])
         dfs.append((geoms, cbarn, rxcbarn))
+        if os.environ.get("LTP_BBL_DUMP"):
+            _bbl_dbg.append((f0, t0, sumw, sump_n, cbarn,
+                             (zpack[0], zpack[20])))
 
     Vn = jnp.stack(Vn)
     Wn = jnp.stack(Wn)
@@ -537,6 +916,45 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
     # (ref: bbl.c:917 rotate_vector(pc->s.m, xb + 3))
     Mn = (jnp.stack([rotate_vector(M[n], Wn[n]) for n in range(N)])
           if M is not None else None)
+    if os.environ.get("LTP_BBL_DUMP"):
+        def _writer(vn, wn, f0a, t0a, swa, spa, z0a, z20a, cba, mn):
+            def _hx(v):
+                return float(v).hex()
+            with open(os.environ["LTP_BBL_DUMP"], "a") as _fh:
+                for n in range(N):
+                    _fh.write(
+                        f"pass1 {n + 1} f0 "
+                        + " ".join(_hx(f0a[n][a]) for a in range(3))
+                        + " t0 " + " ".join(_hx(t0a[n][a])
+                                            for a in range(3))
+                        + f" sumw {_hx(swa[n])} sump {_hx(spa[n])}"
+                        + f" z0 {_hx(z0a[n])} z20 {_hx(z20a[n])}"
+                        + " cb " + " ".join(_hx(cba[n][a])
+                                            for a in range(3)) + "\n")
+                for n in range(N):
+                    _fh.write(
+                        f"upd {n + 1} v "
+                        + " ".join(_hx(vn[n][a]) for a in range(3))
+                        + " w " + " ".join(_hx(wn[n][a])
+                                           for a in range(3))
+                        + " m " + " ".join(_hx(mn[n][a])
+                                           for a in range(3)) + "\n")
+        dbg = _bbl_dbg[-N:]
+        jax.debug.callback(
+            _writer, Vn, Wn,
+            jnp.stack([jnp.stack([jnp.asarray(d[0][a]) for a in range(3)])
+                       for d in dbg]),
+            jnp.stack([jnp.stack([jnp.asarray(d[1][a]) for a in range(3)])
+                       for d in dbg]),
+            jnp.stack([jnp.asarray(d[2]) for d in dbg]),
+            jnp.stack([jnp.asarray(d[3]) for d in dbg]),
+            jnp.stack([jnp.asarray(d[5][0]) for d in dbg]),
+            jnp.stack([jnp.asarray(d[5][1]) for d in dbg]),
+            jnp.stack([jnp.stack([jnp.asarray(d[4][a]) for a in range(3)])
+                       for d in dbg]),
+            jnp.zeros((N, 3), f.dtype) if Mn is None else Mn,
+            ordered=True)
+        _bbl_dbg.clear()
 
     # Pass 2: apply BBL with the new velocities.  For each link (q at
     # fluid site i, inside j = i + c_q): f[rev q](j) = f[q](i) - df.
@@ -544,10 +962,14 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
     fout = f
     for n in range(N):
         geoms, cbarn, rxcbarn = dfs[n]
-        dms = 2.0 * rcs2 * rho0 * (
-            Vn[n][0] * cbarn[0] + Vn[n][1] * cbarn[1] + Vn[n][2] * cbarn[2]
-            + Wn[n][0] * rxcbarn[0] + Wn[n][1] * rxcbarn[1]
-            + Wn[n][2] * rxcbarn[2])
+        # missing-link "squeeze" factor, accumulated in the reference's
+        # interleaved order: v0 cb0, w0 rx0, v1 cb1, ... (ref: pass2
+        # for(ia) { dms += v[ia]*cbar[ia]; dms += w[ia]*rxcbar[ia]; })
+        dms = 0.0
+        for a in range(3):
+            dms = dms + Vn[n][a] * cbarn[a]
+            dms = dms + Wn[n][a] * rxcbarn[a]
+        dms = 2.0 * rcs2 * rho0 * dms
         for qi, q in enumerate(range(1, nvel)):
             (m, c, w, rb, rbxc) = geoms[qi]
             wxrb = [Wn[n][1] * rb[2] - Wn[n][2] * rb[1],
@@ -555,10 +977,11 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
                     Wn[n][0] * rb[1] - Wn[n][1] * rb[0]]
             vdotc = sum((Vn[n][a] + wxrb[a]) * float(c[a]) for a in range(3))
             vdotc = 2.0 * rcs2 * w * vdotc
-            # shape-change and squirmer mass terms (ref: pass2
-            # df = rho0 vdotc + wv deltam - wv dms + wv sump)
-            df = (rho0 * vdotc + w * deltam_all[n] - w * dms
-                  + w * sump_all[n])
+            # shape-change and squirmer mass terms in the reference's
+            # exact composition order (ref: pass2 df = rho0 vdotc
+            # + wv deltam; df += wv sump; df -= wv dms)
+            df = ((rho0 * vdotc + w * deltam_all[n])
+                  + w * sump_all[n]) - w * dms
             # write f[rev(q)] at the inside site j: the value travels
             # with the link; shift the (masked) outside values by +c_q
             qr = int(model.reverse[q])
@@ -574,16 +997,35 @@ def bbl_step(f: jnp.ndarray, R, V, W, model: LatticeModel,
 def refresh_inside(f, model: LatticeModel, inside, ub, rho0=1.0):
     """Reset interior distributions to the solid-body equilibrium.
 
-    Reference bbl_pass0 (ref: bbl.c:294-345) writes, at every interior
-    site, f_p = w_p (1 + c.u/cs2 + Q:uu/(2 cs4)) for p = 1..nvel-1 with
-    unit density and u the local solid-body velocity - and leaves the
-    REST population f_0 untouched, so the interior mass is not reset.
+    Reference bbl_pass0 (ref: bbl.c:294-356) writes, at every interior
+    site, f_p = w_p (1 + rcs2 u.c + 0.5 rcs2^2 sdotq) for p = 1..nvel-1
+    with unit density and u the local solid-body velocity - and leaves
+    the REST population f_0 untouched, so the interior mass is not
+    reset.  The polynomial is evaluated term-for-term as the reference
+    does (NOT via the mode-basis equilibrium, whose rounding differs):
+    udotc as a single left-to-right dot, sdotq accumulated over the
+    (ia, ib) double loop with per-term ((q_ab u_ia) u_ib).
     """
     del rho0  # pass0 uses unit density regardless of fluid rho0
-    rho = jnp.ones(f.shape[1:], f.dtype)
-    feq = equilibrium(model, rho, ub)
-    out = jnp.where(inside[None], feq, f)
-    return out.at[0].set(f[0])
+    cv = np.asarray(model.cv, np.float64)
+    wv = np.asarray(model.wv, np.float64)
+    rcs2 = 1.0 / CS2
+    nd = ub.shape[0]
+    rows = [f[0]]
+    for p in range(1, model.nvel):
+        udotc = cv[p][0] * ub[0]
+        for a in range(1, nd):
+            udotc = udotc + cv[p][a] * ub[a]
+        sdotq = 0.0
+        for ia in range(3):
+            for ib in range(3):
+                qab = float(cv[p][ia] * cv[p][ib]) - CS2 * (ia == ib)
+                if ia < nd and ib < nd:
+                    sdotq = sdotq + (qab * ub[ia]) * ub[ib]
+        feq = wv[p] * (1.0 + rcs2 * udotc
+                       + 0.5 * rcs2 * rcs2 * sdotq)
+        rows.append(jnp.where(inside, feq, f[p]))
+    return jnp.stack(rows)
 
 
 def wall_lubr_sphere_all(R, params: ColloidParams, walls, lubr_rc,
@@ -684,20 +1126,27 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         #    stay frozen at Rmap, the position of the last rebuild.
         fxm = params.fixedr_mask(R.dtype)
         mv = dr if fxm is None else fxm * dr
-        R = jnp.mod(R + mv, jnp.asarray(np.array(size, np.float64),
-                                        R.dtype))
+        R = position_update(R, mv, size)
         bmap = build_map_fast if fast else build_map
         rrfn = remove_replace_fast if fast else remove_replace
+        rr_seeds = None
+        deltam = f0c = t0c = None
         if rebuild:
             pid_old, inside_old = bmap(Rmap, params, size)
             Rmap = R
             pid, inside = bmap(R, params, size)
-            f, deltam, f0c, t0c = rrfn(
-                f, R, V, W, inside_old, pid_old, inside, pid, model,
-                params, size, rho0=cfg.rho0)
+            if fast:
+                f, deltam, f0c, t0c = rrfn(
+                    f, R, V, W, inside_old, pid_old, inside, pid, model,
+                    params, size, rho0=cfg.rho0)
+            else:
+                # per-periodic-image seeds keep the bbl accumulators
+                # bitwise against the reference's per-copy build sums
+                f, rr_seeds = remove_replace(
+                    f, R, V, W, inside_old, pid_old, inside, pid, model,
+                    params, size, rho0=cfg.rho0, per_image=True)
         else:
             pid, inside = bmap(Rmap, params, size)
-            deltam = f0c = t0c = None
 
         # interior sites track the solid-body velocity (ref: bbl pass0)
         L = jnp.asarray(np.array(size, np.float64), f.dtype)
@@ -709,11 +1158,14 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
             for n in range(params.n):
                 d = _min_image(coords - R[n][:, None, None, None],
                                L[:, None, None, None])
-                wxr = jnp.stack([W[n][1] * d[2] - W[n][2] * d[1],
-                                 W[n][2] * d[0] - W[n][0] * d[2],
-                                 W[n][0] * d[1] - W[n][1] * d[0]])
+                # (v + w_b rb_c) - w_c rb_b per component - the
+                # reference's association (ref: bbl.c pass0 ub[X])
+                ubn = jnp.stack([
+                    (V[n][0] + W[n][1] * d[2]) - W[n][2] * d[1],
+                    (V[n][1] + W[n][2] * d[0]) - W[n][0] * d[2],
+                    (V[n][2] + W[n][0] * d[1]) - W[n][1] * d[0]])
                 mask = (pid == n)[None]
-                ub = jnp.where(mask, V[n][:, None, None, None] + wxr, ub)
+                ub = jnp.where(mask, ubn, ub)
         f = refresh_inside(f, model, inside, ub, cfg.rho0)
 
         # 2. collide on fluid sites (fluctuations via the usual hooks).
@@ -775,7 +1227,8 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
                 ext_force=ext, ext_torque=ext_t, rho0=cfg.rho0,
                 deltam=deltam, f0_corr=f0c,
                 t0_corr=t0c, M=Msw, wall_drag=dwall,
-                walls=(wallspec.walls if has_walls else (False,) * 3))
+                walls=(wallspec.walls if has_walls else (False,) * 3),
+                rr_seeds=rr_seeds)
         if has_walls:
             gwall = gwall + gwbb
         if dwall is not None:

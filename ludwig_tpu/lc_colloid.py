@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ludwig_tpu.binary_colloid import colloid_fe_force
-from ludwig_tpu.colloids import (ColloidParams, _min_image, bbl_step,
+from ludwig_tpu.colloids import (position_update, ColloidParams, _min_image, bbl_step,
                                  build_map, refresh_inside, remove_replace,
                                  site_coords)
 from ludwig_tpu.dynamics.beris_edwards import (BerisEdwardsParams,
@@ -119,7 +119,7 @@ def make_lc_colloid_step(lcfg: LCConfig, params: ColloidParams,
             gwall = None
         L = jnp.asarray(np.array(size, np.float64), R.dtype)
         fxm = params.fixedr_mask(R.dtype)
-        R = jnp.mod(R + (dr if fxm is None else fxm * dr), L)
+        R = position_update(R, (dr if fxm is None else fxm * dr), size)
         if rebuild:
             pid_old, inside_old = build_map(Rmap, params, size)
             Rmap = R
@@ -140,11 +140,14 @@ def make_lc_colloid_step(lcfg: LCConfig, params: ColloidParams,
         for n in range(params.n):
             d = _min_image(coords - R[n][:, None, None, None],
                            L[:, None, None, None])
-            wxr = jnp.stack([W[n][1] * d[2] - W[n][2] * d[1],
-                             W[n][2] * d[0] - W[n][0] * d[2],
-                             W[n][0] * d[1] - W[n][1] * d[0]])
+            # (v + w_b rb_c) - w_c rb_b per component - the
+            # reference's association (ref: bbl.c pass0 ub[X])
+            ubn = jnp.stack([
+                (V[n][0] + W[n][1] * d[2]) - W[n][2] * d[1],
+                (V[n][1] + W[n][2] * d[0]) - W[n][0] * d[2],
+                (V[n][2] + W[n][0] * d[1]) - W[n][1] * d[0]])
             mask = (pid == n)[None]
-            ub = jnp.where(mask, V[n][:, None, None, None] + wxr, ub)
+            ub = jnp.where(mask, ubn, ub)
         f = refresh_inside(f, model, inside, ub, cfg.rho0)
 
         # anchoring gradients with the colloid map

@@ -1563,28 +1563,38 @@ def _make_stats_fn(sys_: System):
                 mean2 = tot2 / nfl
                 var2 = (var + mean * mean) - mean2 * mean2
                 res["phi"] = (tot2, mean2, var2, mn, mx)
-                if coswt == 0.0:
-                    # initial stats: the state stash is still zeros
+                if (coswt == 0.0
+                        or sys_.rt.int("_log_vintage", 9999) < 8):
+                    # initial stats (the state stash is still zeros), or
+                    # pre-v0.8 logs whose [fe] matches gradients of the
+                    # PRE-rebuild phi (stats-time recompute; the v0.8+
+                    # stash is post-remove/replace - serial-coll-rlb
+                    # vs serial-spin-c03)
+                    pphi = (prev[1] if coswt != 0.0 and prev
+                            and len(prev) > 1 else phi)
                     grad, delsq = solid27_scalar_ops(
                         sys_.lb_cfg.size, fluid=fl,
                         rkappa=1.0 / l2.fe.kappa, c=0.0, h=0.0,
                         walls=(sys_.wallspec.walls if sys_.wallspec
                                else (False,) * 3))
-                    sg, sd = grad(phi), delsq(phi)
+                    sg, sd = grad(pphi), delsq(pphi)
                 else:
                     # the step's own top-of-step gradients
                     sg, sd = state[10], state[11]
                 fields = {"phi": phi, "grad_phi": sg, "delsq_phi": sd}
                 fed = l2.fe.fed(fields)
-                if os.environ.get("LTP_FED_DUMP") and not isinstance(
-                        fed, jax.core.Tracer):
-                    import numpy as _np
-                    n = getattr(compute, "_dump_n", 0)
-                    compute._dump_n = n + 1
-                    _np.savez(f"{os.environ['LTP_FED_DUMP']}.{n}.npz",
-                              fed=_np.asarray(fed), fl=_np.asarray(fl),
-                              phi=_np.asarray(phi), sg=_np.asarray(sg),
-                              sd=_np.asarray(sd))
+                if os.environ.get("LTP_FED_DUMP"):
+                    def _fed_writer(fed_, fl_, phi_, sg_, sd_):
+                        import numpy as _np
+                        n = getattr(compute, "_dump_n", 0)
+                        compute._dump_n = n + 1
+                        _np.savez(
+                            f"{os.environ['LTP_FED_DUMP']}.{n}.npz",
+                            fed=_np.asarray(fed_), fl=_np.asarray(fl_),
+                            phi=_np.asarray(phi_), sg=_np.asarray(sg_),
+                            sd=_np.asarray(sd_))
+                    jax.debug.callback(_fed_writer, fed, fl, phi, sg, sd,
+                                       ordered=True)
                 res["fe_colloid"] = (jnp.sum(jnp.where(fl, fed, 0.0)),
                                      jnp.sum(fl.astype(fed.dtype)))
             if sys_.lc_cfg is not None:
@@ -1650,7 +1660,8 @@ def _make_stats_fn(sys_: System):
                    if _old_stats else None)
         res = {"rho": stats.rho_stats_ref(f, model, mask,
                                           blocks=_blocks),
-               "g": _g_fn(f, model, mask),
+               "g": (_g_fn(f, model, mask, blocks=_blocks)
+                     if _old_stats else _g_fn(f, model, mask)),
                "umm": stats.velocity_minmax(u, mask)}
         if sys_.wallspec is not None:
             if sys_.is_binary:
@@ -2039,6 +2050,11 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
         gw = res.get("gwall")
         gt = [g[a] + gc[a] + (gw[a] if gw is not None else 0.0)
               for a in range(3)]
+        if os.environ.get("LTP_MOM_DUMP"):
+            with open(os.environ["LTP_MOM_DUMP"], "a") as fh:
+                fh.write(f"{int(tstep)} " + " ".join(
+                    float(v).hex() for v in (g[0], g[1], g[2],
+                                             gc[0], gc[1], gc[2])) + "\n")
         out.write("\nMomentum - x y z\n")
         out.write(f"[total   ] {float(gt[0]):14.7e} {float(gt[1]):14.7e} "
                   f"{float(gt[2]):14.7e}\n")

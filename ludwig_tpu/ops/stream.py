@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,7 +40,15 @@ def _roll3(x: jnp.ndarray, shift, first_axis: int) -> jnp.ndarray:
 
 
 def stream(f: jnp.ndarray, model: LatticeModel) -> jnp.ndarray:
-    """Pull-streaming: f'_p(r) = f_p(r - c_p), fully periodic."""
+    """Pull-streaming: f'_p(r) = f_p(r - c_p), fully periodic.
+
+    The input is fenced with an optimization barrier: each of the nvel
+    rolls is a separate consumer of f, and without the fence XLA:CPU
+    duplicates the whole upstream collision fusion into every one of
+    them (~3x step cost on the coupled binary/LC paths).  The barrier
+    is arithmetic-neutral (results stay bitwise identical).
+    """
+    f = jax.lax.optimization_barrier(f)
     return jnp.stack([_roll3(f[p], model.cv[p], 0)
                       for p in range(model.nvel)])
 

@@ -272,12 +272,19 @@ def momentum_total_ref(f: jnp.ndarray, model: LatticeModel,
 
 
 def momentum_total_plain(f: jnp.ndarray, model: LatticeModel,
-                         fluid_mask: Optional[jnp.ndarray] = None):
+                         fluid_mask: Optional[jnp.ndarray] = None,
+                         blocks=None):
     """(3,) total momentum via a PLAIN (uncompensated) site-major,
     p-minor sequential sum - the pre-v0.12 reference accumulation
     (stats_distribution.c before the kahan_t rewrite).  Used for golden
     parity against old logs whose near-zero totals carry the plain-sum
-    roundoff (e.g. pmpi08-spin-fd1's 3.6379788e-12 at t = 0)."""
+    roundoff (e.g. pmpi08-spin-fd1's 3.6379788e-12 at t = 0).
+
+    blocks: optional MPI decomposition (gx, gy, gz) of the committed
+    log's run: each rank sums its own subdomain sites in local order,
+    and the partials combine in cart-rank order like the MPI_Reduce of
+    the parallel reference run (the near-zero totals are decomposition-
+    dependent roundoff; ref: long08-chol-n01's 3.6161213e-12)."""
     import numpy as np
     nvel = model.nvel
     cv = np.asarray(model.cv, np.float64)
@@ -293,14 +300,30 @@ def momentum_total_plain(f: jnp.ndarray, model: LatticeModel,
             t = cpa * f[p]
             acc = t if acc is None else acc + t
         g[a] = acc if acc is not None else jnp.zeros_like(f[0])
-    persite = jnp.stack(g, axis=-1).reshape(-1, 3)
+    gsite = jnp.stack(g, axis=-1)                    # (X, Y, Z, 3)
     if fluid_mask is not None:
-        persite = jnp.where(fluid_mask.reshape(-1)[:, None], persite, 0.0)
+        gsite = jnp.where(fluid_mask[..., None], gsite, 0.0)
 
     def body(s, v):
         return s + v, ()
 
-    tot, _ = jax.lax.scan(body, jnp.zeros((3,), f.dtype), persite)
+    z3 = jnp.zeros((3,), f.dtype)
+    if blocks is not None and tuple(blocks) != (1, 1, 1):
+        gx, gy, gz = blocks
+        X, Y, Z = gsite.shape[:3]
+        bx, by, bz = X // gx, Y // gy, Z // gz
+        r7 = gsite.reshape(gx, bx, gy, by, gz, bz, 3)
+        persite = jnp.transpose(r7, (0, 2, 4, 1, 3, 5, 6)).reshape(
+            gx * gy * gz, -1, 3)
+
+        def rank_sum(rows):
+            s, _ = jax.lax.scan(body, z3, rows)
+            return s
+
+        partials = jax.vmap(rank_sum)(persite)
+        tot, _ = jax.lax.scan(body, z3, partials)
+        return tot
+    tot, _ = jax.lax.scan(body, z3, gsite.reshape(-1, 3))
     return tot
 
 

@@ -118,3 +118,50 @@ def test_sedimentation_terminal_velocity():
     assert vs[-1] > 0.2 * v_stokes
     assert vs[-1] < 1.2 * v_stokes
     assert abs(vs[-1] - vs[-2]) < 0.05 * vs[-1]
+
+
+def test_gauss_solve6_ref_bitwise():
+    """gauss_solve6_ref must reproduce the reference's in-place
+    partial-pivot elimination (bbl.c:750-880) bit for bit, including
+    the reciprocal-multiply scaling and last-max pivot choice."""
+    import numpy as np
+    from ludwig_tpu.colloids import gauss_solve6_ref
+
+    def c_solve(a, xb):
+        a = a.copy()
+        xb = xb.copy()
+        ipivot = [-1] * 6
+        iprow = 0
+        for k in range(6):
+            tmp = 0.0
+            for idash in range(6):
+                if ipivot[idash] == -1 and abs(a[idash, k]) >= tmp:
+                    tmp = abs(a[idash, k])
+                    iprow = idash
+            ipivot[k] = iprow
+            tmp = 1.0 / a[iprow, k]
+            for j in range(k, 6):
+                a[iprow, j] *= tmp
+            xb[iprow] *= tmp
+            for idash in range(6):
+                if idash not in ipivot[:k + 1]:
+                    tmp = a[idash, k]
+                    for j in range(k, 6):
+                        a[idash, j] -= tmp * a[iprow, j]
+                    xb[idash] -= tmp * xb[iprow]
+        for idash in range(5, -1, -1):
+            iprow = ipivot[idash]
+            tmp = xb[iprow]
+            for k in range(idash + 1, 6):
+                tmp -= a[iprow, k] * xb[ipivot[k]]
+            xb[iprow] = tmp
+        return xb
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        z = rng.normal(0.0, 1.0, (6, 6))
+        a = z + z.T + np.diag([50.0] * 6)      # mass-dominated like bbl
+        b = rng.normal(0.0, 1.0, 6)
+        want = c_solve(a, b)
+        got = np.asarray(gauss_solve6_ref(jnp.asarray(a), jnp.asarray(b)))
+        assert np.array_equal(want, got), (trial, want - got)

@@ -73,3 +73,37 @@ def test_global_reduction_on_sharded():
 def test_graft_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_multihost_bootstrap_single_process():
+    # Single-process: init() must be a no-op returning False, and
+    # pod_mesh must span all (virtual) devices with a 3-D factorisation.
+    from ludwig_tpu.parallel import multihost
+    assert multihost.init() is False
+    assert multihost.is_rank0()
+    mesh = multihost.pod_mesh(devices=jax.devices("cpu"))
+    assert mesh.devices.size == len(jax.devices("cpu"))
+    assert len(mesh.axis_names) == 3
+    assert multihost._factor3(8) == (2, 2, 2)
+    assert multihost._factor3(12) == (3, 2, 2)
+    assert multihost._factor3(7) == (7, 1, 1)
+
+
+def test_multihost_pod_mesh_runs_step():
+    from ludwig_tpu.parallel import multihost
+    mesh = multihost.pod_mesh(grid=(2, 2, 2), devices=jax.devices("cpu"))
+    size = (8, 8, 8)
+    cfg = LBConfig(size=size, nvel=19, eta_shear=0.1, dtype="float64")
+    from ludwig_tpu.lb import initial_rest
+    f = shard_lattice(initial_rest(cfg), mesh)
+    from ludwig_tpu.ops.collide import collide
+    from ludwig_tpu.ops.stream import stream
+
+    @jax.jit
+    def step(f):
+        f, _, _ = collide(f, cfg.collision_params())
+        return stream(f, cfg.model)
+
+    f = step(f)
+    np.testing.assert_allclose(float(jnp.sum(f)), float(np.prod(size)),
+                               rtol=1e-12)
