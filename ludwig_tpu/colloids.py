@@ -351,6 +351,63 @@ def build_map(R: jnp.ndarray, params: ColloidParams, size,
     return pid, pid >= 0
 
 
+def rr_replacement_field(f, inside_old, model: LatticeModel, size,
+                         walls=(False, False, False)):
+    """(newf, wsum): the wv-weighted old-fluid neighbour average used to
+    replace uncovered sites, with the reference's reciprocal-multiply
+    normalisation (ref: build_replace_fluid :832-940 'weight =
+    1.0/weight; newf[p] *= weight')."""
+    fluid_old = jnp.logical_not(inside_old)
+    wsum = 0.0
+    newf = jnp.zeros_like(f)
+    for p in range(1, model.nvel):
+        shift = tuple(-int(v) for v in model.cv[p])  # value at site + c_p
+        w = float(model.wv[p])
+        m = roll3(fluid_old, shift).astype(f.dtype)
+        if any(walls):
+            # neighbours across a wall plane are MAP_BOUNDARY in the
+            # reference and excluded from the replacement average
+            # (ref: build_replace_order_parameter status check)
+            keep = np.ones(size, bool)
+            for ax in range(3):
+                cax = int(model.cv[p][ax])
+                if walls[ax] and cax != 0:
+                    sel = [slice(None)] * 3
+                    sel[ax] = size[ax] - 1 if cax > 0 else 0
+                    keep[tuple(sel)] = False
+            m = m * jnp.asarray(keep, f.dtype)
+        wsum = wsum + w * m
+        newf = newf + w * m[None] * roll3(f, shift, first_axis=1)
+    rw = 1.0 / jnp.where(wsum > 0.0, wsum, 1.0)
+    newf = newf * rw[None]
+    return newf, wsum
+
+
+def rr_moments(f, newf, model: LatticeModel):
+    """(rho_f, g_f, rho_n, gneg): per-site moments of the old and the
+    replacement distributions in the reference's accumulation order
+    (ref: lb_0th_moment / lb_1st_moment p-ascending chains;
+    build_replace_fluid's g accumulates NEGATED terms)."""
+    cv = np.asarray(model.cv, np.float64)
+    rho_f = f[0]
+    for q in range(1, model.nvel):
+        rho_f = rho_f + f[q]
+    g_f = [None, None, None]
+    for a in range(3):
+        acc = 0.0
+        for q in range(model.nvel):
+            acc = acc + float(cv[q][a]) * f[q]
+        g_f[a] = acc
+    rho_n = newf[0]
+    gneg = [0.0, 0.0, 0.0]
+    for q in range(model.nvel):
+        if q > 0:
+            rho_n = rho_n + newf[q]
+        for a in range(3):
+            gneg[a] = gneg[a] - newf[q] * float(cv[q][a])
+    return rho_f, g_f, rho_n, gneg
+
+
 def remove_replace(f, R, V, W, inside_old, pid_old, inside_new, pid_new,
                    model: LatticeModel, params: ColloidParams, size,
                    rho0: float = 1.0, walls=(False, False, False),
@@ -384,31 +441,7 @@ def remove_replace(f, R, V, W, inside_old, pid_old, inside_new, pid_new,
     covered = jnp.logical_and(inside_new, jnp.logical_not(inside_old))
     uncovered = jnp.logical_and(inside_old, jnp.logical_not(inside_new))
 
-    # weighted neighbour average from old-fluid sites (for uncovered)
-    fluid_old = jnp.logical_not(inside_old)
-    wsum = 0.0
-    newf = jnp.zeros_like(f)
-    for p in range(1, model.nvel):
-        shift = tuple(-int(v) for v in model.cv[p])  # value at site + c_p
-        w = float(model.wv[p])
-        m = roll3(fluid_old, shift).astype(f.dtype)
-        if any(walls):
-            # neighbours across a wall plane are MAP_BOUNDARY in the
-            # reference and excluded from the replacement average
-            # (ref: build_replace_order_parameter status check)
-            keep = np.ones(size, bool)
-            for ax in range(3):
-                cax = int(model.cv[p][ax])
-                if walls[ax] and cax != 0:
-                    sel = [slice(None)] * 3
-                    sel[ax] = size[ax] - 1 if cax > 0 else 0
-                    keep[tuple(sel)] = False
-            m = m * jnp.asarray(keep, f.dtype)
-        wsum = wsum + w * m
-        newf = newf + w * m[None] * roll3(f, shift, first_axis=1)
-    # ref: weight = 1.0/weight; newf[p] *= weight (reciprocal multiply)
-    rw = 1.0 / jnp.where(wsum > 0.0, wsum, 1.0)
-    newf = newf * rw[None]
+    newf, wsum = rr_replacement_field(f, inside_old, model, size, walls)
     if any(walls):
         # no-donor fallback: reprojection at (rho0, solid-body u of the
         # OLD owner) - happens when a particle near a wall uncovers a
@@ -440,26 +473,7 @@ def remove_replace(f, R, V, W, inside_old, pid_old, inside_new, pid_new,
         feq = jnp.stack(feq)
         newf = jnp.where((wsum <= 0.0)[None], feq, newf)
 
-    # per-site moments in the reference's accumulation order
-    # (ref: lb_0th_moment / lb_1st_moment p-ascending chains;
-    #  build_replace_fluid's g accumulates NEGATED terms)
-    cv = np.asarray(model.cv, np.float64)
-    rho_f = f[0]
-    for q in range(1, model.nvel):
-        rho_f = rho_f + f[q]
-    g_f = [None, None, None]
-    for a in range(3):
-        acc = 0.0
-        for q in range(model.nvel):
-            acc = acc + float(cv[q][a]) * f[q]
-        g_f[a] = acc
-    rho_n = newf[0]
-    gneg = [0.0, 0.0, 0.0]
-    for q in range(model.nvel):
-        if q > 0:
-            rho_n = rho_n + newf[q]
-        for a in range(3):
-            gneg[a] = gneg[a] - newf[q] * float(cv[q][a])
+    rho_f, g_f, rho_n, gneg = rr_moments(f, newf, model)
 
     if per_image:
         seeds = []
@@ -1107,9 +1121,9 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
     fast = (params.n > 4 and not has_walls
             and not any(params.is_active(n) for n in range(params.n)))
     if fast:
-        from ludwig_tpu.colloids_fast import (bbl_step_fast,
+        from ludwig_tpu.colloids_fast import (bbl_step_exact,
                                               build_map_fast,
-                                              remove_replace_fast,
+                                              remove_replace_seeds_fast,
                                               solid_body_u)
 
     @partial(jax.jit, static_argnums=2, donate_argnums=0)
@@ -1128,7 +1142,6 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         mv = dr if fxm is None else fxm * dr
         R = position_update(R, mv, size)
         bmap = build_map_fast if fast else build_map
-        rrfn = remove_replace_fast if fast else remove_replace
         rr_seeds = None
         deltam = f0c = t0c = None
         if rebuild:
@@ -1136,8 +1149,10 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
             Rmap = R
             pid, inside = bmap(R, params, size)
             if fast:
-                f, deltam, f0c, t0c = rrfn(
-                    f, R, V, W, inside_old, pid_old, inside, pid, model,
+                # batched per-image build seeds, bitwise vs the slow
+                # remove_replace(per_image=True)
+                f, rr_seeds = remove_replace_seeds_fast(
+                    f, R, inside_old, pid_old, inside, pid, model,
                     params, size, rho0=cfg.rho0)
             else:
                 # per-periodic-image seeds keep the bbl accumulators
@@ -1216,10 +1231,10 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         Vold = V
         # link geometry is from the last rebuild position Rmap
         if fast:
-            f, V, W, Msw, gwbb = bbl_step_fast(
+            f, V, W, Msw, gwbb = bbl_step_exact(
                 f, Rmap, V, W, model, params, size,
                 ext_force=ext, ext_torque=ext_t, rho0=cfg.rho0,
-                deltam=deltam, f0_corr=f0c, t0_corr=t0c, M=Msw,
+                rr_seeds=rr_seeds, M=Msw,
                 pid_inside=(pid, inside))
         else:
             f, V, W, Msw, gwbb = bbl_step(

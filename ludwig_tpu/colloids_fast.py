@@ -21,7 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ludwig_tpu.colloids import (ColloidParams, _min_image, rotate_vector,
+from ludwig_tpu.colloids import (ColloidParams, _min_image, _xyz_tree,
+                                 gauss_solve6_ref, rotate_vector,
+                                 rr_moments, rr_replacement_field,
                                  site_coords, solve6)
 from ludwig_tpu.lattice import LatticeModel
 from ludwig_tpu.ops.collide import CS2
@@ -87,10 +89,11 @@ def solid_body_u(R, V, W, pid, inside, size, dtype, coords=None):
     Vo = jnp.moveaxis(V[own], -1, 0)
     Wo = jnp.moveaxis(W[own], -1, 0)
     d = _min_image(coords - Ro, L[:, None, None, None])
-    wxr = jnp.stack([Wo[1] * d[2] - Wo[2] * d[1],
-                     Wo[2] * d[0] - Wo[0] * d[2],
-                     Wo[0] * d[1] - Wo[1] * d[0]])
-    ub = Vo + wxr
+    # (v + w_b rb_c) - w_c rb_b per component - the reference's
+    # association (ref: bbl.c pass0 ub[X]); bitwise vs the slow path
+    ub = jnp.stack([(Vo[0] + Wo[1] * d[2]) - Wo[2] * d[1],
+                    (Vo[1] + Wo[2] * d[0]) - Wo[0] * d[2],
+                    (Vo[2] + Wo[0] * d[1]) - Wo[1] * d[0]])
     return jnp.where(inside[None], ub, 0.0)
 
 
@@ -542,3 +545,394 @@ def g_remove_replace_fast(g, inside_old, inside_new, pid_old, pid_new,
     ids_nf = jnp.where(newly_fluid, pid_old, n_part).reshape(-1)
     dd = dd - seg(newly_fluid.astype(g.dtype) * (phi_new - phi0), ids_nf)
     return g, dd
+
+
+# ---------------------------------------------------------------------------
+# Reference-order (bitwise) link sums for suspensions.
+#
+# The segment-sum path above is print-precision but not bitwise: the
+# reference accumulates each particle's link sums per periodic COPY in
+# site-major / velocity-minor order over the copy's clipped bounding
+# cube, then consolidates the copies with the X-Y-Z pairwise tree of
+# colloid_sums_halo (ref: build.c:362-470, bbl.c pass1,
+# colloid_sums.c:164-166; transcribed per-particle in
+# colloids._ordered_image_reduce).  Near-zero conserved momentum totals
+# in the logs are pure roundoff of exactly that order, so golden parity
+# for suspensions (e.g. serial-lubr-tf1, 1000 particles) needs it too.
+#
+# Here the same reduction runs BATCHED: the term fields are sliced from
+# whole-lattice stacks per particle bounding cube (O(nvel) lattice
+# passes to build, independent of N) and the per-cube sequential scans
+# are vmapped over particle chunks (jax.lax.map batch_size), giving the
+# reference's bitwise sums at O(N * cube) cost with bounded memory.
+
+def _static_cube(size, a0max):
+    import math
+    return tuple(min(int(2 * math.ceil(float(a0max)) + 5), int(size[a]))
+                 for a in range(3))
+
+
+def ordered_reduce_batched(R, a0, size, Ds, nt, make_terms, seeds, dtype,
+                           batch_size=16, consolidate=True):
+    """Reference-order per-particle link sums, batched over particles.
+
+    make_terms(n, Rn, corner, ccoords) -> (nt, C, Dx, Dy, Dz) in-cube
+    term values, already masked to particle n's links (exact zeros
+    elsewhere: a sequential FP sum is invariant under interleaved
+    zeros).  seeds: None, (N, nt) applied to the real copy, or
+    (N, 8, nt) per periodic image (scan initial values, ref: bbl.c:410
+    build contributions pre-seed the pass1 accumulators).
+
+    Returns (N, nt) consolidated through the X-Y-Z tree, or (N, 8, nt)
+    per-image partials with consolidate=False (the layout the
+    remove/replace build seeds need).
+    """
+    N = R.shape[0]
+    L = jnp.asarray(np.array(size, np.float64), dtype)
+    a0v = jnp.asarray(np.asarray(a0, np.float64), dtype)
+    if seeds is None:
+        seeds_arr = jnp.zeros((N, 8, nt), dtype)
+    elif seeds.ndim == 2:
+        seeds_arr = jnp.zeros((N, 8, nt), dtype).at[:, 0].set(seeds)
+    else:
+        seeds_arr = seeds
+
+    def one(args):
+        n, Rn, a0n, seed = args
+        sgn = jnp.where(Rn < 0.5 * L, 1.0, -1.0)
+        partials = []
+        for img in range(8):
+            bvec = np.array([(img >> 2) & 1, (img >> 1) & 1, img & 1],
+                            np.float64)
+            rpos = Rn + sgn * L * jnp.asarray(bvec, dtype)
+            cs = []
+            for a in range(3):
+                c0 = jnp.floor(rpos[a] - a0n) - 1.0
+                c0 = jnp.clip(c0, 0.0, float(size[a] - Ds[a]))
+                cs.append(c0.astype(jnp.int32))
+            corner = jnp.stack(cs)
+            axes = [jnp.arange(Ds[a], dtype=dtype)
+                    + corner[a].astype(dtype) for a in range(3)]
+            cc = jnp.stack(jnp.meshgrid(*axes, indexing="ij"))
+            rnd = jnp.round((cc - Rn[:, None, None, None])
+                            / L[:, None, None, None])
+            want = sgn * jnp.asarray(bvec, dtype)
+            member = jnp.logical_and(
+                jnp.logical_and(rnd[0] == want[0], rnd[1] == want[1]),
+                rnd[2] == want[2])
+            terms = make_terms(n, Rn, corner, cc)
+            vals = terms * member[None, None].astype(dtype)
+            flat = jnp.transpose(vals, (2, 3, 4, 1, 0)).reshape(
+                -1, nt).astype(dtype)
+
+            def body(s, v):
+                return s + v, ()
+
+            out, _ = jax.lax.scan(body, seed[img], flat)
+            partials.append(out)
+        stacked = jnp.stack(partials)
+        if not consolidate:
+            return stacked
+        return _xyz_tree(stacked.reshape(2, 2, 2, nt))
+
+    idx = jnp.arange(N, dtype=jnp.int32)
+    return jax.lax.map(one, (idx, R, a0v, seeds_arr),
+                       batch_size=min(batch_size, N))
+
+
+def _cube_slice(x, corner, Ds, comp_axes=0):
+    start = [jnp.zeros((), jnp.int32)] * comp_axes \
+        + [corner[a] for a in range(3)]
+    sizes = tuple(x.shape[:comp_axes]) + tuple(Ds)
+    return jax.lax.dynamic_slice(x, start, sizes)
+
+
+def remove_replace_seeds_fast(f, R, inside_old, pid_old, inside_new,
+                              pid_new, model, params, size, rho0=1.0,
+                              batch_size=16):
+    """Batched per-periodic-image remove/replace build seeds: the
+    (N, 8, 7) rows [deltam, f0 x3, t0 x3] that pre-seed the bbl pass1
+    accumulators (bitwise equal to colloids.remove_replace
+    per_image=True; ref: build_remove_fluid/build_replace_fluid).
+
+    Returns (f with uncovered sites replaced, seeds)."""
+    N = params.n
+    dtype = f.dtype
+    L = jnp.asarray(np.array(size, np.float64), dtype)
+    covered = jnp.logical_and(inside_new, jnp.logical_not(inside_old))
+    uncovered = jnp.logical_and(inside_old, jnp.logical_not(inside_new))
+
+    newf, _wsum = rr_replacement_field(f, inside_old, model, size)
+    rho_f, g_f, rho_n, gneg = rr_moments(f, newf, model)
+    g_f = jnp.stack(g_f)
+    gneg = jnp.stack(gneg)
+
+    Ds = _static_cube(size, np.max(params.a0))
+
+    def termsS(n, Rn, corner, cc):
+        cov_n = jnp.logical_and(_cube_slice(covered, corner, Ds),
+                                _cube_slice(pid_new, corner, Ds) == n)
+        unc_n = jnp.logical_and(_cube_slice(uncovered, corner, Ds),
+                                _cube_slice(pid_old, corner, Ds) == n)
+        d = _min_image(cc - Rn[:, None, None, None],
+                       L[:, None, None, None])
+        rho_fc = _cube_slice(rho_f, corner, Ds)
+        rho_nc = _cube_slice(rho_n, corner, Ds)
+        g_fc = _cube_slice(g_f, corner, Ds, 1)
+        gnc = _cube_slice(gneg, corner, Ds, 1)
+
+        def site_terms(mask, rho_s, g_s):
+            dmass = jnp.where(mask, rho_s - rho0, 0.0)
+            gm = [jnp.where(mask, g_s[a], 0.0) for a in range(3)]
+            t = [jnp.where(mask, d[1] * g_s[2] - d[2] * g_s[1], 0.0),
+                 jnp.where(mask, d[2] * g_s[0] - d[0] * g_s[2], 0.0),
+                 jnp.where(mask, d[0] * g_s[1] - d[1] * g_s[0], 0.0)]
+            return dmass, gm, t
+
+        dmc, gc, tc = site_terms(cov_n, rho_fc, g_fc)
+        dmu, gu, tu = site_terms(unc_n, rho_nc, gnc)
+        rows = [(-dmc) + dmu]
+        for a in range(3):
+            rows.append(gc[a] + gu[a])
+        for a in range(3):
+            rows.append(tc[a] + tu[a])
+        return jnp.stack(rows)[:, None]          # (7, 1, Dx, Dy, Dz)
+
+    seeds = ordered_reduce_batched(R, params.a0, size, Ds, 7, termsS,
+                                   None, dtype, batch_size,
+                                   consolidate=False)
+    f = jnp.where(uncovered[None], newf, f)
+    return f, seeds
+
+
+def bbl_link_sums_exact(f, R, model: LatticeModel, params: ColloidParams,
+                        size, rho0=1.0, rr_seeds=None, deltam=None,
+                        f0_corr=None, t0_corr=None, pid_inside=None,
+                        batch_size=16):
+    """(sumw, cbarn, rxcbarn, dmn, f0, t0, zeta21) for every particle,
+    in the reference's bitwise accumulation order (pass1 of bbl.c,
+    build-time STRUCTURE sums; transcribed from colloids.bbl_step's
+    per-particle phases A/B, batched over particles).
+
+    Passive particles, periodic boundaries."""
+    N = params.n
+    dtype = f.dtype
+    nvel = model.nvel
+    if pid_inside is None:
+        pid, inside = build_map_fast(R, params, size)
+    else:
+        pid, inside = pid_inside
+    fluid = jnp.logical_not(inside)
+    L = jnp.asarray(np.array(size, np.float64), dtype)
+    rcs2 = 1.0 / CS2
+
+    # whole-lattice link stacks (owner at the inside end of each link)
+    MF, MCC, PIDN = [], [], []
+    for q in range(1, nvel):
+        sh = tuple(-int(v) for v in model.cv[q])
+        inside_n = roll3(inside, sh)
+        pid_n = roll3(pid, sh)
+        MF.append(jnp.logical_and(fluid, inside_n))
+        MCC.append(jnp.logical_and(jnp.logical_and(inside, pid != pid_n),
+                                   inside_n))
+        PIDN.append(pid_n)
+    MF = jnp.stack(MF)
+    MCC = jnp.stack(MCC)
+    PIDN = jnp.stack(PIDN)
+    F1 = f[1:]
+    FR = jnp.stack([roll3(f[int(model.reverse[q])],
+                          tuple(-int(v) for v in model.cv[q]))
+                    for q in range(1, nvel)])
+
+    cq = jnp.asarray(np.asarray(model.cv[1:], np.float64), dtype)
+    wq = jnp.asarray(np.asarray(model.wv[1:], np.float64), dtype)
+    wq4 = wq[:, None, None, None]
+    Ds = _static_cube(size, np.max(params.a0))
+
+    def _geom(Rn, cc):
+        d = _min_image(cc - Rn[:, None, None, None],
+                       L[:, None, None, None])
+        rb = [d[a][None] + (0.5 * cq[:, a])[:, None, None, None]
+              for a in range(3)]
+        rbxc = [rb[1] * cq[:, 2][:, None, None, None]
+                - rb[2] * cq[:, 1][:, None, None, None],
+                rb[2] * cq[:, 0][:, None, None, None]
+                - rb[0] * cq[:, 2][:, None, None, None],
+                rb[0] * cq[:, 1][:, None, None, None]
+                - rb[1] * cq[:, 0][:, None, None, None]]
+        return rb, rbxc
+
+    # Phase A: STRUCTURE sums (sumw, cbar, r x cbar)
+    def termsA(n, Rn, corner, cc):
+        _, rbxc = _geom(Rn, cc)
+        mfc = jnp.logical_and(
+            _cube_slice(MF, corner, Ds, 1),
+            _cube_slice(PIDN, corner, Ds, 1) == n).astype(dtype)
+        t = [wq4 * mfc]
+        for a in range(3):
+            t.append((wq * cq[:, a])[:, None, None, None] * mfc)
+        for a in range(3):
+            t.append((wq4 * rbxc[a]) * mfc)
+        return jnp.stack(t)
+
+    redA = ordered_reduce_batched(R, params.a0, size, Ds, 7, termsA,
+                                  None, dtype, batch_size)
+    sumw = redA[:, 0]
+    rsumw = 1.0 / sumw
+    cbarn = redA[:, 1:4] * rsumw[:, None]
+    rxcbarn = redA[:, 4:7] * rsumw[:, None]
+    if rr_seeds is not None:
+        dmn = jax.vmap(
+            lambda s: _xyz_tree(s.reshape(2, 2, 2, 1))[0])(
+                rr_seeds[:, :, 0]) * rsumw
+    elif deltam is not None:
+        dmn = deltam * rsumw
+    else:
+        dmn = jnp.zeros((N,), dtype)
+
+    # Phase B: pass1 sums (f0, t0, zeta), seeded with the build
+    # contributions
+    delta_q = ((2.0 * rcs2) * wq * rho0)[:, None, None, None]
+    ztri = [(ia, ib) for ia in range(6) for ib in range(ia, 6)]
+
+    def termsB(n, Rn, corner, cc):
+        _, rbxc = _geom(Rn, cc)
+        pidc = _cube_slice(PIDN, corner, Ds, 1)
+        mfc = jnp.logical_and(_cube_slice(MF, corner, Ds, 1), pidc == n)
+        mccc = jnp.logical_and(_cube_slice(MCC, corner, Ds, 1),
+                               pidc == n)
+        mf_f = mfc.astype(dtype)
+        fc = _cube_slice(F1, corner, Ds, 1)
+        frc = _cube_slice(FR, corner, Ds, 1)
+        dmf = 2.0 * fc - wq4 * dmn[n]
+        dm_all = jnp.where(mfc, dmf, 0.0)
+        dm_all = dm_all + jnp.where(mccc, fc + frc, 0.0)
+        t = []
+        for a in range(3):
+            t.append(dm_all * cq[:, a][:, None, None, None])
+        for a in range(3):
+            t.append(dm_all * rbxc[a])
+        rr = [rbxc[a] - rxcbarn[n, a] for a in range(3)]
+        six = [(cq[:, a] - cbarn[n, a])[:, None, None, None]
+               for a in range(3)] + rr
+        for (ia, ib) in ztri:
+            t.append(((delta_q * six[ia]) * six[ib]) * mf_f)
+        t.append(jnp.zeros_like(dm_all))          # sump row (passive)
+        return jnp.stack(t)
+
+    if rr_seeds is not None:
+        seedB = jnp.zeros((N, 8, 28), dtype)
+        seedB = seedB.at[:, :, 0:3].set(rr_seeds[:, :, 1:4])
+        seedB = seedB.at[:, :, 3:6].set(rr_seeds[:, :, 4:7])
+    else:
+        seedB = jnp.zeros((N, 28), dtype)
+        if f0_corr is not None:
+            seedB = seedB.at[:, 0:3].set(f0_corr)
+        if t0_corr is not None:
+            seedB = seedB.at[:, 3:6].set(t0_corr)
+    redB = ordered_reduce_batched(R, params.a0, size, Ds, 28, termsB,
+                                  seedB, dtype, batch_size)
+    f0 = redB[:, 0:3]
+    t0 = redB[:, 3:6]
+    zeta21 = redB[:, 6:27]
+    return sumw, cbarn, rxcbarn, dmn, f0, t0, zeta21
+
+
+def bbl_step_exact(f: jnp.ndarray, R, V, W, model: LatticeModel,
+                   params: ColloidParams, size,
+                   ext_force=None, ext_torque=None, rho0: float = 1.0,
+                   rr_seeds=None, deltam=None, f0_corr=None,
+                   t0_corr=None, M=None, pid_inside=None,
+                   batch_size=16):
+    """Batched reference-bitwise BBL for passive periodic suspensions.
+
+    Same contract as colloids.bbl_step (which it matches bitwise, see
+    test_colloids_fast), but the per-particle link sums run through the
+    batched reference-order reductions of bbl_link_sums_exact instead
+    of a Python loop over N - O(N * cube) cost with bounded memory, so
+    1000-particle suspensions (serial-lubr-tf1 class) get the same
+    near-zero [total] momentum cancellation as the reference
+    (ref: bbl.c pass1/pass2, bbl_update_colloids:750-880)."""
+    N = params.n
+    rcs2 = 1.0 / CS2
+    nvel = model.nvel
+    if pid_inside is None:
+        pid, inside = build_map_fast(R, params, size)
+    else:
+        pid, inside = pid_inside
+    fluid = jnp.logical_not(inside)
+    sumw, cbarn, rxcbarn, dmn, f0, t0, zeta21 = bbl_link_sums_exact(
+        f, R, model, params, size, rho0=rho0, rr_seeds=rr_seeds,
+        deltam=deltam, f0_corr=f0_corr, t0_corr=t0_corr,
+        pid_inside=(pid, inside), batch_size=batch_size)
+
+    # mass/moment with the reference's rounding: moment is computed
+    # FROM the rounded mass (ref: bbl.c:786-787)
+    _mass_vals = [(4.0 / 3.0) * float(np.pi) * params.rho0 * a ** 3
+                  for a in params.a0]
+    mass = jnp.asarray(_mass_vals, f.dtype)
+    moment = jnp.asarray([(2.0 / 5.0) * mv_ * a ** 2
+                          for mv_, a in zip(_mass_vals, params.a0)],
+                         f.dtype)
+
+    ztri = [(ia, ib) for ia in range(6) for ib in range(ia, 6)]
+    A = jnp.zeros((N, 6, 6), f.dtype)
+    for k, (ia, ib) in enumerate(ztri):
+        A = A.at[:, ia, ib].set(zeta21[:, k])
+        if ia != ib:
+            A = A.at[:, ib, ia].set(zeta21[:, k])
+    A = A + jax.vmap(jnp.diag)(
+        jnp.concatenate([jnp.tile(mass[:, None], (1, 3)),
+                         jnp.tile(moment[:, None], (1, 3))], axis=1))
+    fe = (jnp.zeros((N, 3), f.dtype) if ext_force is None else ext_force)
+    te = (jnp.zeros((N, 3), f.dtype) if ext_torque is None
+          else ext_torque)
+    b = jnp.concatenate([mass[:, None] * V + f0 + fe,
+                         moment[:, None] * W + t0 + te], axis=1)
+    x = jax.vmap(gauss_solve6_ref)(A, b)
+    Vn, Wn = x[:, :3], x[:, 3:]
+    Mn = (jax.vmap(rotate_vector)(M, Wn) if M is not None else None)
+
+    # pass 2 (ref: bbl.c pass2).  dms accumulates INTERLEAVED like the
+    # reference: v0 cb0 + w0 rx0 + v1 cb1 + ... (per-term order matters
+    # for the last-ulp of near-zero cancellations)
+    dms = None
+    for a in range(3):
+        t1 = Vn[:, a] * cbarn[:, a]
+        dms = t1 if dms is None else dms + t1
+        dms = dms + Wn[:, a] * rxcbarn[:, a]
+    dms = 2.0 * rcs2 * rho0 * dms
+    dms_pad = jnp.concatenate([dms, jnp.zeros((1,), f.dtype)])
+    dmn_pad = jnp.concatenate([dmn, jnp.zeros((1,), f.dtype)])
+    Vp = jnp.concatenate([Vn, jnp.zeros((1, 3), f.dtype)])
+    Wp = jnp.concatenate([Wn, jnp.zeros((1, 3), f.dtype)])
+    coords = site_coords(size, f.dtype)
+    L = jnp.asarray(np.array(size, np.float64), f.dtype)
+    fout = f
+    for q in range(1, nvel):
+        c = model.cv[q]
+        sh = tuple(-int(v) for v in c)
+        inside_n = roll3(inside, sh)
+        pid_n = roll3(pid, sh)
+        m = jnp.logical_and(fluid, inside_n)
+        w = float(model.wv[q])
+        ownp = jnp.where(m, pid_n, N)
+        own = jnp.clip(pid_n, 0, N - 1)
+        Ro = jnp.moveaxis(R[own], -1, 0)
+        d = _min_image(coords - Ro, L[:, None, None, None])
+        rb = [d[a] + 0.5 * float(c[a]) for a in range(3)]
+        Vo = jnp.moveaxis(Vp[ownp], -1, 0)
+        Wo = jnp.moveaxis(Wp[ownp], -1, 0)
+        wxrb = [Wo[1] * rb[2] - Wo[2] * rb[1],
+                Wo[2] * rb[0] - Wo[0] * rb[2],
+                Wo[0] * rb[1] - Wo[1] * rb[0]]
+        vdotc = sum((Vo[a] + wxrb[a]) * float(c[a]) for a in range(3))
+        vdotc = 2.0 * rcs2 * w * vdotc
+        df = (rho0 * vdotc + w * dmn_pad[ownp]) - w * dms_pad[ownp]
+        qr = int(model.reverse[q])
+        shift = tuple(int(v) for v in model.cv[q])
+        val_at_j = roll3(jnp.where(m, f[q] - df, 0.0), shift)
+        mask_at_j = roll3(m, shift)
+        fout = fout.at[qr].set(jnp.where(mask_at_j, val_at_j, fout[qr]))
+
+    return fout, Vn, Wn, Mn, jnp.zeros((3,), f.dtype)

@@ -31,7 +31,7 @@ from ludwig_tpu.fe.symmetric import SymmetricFE
 from ludwig_tpu.lb import (LBConfig, initial_rest, make_step, solid_mask)
 from ludwig_tpu.lc import LCConfig, initial_lc, lc_fields, make_lc_step
 from ludwig_tpu.ops.collide import RelaxationScheme
-from ludwig_tpu.runtime import RunTime
+from ludwig_tpu.runtime import RunTime, RunTimeError
 from ludwig_tpu import stats
 
 
@@ -591,10 +591,47 @@ def build_system(rt: RunTime) -> System:
                       ghost_modes_on=ghosts, force_global=force,
                       walls=walls, dtype=dtype, noise=nz)
     porous = None
+    pm_wetting = None            # per-site (C, H) map data at solids
     pm_file = rt.string("porous_media_file")
     if pm_file:
-        porous = np.load(pm_file if pm_file.endswith(".npy")
-                         else pm_file + ".npy").astype(bool)
+        if pm_file.endswith(".npy") or os.path.exists(pm_file + ".npy"):
+            # native path: a bare solid mask
+            porous = np.load(pm_file if pm_file.endswith(".npy")
+                             else pm_file + ".npy").astype(bool)
+        else:
+            # reference convention: the key is a switch and the file
+            # stub is "capillary" (ref: map_rt.c:100-176); ndata from
+            # porous_media_ndata or the legacy porous_media_type key
+            from ludwig_tpu.io.map_file import read_map
+            ndata = rt.int("porous_media_ndata", -1)
+            if ndata < 0:
+                ndata = {"status_only": 0, "status_with_h": 1,
+                         "status_with_sigma": 1,
+                         "status_with_c_h": 2}.get(
+                    rt.string("porous_media_type", "status_only"), 0)
+            fmt = rt.string("porous_media_format", "BINARY")
+            stub = pm_file if os.path.exists(pm_file) else \
+                (pm_file + ".001-001"
+                 if os.path.exists(pm_file + ".001-001")
+                 else "capillary.001-001")
+            status, data = read_map(stub, size, ndata,
+                                    binary=not fmt.startswith("ASCII"))
+            porous = status != 0
+            if ndata == 2:
+                pm_wetting = (jnp.asarray(data[0]), jnp.asarray(data[1]))
+            elif ndata == 1:
+                pm_wetting = (jnp.zeros(size), jnp.asarray(data[0]))
+    elif rt.string("porous_media_init"):
+        # simple geometries from the input file (ref: map_rt.c:252-295,
+        # map_init.c)
+        from ludwig_tpu.io.map_file import GEOMETRIES
+        gname = rt.string("porous_media_init")
+        if gname not in GEOMETRIES:
+            raise RunTimeError(
+                f"porous_media_init not recognised {gname}")
+        acell = (rt.int_required("porous_media_acell")
+                 if gname.endswith("cubic") else 0)
+        porous = GEOMETRIES[gname](size, acell) != 0
     solid = solid_mask(lb_cfg, porous=porous)
 
     fe_name = rt.string("free_energy", "none")
@@ -826,7 +863,9 @@ def build_system(rt: RunTime) -> System:
             hydrodynamics=rt.switch("hydrodynamics", True),
             force_method=rt.string("fe_force_method", "stress_divergence"),
             gradmu_ex=tuple(rt.double_vector("grad_mu", (0.0, 0.0, 0.0))),
-            visc_model=visc_model)
+            visc_model=visc_model,
+            wetting=(pm_wetting if pm_wetting is not None
+                     else (0.0, 0.0)))
         if (bcfg.gradient == "3d_27pt_solid" and solid is None
                 and not any(walls)):
             # no solid sites anywhere: the solid stencil reduces to the
@@ -1503,8 +1542,23 @@ def _make_stats_fn(sys_: System):
                 pid, inside = build_map(R, cpar, sys_.lb_cfg.size)
                 fl = jnp.logical_not(inside)
                 gc = total_colloid_momentum(V, cpar, f.dtype)
+            # v0.1/v0.2-era logs carry the PLAIN per-rank partial-sum
+            # roundoff in their near-zero momentum totals (e.g.
+            # long08-chol-n01's 3.6161213e-12 at t = 0: the per-site
+            # p-order fold of f_p c_px at rest leaves ~1.4e-17/site).
+            # From v0.7 on, colloid-run logs show EXACT zeros at rest -
+            # the colloid reporting path changed accumulator before the
+            # fluid-only one did (which stayed plain until the v0.12
+            # kahan rewrite, hence the < 12 gate in the branch below).
+            if sys_.rt.int("_log_vintage", 9999) < 7:
+                gtot = stats.momentum_total_plain(
+                    f, model, fl,
+                    blocks=tuple(sys_.rt.int_vector("_mpi_grid",
+                                                    (1, 1, 1))))
+            else:
+                gtot = stats.momentum_total_ref(f, model, fl)
             res = {"rho": stats.rho_stats_ref(f, model, fl),
-                   "g": stats.momentum_total_ref(f, model, fl),
+                   "g": gtot,
                    "gc": gc,
                    "umm": stats.velocity_minmax(u, fl)}
             if (sys_.wallspec is not None
@@ -1563,21 +1617,14 @@ def _make_stats_fn(sys_: System):
                 mean2 = tot2 / nfl
                 var2 = (var + mean * mean) - mean2 * mean2
                 res["phi"] = (tot2, mean2, var2, mn, mx)
-                if (coswt == 0.0
-                        or sys_.rt.int("_log_vintage", 9999) < 8):
-                    # initial stats (the state stash is still zeros), or
-                    # pre-v0.8 logs whose [fe] matches gradients of the
-                    # PRE-rebuild phi (stats-time recompute; the v0.8+
-                    # stash is post-remove/replace - serial-coll-rlb
-                    # vs serial-spin-c03)
-                    pphi = (prev[1] if coswt != 0.0 and prev
-                            and len(prev) > 1 else phi)
+                if coswt == 0.0:
+                    # initial stats: the state stash is still zeros
                     grad, delsq = solid27_scalar_ops(
                         sys_.lb_cfg.size, fluid=fl,
                         rkappa=1.0 / l2.fe.kappa, c=0.0, h=0.0,
                         walls=(sys_.wallspec.walls if sys_.wallspec
                                else (False,) * 3))
-                    sg, sd = grad(pphi), delsq(pphi)
+                    sg, sd = grad(phi), delsq(phi)
                 else:
                     # the step's own top-of-step gradients
                     sg, sd = state[10], state[11]

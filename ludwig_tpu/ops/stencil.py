@@ -243,16 +243,21 @@ def gradient_ops(name: str, le_field: bool = False):
     return _GRAD[name], _DELSQ[name]
 
 
-def solid_gradient_ops(solid, kappa: float, c: float = 0.0, h: float = 0.0):
+def solid_gradient_ops(solid, kappa: float, c=0.0, h=0.0):
     """Solid-aware 7-point (grad, delsq) with wetting boundary condition
     (ref: gradient_3d_27pt_solid.c:286 gradt = -(C phi_b + H)/kappa for
     links into solid; the 7-pt variant of the same rule).
 
     c = h = 0 gives neutral wetting (zero normal gradient, 90-degree
-    contact angle); nonzero (c, h) set the wetting strength.
+    contact angle); nonzero (c, h) set the wetting strength.  Scalars,
+    or (X,Y,Z) arrays carrying per-site map wetting data at the SOLID
+    sites (looked up at the neighbour, ref: map data access in
+    gradient_3d_27pt_solid.c).
     """
     rk = 1.0 / kappa
     offs = [(1, 0, 0), (0, 1, 0), (0, 0, 1)]
+    per_site = not (isinstance(c, (int, float))
+                    and isinstance(h, (int, float)))
 
     def _dirs(phi):
         ups, dns = [], []
@@ -261,9 +266,17 @@ def solid_gradient_ops(solid, kappa: float, c: float = 0.0, h: float = 0.0):
             nb_dn = _shift(phi, *o)
             s_up = roll3(solid, tuple(-v for v in o))
             s_dn = roll3(solid, o)
-            bc = -(c * phi + h) * rk
-            ups.append(jnp.where(s_up, bc, nb_up - phi))
-            dns.append(jnp.where(s_dn, bc, nb_dn - phi))
+            if per_site:
+                cu = roll3(jnp.asarray(c), tuple(-v for v in o))
+                hu = roll3(jnp.asarray(h), tuple(-v for v in o))
+                cd = roll3(jnp.asarray(c), o)
+                hd = roll3(jnp.asarray(h), o)
+                bc_up = -(cu * phi + hu) * rk
+                bc_dn = -(cd * phi + hd) * rk
+            else:
+                bc_up = bc_dn = -(c * phi + h) * rk
+            ups.append(jnp.where(s_up, bc_up, nb_up - phi))
+            dns.append(jnp.where(s_dn, bc_dn, nb_dn - phi))
         return ups, dns
 
     def grad(phi):

@@ -51,7 +51,16 @@ IRREPRODUCIBLE = {
     "d3q19-elec/serial-elec-dr1": (("[psi]", 1e-10),),
     "d3q19-elec/serial-elec-dr2": (("[psi]", 1e-10),),
     "d3q19-elec/serial-elec-ep1": (("[psi]", 1e-10),),
-    "d3q19-elec/serial-elec-ep2": (("[psi]", 1e-10),),
+    # ep2's committed [psi] is 9x the bound off even for the fresh
+    # reference build (ORACLE.md Finding 1: log -9.76e-12, oracle
+    # -8.86e-11, ours -8.31e-11): the logged trajectory is not
+    # reproducible at the ulp level, so the plain (v0.2-era) running
+    # sum of its near-zero conserved momentum - pure accumulation
+    # roundoff of that same trajectory, ~1e-12 - cannot be hit
+    # deterministically either.  Waive [total] when both sides are
+    # below the plain-sum noise scale.
+    "d3q19-elec/serial-elec-ep2": (("[psi]", 1e-10),
+                                   ("[total   ]", 2.5e-12)),
 }
 
 
@@ -109,8 +118,14 @@ PRE_STEPS = {
 
 
 def run_case(name: str, workdir: Optional[str] = None,
-             strict_fp: bool = True) -> str:
-    """Run a reference input file; returns our log text.
+             strict_fp: bool = True, n_cycles: Optional[int] = None,
+             return_sys: bool = False):
+    """Run a reference input file; returns our log text (or, with
+    return_sys, a (log text, System) pair - debugging aid exposing the
+    final simulation state).
+
+    n_cycles: optional override of the input's N_cycles (debugging aid:
+    t=0-only probes with n_cycles=0 are cheap).
 
     The reference fixes the velocity set at compile time per suite
     (-D_D3Q19_ etc.), so 2-D inputs in the d3q19 suites still run
@@ -136,6 +151,10 @@ def run_case(name: str, workdir: Optional[str] = None,
     nvel = {"d2q9": 9, "d3q15": 15, "d3q27": 27}.get(
         suite.split("-")[0], 19)
     text = f"lb_nvel {nvel}\n" + text
+    if n_cycles is not None:
+        import re as _re2
+        text = _re2.sub(r"(?m)^N_cycles\s+\d+", f"N_cycles {n_cycles}",
+                        text)
     # committed logs span reference versions with (slightly) different
     # report formats; pass the log's vintage through so run_text can
     # reproduce the right one (e.g. v0.11 prints no [fed] at t = 0)
@@ -203,9 +222,11 @@ def run_case(name: str, workdir: Optional[str] = None,
         buf = io.StringIO()
         ctx = jax.disable_jit() if strict_fp else contextlib.nullcontext()
         with ctx:
-            run_text(text, out=buf)
+            sys_ = run_text(text, out=buf)
     finally:
         os.chdir(cwd)
+    if return_sys:
+        return buf.getvalue(), sys_
     return buf.getvalue()
 
 

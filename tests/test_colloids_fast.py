@@ -52,3 +52,51 @@ def test_bbl_fast_matches_oracle():
                                rtol=1e-12, atol=1e-15)
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
                                rtol=1e-12, atol=1e-15)
+
+
+def test_rr_seeds_fast_matches_oracle():
+    """remove_replace_seeds_fast is bitwise vs remove_replace
+    (per_image=True) - same per-image build seeds, same replaced f."""
+    from ludwig_tpu.colloids import remove_replace
+    from ludwig_tpu.colloids_fast import remove_replace_seeds_fast
+    cfg, params, f, R, V, W = _setup(n=3)
+    # old map at R, new map at R + small move (covers/uncovers sites)
+    R2 = R + jnp.asarray([[0.4, -0.3, 0.2]] * params.n)
+    pid_o, in_o = build_map(R, params, cfg.size)
+    pid_n, in_n = build_map(R2, params, cfg.size)
+    f1, seeds1 = remove_replace(f, R2, V, W, in_o, pid_o, in_n, pid_n,
+                                cfg.model, params, cfg.size,
+                                per_image=True)
+    f2, seeds2 = remove_replace_seeds_fast(f, R2, in_o, pid_o, in_n,
+                                           pid_n, cfg.model, params,
+                                           cfg.size)
+    np.testing.assert_array_equal(np.asarray(f2), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(seeds2), np.asarray(seeds1))
+
+
+def test_bbl_exact_matches_oracle_bitwise():
+    """bbl_step_exact (batched reference-order sums) is BITWISE equal
+    to the per-particle oracle bbl_step, seeds included."""
+    from ludwig_tpu.colloids import remove_replace
+    from ludwig_tpu.colloids_fast import (bbl_step_exact,
+                                          remove_replace_seeds_fast)
+    cfg, params, f, R, V, W = _setup(n=3)
+    model = cfg.model
+    R2 = R + jnp.asarray([[0.4, -0.3, 0.2]] * params.n)
+    pid_o, in_o = build_map(R, params, cfg.size)
+    pid_n, in_n = build_map(R2, params, cfg.size)
+    f1, seeds = remove_replace(f, R2, V, W, in_o, pid_o, in_n, pid_n,
+                               model, params, cfg.size, per_image=True)
+    ub = solid_body_u(R2, V, W, pid_n, in_n, cfg.size, f.dtype)
+    f1 = refresh_inside(f1, model, in_n, ub)
+    ext = jnp.asarray(np.random.RandomState(7).uniform(
+        -1e-3, 1e-3, (params.n, 3)))
+
+    fa, Va, Wa, _, _ = bbl_step(f1, R2, V, W, model, params, cfg.size,
+                                ext_force=ext, rr_seeds=seeds)
+    fb, Vb, Wb, _, _ = bbl_step_exact(f1, R2, V, W, model, params,
+                                      cfg.size, ext_force=ext,
+                                      rr_seeds=seeds)
+    np.testing.assert_array_equal(np.asarray(Vb), np.asarray(Va))
+    np.testing.assert_array_equal(np.asarray(Wb), np.asarray(Wa))
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fa))
