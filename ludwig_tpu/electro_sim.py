@@ -44,6 +44,9 @@ class ElectroSimConfig:
     e0: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # external field
     periodic: Tuple[bool, bool, bool] = (True, True, True)
     hydrodynamics: bool = True
+    # NP link stencil: 7 (faces only), 19 or 27 incl. diagonal links
+    # (ref: psi_rt.c:264 electrokinetics_solver_stencil)
+    stencil: int = 7
 
 
 # -- neighbour fetches with the external-field potential jump ---------------
@@ -218,6 +221,82 @@ def np_step(rho, psi, u, fluid, cfg: ElectroSimConfig, psi_up, psi_dn,
     return jnp.stack(new)
 
 
+
+
+def np_step_d3qx(rho, psi, u, fluid, cfg: ElectroSimConfig, psi_up,
+                 psi_dn, dt: float, mu_ex=None, npoints: int = 19):
+    """One NP sub-step on a D3Q19/D3Q27 link stencil (ref:
+    nernst_planck.c:349-520 nernst_planck_driver_d3qx /
+    nernst_planck_fluxes_d3qx, np_advective_fluxes, stencil.h:43
+    LB_RCS_TABLE; selected by the electrokinetics_solver_stencil key,
+    psi_rt.c:264).
+
+    Same face formulation as np_step, extended to the diagonal links:
+    for each positive half-link direction c the flux from site i to
+    i + c carries the linkwise-Boltzmann diffusive term scaled by
+    1/|c| (the rcs table) plus the centred advective term
+    0.5 ((u0 + u1) . c) 0.5 (rho0 + rho1); the reference\'s two link
+    orientations collapse onto the half set by antisymmetry.  A link is
+    active only when both ends are fluid.  psi neighbour fetches compose
+    the per-axis psi_up/psi_dn so external-field wrap jumps (e0) apply
+    per crossed boundary plane.
+    """
+    from ludwig_tpu.lattice import lb_model
+    ek = cfg.ek
+    model = lb_model(npoints)
+    # positive half set: first nonzero component positive
+    half = []
+    for p in range(1, model.nvel):
+        c = tuple(int(v) for v in model.cv[p])
+        nz = next(v for v in c if v != 0)
+        if nz > 0:
+            half.append(c)
+
+    def fetch_psi(p, c):
+        q = p
+        for ax in range(3):
+            if c[ax] > 0:
+                q = psi_up(q, ax)
+            elif c[ax] < 0:
+                q = psi_dn(q, ax)
+        return q
+
+    def roll_c(x, c):
+        return jnp.roll(x, tuple(-v for v in c), axis=(0, 1, 2))
+
+    new = []
+    psi_n = {c: fetch_psi(psi, c) for c in half}
+    fl_n = {c: roll_c(fluid, c) for c in half}
+    for k in range(ek.nk):
+        z = float(ek.valency[k])
+        d = float(ek.diffusivity[k])
+        nk_ = rho[k]
+        mu0 = z * psi
+        if mu_ex is not None:
+            mu0 = mu0 + mu_ex[k] / ek.e
+        div = 0.0
+        for c in half:
+            rcs = (float(sum(v * v for v in c))) ** -0.5
+            mu1 = z * psi_n[c]
+            if mu_ex is not None:
+                mu1 = mu1 + roll_c(mu_ex[k], c) / ek.e
+            dmu = mu1 - mu0
+            b0 = jnp.exp(-dmu)
+            b1 = jnp.exp(dmu)
+            n1 = roll_c(nk_, c)
+            flx = (-d * 0.5 * (1.0 + b0) * (n1 * b1 - nk_)) * rcs
+            if u is not None and cfg.hydrodynamics:
+                uc = 0.0
+                for ax in range(3):
+                    if c[ax]:
+                        uc = uc + (u[ax] + roll_c(u[ax], c)) * float(c[ax])
+                flx = flx + (0.5 * uc) * (0.5 * (nk_ + n1))
+            flx = jnp.where(jnp.logical_and(fluid, fl_n[c]), flx, 0.0)
+            div = div + flx - jnp.roll(flx, tuple(c), axis=(0, 1, 2))
+        new.append(jnp.where(fluid, nk_ - dt * div, nk_))
+    return jnp.stack(new)
+
+
 # -- initial conditions (ref: src/psi_init.c) ---------------------------------
 
 def init_uniform(size, rho_el, nk=2, dtype=np.float64):
@@ -314,8 +393,14 @@ def make_electro_step(cfg: ElectroSimConfig,
         force = gradmu_force(psi, rho, cfg, psi_up, psi_dn, n_sites)
         fl = jnp.ones(size, bool) if fluid is None else fluid
         for _ in range(m):
-            rho = np_step(rho, psi, u if cfg.hydrodynamics else None,
-                          fl, cfg, psi_up, psi_dn, dt)
+            if cfg.stencil in (19, 27):
+                rho = np_step_d3qx(rho, psi,
+                                   u if cfg.hydrodynamics else None,
+                                   fl, cfg, psi_up, psi_dn, dt,
+                                   npoints=cfg.stencil)
+            else:
+                rho = np_step(rho, psi, u if cfg.hydrodynamics else None,
+                              fl, cfg, psi_up, psi_dn, dt)
 
         # 4. zero-mean potential (plain site-order sum, ref: psi.c
         # psi_zero_mean)

@@ -1150,7 +1150,7 @@ def build_system(rt: RunTime) -> System:
             abs_tol=rt.double("electrokinetics_abs_tol", 1e-15),
             max_its=rt.int("electrokinetics_maxits", 10000),
             multisteps=rt.int("electrokinetics_multisteps", 1))
-        rt.int("electrokinetics_solver_stencil", 7)  # 7-pt only for now
+        np_stencil = rt.int("electrokinetics_solver_stencil", 7)
         e0 = tuple(rt.double_vector("electric_e0", (0.0, 0.0, 0.0)))
         mode = rt.string("electrokinetics_init", "uniform")
         rho_el = rt.double("electrokinetics_init_rho_el", 0.0)
@@ -1172,7 +1172,8 @@ def build_system(rt: RunTime) -> System:
                                None if solid is None else np.asarray(solid))
         ecfg = ElectroSimConfig(
             lb=lb_cfg, ek=ek, e0=e0,
-            hydrodynamics=rt.switch("hydrodynamics", True))
+            hydrodynamics=rt.switch("hydrodynamics", True),
+            stencil=np_stencil)
         jd = lb_cfg.jdtype
         _colloids = _parse_colloids(rt, size, rho0, eta)
         if _colloids is not None and fe_name == "fe_electro":

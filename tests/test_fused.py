@@ -148,3 +148,45 @@ def test_fused_sharded_matches_single():
                                   interpret=True)(fs, 3)
     np.testing.assert_allclose(np.asarray(sh), np.asarray(ref),
                                rtol=0, atol=1e-13)
+
+
+def test_fused_binary_step_matches_jnp_path():
+    """The two-kernel fused binary step (ops/fused_binary.py)
+    reproduces the jnp symmetric+CH step (binary.make_binary_step)."""
+    from ludwig_tpu.binary import (BinaryConfig, initial_binary,
+                                   make_binary_step, spinodal_phi)
+    from ludwig_tpu.fe.symmetric import SymmetricFE
+    from ludwig_tpu.lb import LBConfig
+    from ludwig_tpu.ops.fused import FusedPlan, unpad_state as unpad_f
+    from ludwig_tpu.ops.fused_binary import (BinaryPlan,
+                                             initial_fused_binary,
+                                             make_fused_binary_step,
+                                             unpad_phi)
+
+    N = (8, 8, 16)
+    for order in (1, 2):
+        cfg = LBConfig(size=N, nvel=19, eta_shear=6.25e-3,
+                       dtype="float64")
+        bcfg = BinaryConfig(lb=cfg,
+                            fe=SymmetricFE(-6.25e-3, 6.25e-3, 4e-3),
+                            mobility=0.45, advection_order=order)
+        phi0 = spinodal_phi(N, seed=11)
+
+        sx = initial_binary(bcfg, phi0)
+        stepx = make_binary_step(bcfg)
+        for t in range(3):
+            sx, _ = stepx(sx, t)
+
+        sf = initial_fused_binary(bcfg, phi0)
+        stepf = make_fused_binary_step(bcfg, plan=BinaryPlan(4, 8),
+                                       lb_plan=FusedPlan(4, 8),
+                                       interpret=True)
+        for t in range(3):
+            sf = stepf(sf, t)
+
+        np.testing.assert_allclose(np.asarray(unpad_phi(sf[1])),
+                                   np.asarray(sx[1]),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(unpad_f(sf[0])),
+                                   np.asarray(sx[0]),
+                                   rtol=1e-10, atol=1e-12)
