@@ -2301,7 +2301,26 @@ def run_text(text: str, out=sys.stdout) -> System:
     out.write("\nStarting time step loop.\n")
     t_init = time.time() - t0
     state = sys_.state
+    # per-section wall-clock accumulators (ref: TIMER_statistics
+    # sections; under jit the whole step is one fused program, so the
+    # honest split is dispatch / statistics / IO - device time for the
+    # async step dispatch is attributed to the first section that
+    # blocks on its results, exactly as the reference's GPU builds
+    # attribute kernel time to the next synchronising phase)
+    sect = {"step": [0.0, float("inf"), 0.0, 0],
+            "stats": [0.0, float("inf"), 0.0, 0],
+            "cfgio": [0.0, float("inf"), 0.0, 0],
+            "fldio": [0.0, float("inf"), 0.0, 0]}
+
+    def _acc(key, dt_):
+        s = sect[key]
+        s[0] += dt_
+        s[1] = min(s[1], dt_)
+        s[2] = max(s[2], dt_)
+        s[3] += 1
+
     for t in range(sys_.n_start + 1, sys_.n_start + ncycles + 1):
+        ts0 = time.time()
         prev = _op_fields(state)
         if sys_.is_colloid:
             state, (rho, u) = sys_.step_fn(state, t)
@@ -2331,13 +2350,20 @@ def run_text(text: str, out=sys.stdout) -> System:
             f, rho, u = sys_.step_fn(state[0], t)
             state = (f,)
         sys_.state = state
+        _acc("step", time.time() - ts0)
         if t % freq == 0:
+            ts0 = time.time()
             report_statistics(sys_, t, u, stats_fn, out=out,
                               with_velocity=sys_.hydro_on, prev=prev)
+            _acc("stats", time.time() - ts0)
         if freq_config and t % freq_config == 0:
+            ts0 = time.time()
             _dump(t, state)
+            _acc("cfgio", time.time() - ts0)
         if freq_phi or freq_vel or freq_psi:
+            ts0 = time.time()
             _ref_dump(t, state, u)
+            _acc("fldio", time.time() - ts0)
 
     if config_at_end and ncycles > 0:
         _dump(sys_.n_start + ncycles, state)
@@ -2356,9 +2382,19 @@ def run_text(text: str, out=sys.stdout) -> System:
     out.write("             Section:       tmin       tmax      total\n")
     out.write(f"               Total: {total:10.3f} {total:10.3f} "
               f"{total:10.3f} {total:10.6f} (1 call)\n")
+    out.write(f"      Initialisation: {t_init:10.3f} {t_init:10.3f} "
+              f"{t_init:10.3f} {t_init:10.6f} (1 call)\n")
     out.write(f"      Time step loop: {per_step:10.3f} {per_step:10.3f} "
               f"{total - t_init:10.3f} {per_step:10.6f} "
               f"({max(ncycles, 1)} calls)\n")
+    for key, label in (("step", "Step dispatch"), ("stats", "Statistics"),
+                       ("cfgio", "Configuration IO"),
+                       ("fldio", "Field output")):
+        tot, tmin, tmax, ncall = sect[key]
+        if not ncall:
+            continue
+        out.write(f"{label:>20s}: {tmin:10.3f} {tmax:10.3f} "
+                  f"{tot:10.3f} {tot / ncall:10.6f} ({ncall} calls)\n")
     return sys_
 
 
