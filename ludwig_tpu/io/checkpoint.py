@@ -32,7 +32,11 @@ def write_state(directory: str, step: int, fields: Dict[str, object],
     for name, arr in fields.items():
         a = np.asarray(jax.device_get(arr))
         path = os.path.join(directory, restart_filename(name, step))
-        a.astype("<f8" if a.dtype.kind == "f" else a.dtype).tofile(path)
+        # store the run's own dtype (little-endian for floats) so the
+        # sidecar dtype is what is actually on disk - an f32 run
+        # restarts as f32, an f64 run bit-exactly
+        a.astype(a.dtype.newbyteorder("<")
+                 if a.dtype.kind == "f" else a.dtype).tofile(path)
         meta = {
             "io_metadata_version": 1,
             "name": name,

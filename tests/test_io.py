@@ -65,3 +65,25 @@ def test_restart_continues_identically(tmp_path):
     rr = [ln for ln in logr.getvalue().splitlines()
           if ln.startswith("[rho]")][-1]
     assert r10 == rr
+
+
+def test_checkpoint_preserves_run_dtype(tmp_path):
+    """An f32 run's checkpoint stores f32 on disk and restores f32;
+    the sidecar dtype matches the bytes (write previously forced f8
+    while recording float32)."""
+    import json
+    import numpy as np
+    from ludwig_tpu.io.checkpoint import (read_state, restart_filename,
+                                          write_state)
+    f32 = np.linspace(0, 1, 24, dtype=np.float32).reshape(2, 3, 4)
+    f64 = np.linspace(0, 1, 24, dtype=np.float64).reshape(2, 3, 4)
+    write_state(str(tmp_path), 7, {"a32": f32, "a64": f64})
+    meta = json.load(open(tmp_path / (restart_filename("a32", 7)
+                                      + ".meta.json")))
+    nbytes = (tmp_path / restart_filename("a32", 7)).stat().st_size
+    assert meta["dtype"] == "float32" and nbytes == f32.size * 4
+    back = read_state(str(tmp_path), 7, ["a32", "a64"])
+    assert back["a32"].dtype == np.float32
+    assert back["a64"].dtype == np.float64
+    np.testing.assert_array_equal(back["a32"], f32)
+    np.testing.assert_array_equal(back["a64"], f64)
