@@ -190,3 +190,57 @@ def test_fused_binary_step_matches_jnp_path():
         np.testing.assert_allclose(np.asarray(unpad_f(sf[0])),
                                    np.asarray(sx[0]),
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_fused_droplet_step_matches_jnp_path():
+    """The two-kernel fused LC-droplet step (ops/fused_droplet.py)
+    reproduces the jnp coupled phi+Q step (lc_droplet_sim)."""
+    from ludwig_tpu.fe.blue_phase import BluePhaseFE
+    from ludwig_tpu.fe.lc_droplet import LCDropletFE
+    from ludwig_tpu.fe.symmetric import SymmetricFE
+    from ludwig_tpu.lb import LBConfig, initial_rest
+    from ludwig_tpu.lc_droplet_sim import (LCDropletConfig,
+                                           make_droplet_step)
+    from ludwig_tpu.ops.fused import FusedPlan, unpad_state as unpad_f
+    from ludwig_tpu.ops.fused_binary import unpad_phi
+    from ludwig_tpu.ops.fused_droplet import (DropletPlan,
+                                              initial_fused_droplet,
+                                              make_fused_droplet_step)
+    from ludwig_tpu.ops.fused_lc import unpad_q
+
+    N = (8, 8, 16)
+    cfg = LBConfig(size=N, nvel=19, eta_shear=0.5, dtype="float64")
+    lc = BluePhaseFE(a0=0.1, gamma=2.586, q0=0.0, kappa0=0.01,
+                     kappa1=0.01, xi=0.7)
+    fe = LCDropletFE(symm=SymmetricFE(-0.0625, 0.0625, 0.053), lc=lc,
+                     gamma0=2.586, delta=0.25, w=0.02)
+    dcfg = LCDropletConfig(lb=cfg, fe=fe, mobility=0.05, gamma=0.5,
+                           advection_order=1)
+    rng = np.random.default_rng(11)
+    phi0 = 0.05 * (rng.random(N) - 0.5)
+    amp = 0.2
+    nx = rng.normal(size=(3,) + N)
+    nx /= np.linalg.norm(nx, axis=0, keepdims=True)
+    q0 = np.stack([amp * (nx[0]*nx[0] - 1/3), amp*nx[0]*nx[1],
+                   amp*nx[0]*nx[2], amp*(nx[1]*nx[1] - 1/3),
+                   amp*nx[1]*nx[2]])
+
+    sx = (initial_rest(cfg), jnp.asarray(phi0), jnp.asarray(q0),
+          jnp.zeros((3,) + N))
+    stepx = make_droplet_step(dcfg)
+    for t in range(3):
+        sx, _ = stepx(sx, t)
+
+    sf = initial_fused_droplet(dcfg, phi0, q0)
+    stepf = make_fused_droplet_step(dcfg, plan=DropletPlan(4, 8),
+                                    lb_plan=FusedPlan(4, 8),
+                                    interpret=True)
+    for t in range(3):
+        sf = stepf(sf, t)
+
+    np.testing.assert_allclose(np.asarray(unpad_phi(sf[1])),
+                               np.asarray(sx[1]), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(unpad_q(sf[2])),
+                               np.asarray(sx[2]), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(unpad_f(sf[0])),
+                               np.asarray(sx[0]), rtol=1e-10, atol=1e-12)
