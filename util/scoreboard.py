@@ -20,6 +20,15 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Cases nobody can run from the reference tree as committed (the input
+# needs a data file that was never committed); see ORACLE.md Finding 4.
+UNRUNNABLE = {
+    "d3q19/long08-pair-yk1":
+        "colloid data file colloids-serial-pair-yk1.001-001 was never "
+        "committed to the reference; the reference itself cannot re-run "
+        "this case (ORACLE.md Finding 4)",
+}
+
 CHILD = r"""
 import sys
 import jax
@@ -105,6 +114,15 @@ def main():
     import tempfile
     npass = 0
     for i, name in enumerate(names):
+        if name in UNRUNNABLE:
+            board[name] = {"ok": False, "skipped": True,
+                           "error": "unrunnable-as-distributed: "
+                           + UNRUNNABLE[name], "secs": 0}
+            print(f"[{i+1}/{len(names)}] {name}: SKIP (unrunnable)",
+                  flush=True)
+            with open(args.out, "w") as fh:
+                json.dump(board, fh, indent=1, sort_keys=True)
+            continue
         with tempfile.TemporaryDirectory() as wd:
             res = run_case(name, args.mode, args.timeout, wd)
         board[name] = res
