@@ -120,8 +120,12 @@ def make_binary_le_step(cfg: BinaryLEConfig, keep_grads: bool = False):
         ctx = LEContext(le, t, phi.dtype)
 
         if braz:
-            from ludwig_tpu.ops.le_ref import le_fields_2d5pt_d4
-            grad, delsq, gd2, d4, bufs4 = le_fields_2d5pt_d4(phi, le, t)
+            from ludwig_tpu.ops.le_ref import (le_fields_27pt_d4,
+                                               le_fields_2d5pt_d4)
+            d4_fields = (le_fields_27pt_d4
+                         if bcfg.gradient == "3d_27pt_fluid"
+                         else le_fields_2d5pt_d4)
+            grad, delsq, gd2, d4, bufs4 = d4_fields(phi, le, t)
             mu = mu_of(phi, delsq, d4)
             pth = pth_of(phi, grad, delsq, gd2, d4)
         else:

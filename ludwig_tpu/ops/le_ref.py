@@ -361,6 +361,97 @@ def _op5(pm1, p0, pp1):
     return jnp.stack([gx, gy, jnp.zeros_like(p0)]), d2
 
 
+def _op27(pm1, p0, pp1):
+    """27-point gradient/Laplacian of one column from its x-neighbour
+    columns (ref: gradient_3d_27pt_fluid.c stencil body applied to a
+    single ic with icm1/icp1 resolved to explicit columns)."""
+    from ludwig_tpu.ops.stencil import _grad27_terms
+    cols = {-1: pm1, 0: p0, 1: pp1}
+
+    def v(dx, dy_, dz_):
+        return _colroll(cols[dx], dy_, dz_)
+
+    gx, gy, gz, d2 = _grad27_terms(v, p0)
+    return jnp.stack([gx, gy, gz]), d2
+
+
+def le_fields_27pt_d4(phi, cfg: LeesEdwardsConfig, t):
+    """Level-4 LE gradients for the 3d_27pt stencil (Brazovskii in 3-D).
+
+    Two passes of the 27-point operator exactly as the reference
+    (ref: gradient_3d_27pt_fluid.c grad_3d_27pt_fluid_d2 — the main
+    kernel is already LE-aware at plane-adjacent columns via
+    lees_edw_ic_to_buff — plus grad_3d_27pt_fluid_le which fills the
+    buffer columns; then grad_3d_27pt_fluid_d4 applies the same
+    operator to delsq, reading the buffer-column delsq computed by the
+    first pass).  The buffer chain is anchored at the real column:
+    lees_edw_ic_to_buff(le, ic, 0) == ic, so the -x neighbour of the
+    first buffer column above a plane is the undisplaced plane column.
+
+    Returns (grad, delsq, grad_delsq, delsq_delsq, bufs) with the same
+    layout as le_fields_2d5pt_d4.
+    """
+    from ludwig_tpu.ops.stencil import _grad27_terms, roll3
+    ctx = LEContext(cfg, t, phi.dtype)
+    nx = ctx.nx
+    ax = phi.ndim - 3
+
+    def col(x, j):
+        return jnp.take(x, j % nx, axis=ax)
+
+    def v_full(dx, dy_, dz_):
+        return roll3(phi, (-dx, -dy_, -dz_), first_axis=ax)
+
+    gx, gy, gz, d2 = _grad27_terms(v_full, phi)
+    grad = jnp.stack([gx, gy, gz])
+
+    bufs = {}
+    for c in ctx.cols:
+        cu = (c + 1) % nx
+        b1 = ctx.col_field(phi, c + 1, True, c)
+        b2 = ctx.col_field(phi, c + 2, True, c)
+        b3 = ctx.col_field(phi, c + 3, True, c)
+        d0 = ctx.col_field(phi, c, False, c)
+        dm1 = ctx.col_field(phi, c - 1, False, c)
+        dm2 = ctx.col_field(phi, c - 2, False, c)
+
+        g_c, d2_c = _op27(col(phi, c - 1), col(phi, c), b1)
+        g_b1, d2_b1 = _op27(col(phi, c), b1, b2)
+        _, d2_b2 = _op27(b1, b2, b3)
+        g_cu, d2_cu = _op27(d0, col(phi, cu), col(phi, cu + 1))
+        g_d0, d2_d0 = _op27(dm1, d0, col(phi, cu))
+        _, d2_dm1 = _op27(dm2, dm1, d0)
+
+        grad = _set_col(grad, 1 + ax, c, g_c)
+        grad = _set_col(grad, 1 + ax, cu, g_cu)
+        d2 = _set_col(d2, ax, c, d2_c)
+        d2 = _set_col(d2, ax, cu, d2_cu)
+        bufs[c] = {"b1": [b1, g_b1, d2_b1], "d0": [d0, g_d0, d2_d0],
+                   "d2_b2": d2_b2, "d2_dm1": d2_dm1}
+
+    def v2(dx, dy_, dz_):
+        return roll3(d2, (-dx, -dy_, -dz_), first_axis=ax)
+
+    g4x, g4y, g4z, d4 = _grad27_terms(v2, d2)
+    gd2 = jnp.stack([g4x, g4y, g4z])
+
+    for c in ctx.cols:
+        cu = (c + 1) % nx
+        b = bufs[c]
+        d2_b1, d2_d0 = b["b1"][2], b["d0"][2]
+        g4_c, d4_c = _op27(col(d2, c - 1), col(d2, c), d2_b1)
+        g4_b1, d4_b1 = _op27(col(d2, c), d2_b1, b["d2_b2"])
+        g4_cu, d4_cu = _op27(d2_d0, col(d2, cu), col(d2, cu + 1))
+        g4_d0, d4_d0 = _op27(b["d2_dm1"], d2_d0, col(d2, cu))
+        gd2 = _set_col(gd2, 1 + ax, c, g4_c)
+        gd2 = _set_col(gd2, 1 + ax, cu, g4_cu)
+        d4 = _set_col(d4, ax, c, d4_c)
+        d4 = _set_col(d4, ax, cu, d4_cu)
+        b["b1"] += [g4_b1, d4_b1]
+        b["d0"] += [g4_d0, d4_d0]
+    return grad, d2, gd2, d4, bufs
+
+
 def le_fields_2d5pt_d4(phi, cfg: LeesEdwardsConfig, t):
     """Level-4 LE gradients for the 2d_5pt stencil (Brazovskii).
 

@@ -62,3 +62,43 @@ def test_sheared_binary_conserves_and_runs():
     expect = le_steady_profile(le, np.arange(size[0]))
     corr = np.corrcoef(uyx - uyx.mean(), expect)[0, 1]
     assert corr > 0.9, corr
+
+
+def test_le_27pt_d4_reduces_to_plain_at_zero_shift():
+    """With zero plane velocity the LE level-4 27pt gradients equal two
+    plain periodic passes of the 27pt operator (buffer columns become
+    the real neighbouring columns)."""
+    from ludwig_tpu.ops.le_ref import le_fields_27pt_d4
+    from ludwig_tpu.ops.stencil import delsq_27pt, grad_27pt
+
+    NX, NY, NZ = 16, 8, 4
+    le = LeesEdwardsConfig(nplanes=2, uy=0.0, nx=NX)
+    rng = np.random.default_rng(1)
+    phi = jnp.asarray(rng.random((NX, NY, NZ)))
+    grad, d2, gd2, d4, bufs = le_fields_27pt_d4(phi, le, 5.0)
+
+    g_ref, d2_ref = grad_27pt(phi), delsq_27pt(phi)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(g_ref),
+                               rtol=0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d2_ref),
+                               rtol=0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(gd2), np.asarray(grad_27pt(d2_ref)),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(d4), np.asarray(delsq_27pt(d2_ref)),
+                               rtol=0, atol=1e-13)
+    # buffer columns coincide with the real columns across the plane
+    for c, b in bufs.items():
+        cu = (c + 1) % NX
+        pb1, g_b1, d2_b1, g4_b1, d4_b1 = b["b1"]
+        np.testing.assert_allclose(np.asarray(pb1),
+                                   np.asarray(phi)[cu], atol=1e-15)
+        np.testing.assert_allclose(np.asarray(d2_b1),
+                                   np.asarray(d2_ref)[cu], atol=1e-14)
+        np.testing.assert_allclose(np.asarray(d4_b1),
+                                   np.asarray(delsq_27pt(d2_ref))[cu],
+                                   atol=1e-13)
+        pd0, g_d0, d2_d0, g4_d0, d4_d0 = b["d0"]
+        np.testing.assert_allclose(np.asarray(pd0),
+                                   np.asarray(phi)[c], atol=1e-15)
+        np.testing.assert_allclose(np.asarray(d2_d0),
+                                   np.asarray(d2_ref)[c], atol=1e-14)
