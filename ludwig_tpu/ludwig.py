@@ -2074,7 +2074,12 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
         if in_loop or sys_.rt.int("_t0_fe", 1) == 1:
             ftot, vol, x3, x4 = (float(v) for v in res["fe_lc"])
             rs = float(res.get("redshift", sys_.lc_cfg.fe.redshift))
-            if sys_.lc_cfg.has_walls:
+            if sys_.rt.int("_fed_block", 0):
+                # v0.2-era LC logs print the generic free-energy
+                # density block (sniffed; long64-chol-bp1.log:61-62)
+                out.write(stats.format_fed_block(tstep, ftot / vol,
+                                                 ftot / vol))
+            elif sys_.lc_cfg.has_walls:
                 out.write("\nFree energies - timestep f v f/v f_s1 "
                           "fs_s2 redshift\n")
                 out.write(f"[fe] {int(tstep):14d} {ftot:17.10e} "
@@ -2163,6 +2168,48 @@ def run_text(text: str, out=sys.stdout) -> System:
     freq_psi = rt.int("freq_psi", 0)
     _periodic = tuple(rt.int_vector("periodicity", (1, 1, 1)))
 
+    # measurement / shear-profile scheduling (ref: control.c
+    # freq_measure, freq_shear_measurement, freq_shear_output,
+    # colloid_io_freq; ludwig.c:875-936)
+    freq_measure = rt.int("freq_measure", 0)
+    freq_colloid_io = rt.int("colloid_io_freq", 0)
+    freq_shear_meas = rt.int("freq_shear_measurement", 0)
+    freq_shear_io = rt.int("freq_shear_output", 0)
+    rheo = None
+    if freq_shear_meas or freq_shear_io:
+        from ludwig_tpu.stats_extra import RheologyAccumulator
+        rheo = RheologyAccumulator(size)
+
+    def _binary_fields(state):
+        """phi + gradients for host-side fe evaluations (stress/fed)."""
+        from ludwig_tpu.binary import binary_solid_ops, fe_fields
+        bcfg = sys_.binary_cfg
+        sops = binary_solid_ops(bcfg, solid=sys_.solid,
+                                wallspec=sys_.wallspec)
+        return fe_fields(state[1], bcfg.gradient, bcfg.fourth_order, sops)
+
+    def _rheo_pth(state):
+        # thermodynamic stress for the profile (ref: fe->func->stress in
+        # stats_rheology_stress_profile_accumulate; fe_null -> zeros)
+        if sys_.binary_cfg is not None and not sys_.is_colloid:
+            bcfg = sys_.binary_cfg
+            return jax.device_get(bcfg.fe.stress(_binary_fields(state)))
+        return None
+
+    # surface-tension calibration (ref: stats_sigma.c, switched on by
+    # 'calibration_sigma on'; drop-initialised phi + [sigma] lines at
+    # measurement steps)
+    sigma_cal = None
+    if (rt.switch("calibration_sigma", False)
+            and sys_.binary_cfg is not None):
+        from ludwig_tpu.stats_extra import SigmaCalibration
+        bcfg = sys_.binary_cfg
+        sigma_cal = SigmaCalibration(bcfg.fe, size, bcfg.mobility)
+        phi0 = jnp.asarray(sigma_cal.init_phi(np.float64),
+                           sys_.state[1].dtype)
+        sys_.state = (sys_.state[0], phi0) + tuple(sys_.state[2:])
+        sigma_cal.banner(out)
+
     def _ref_dump(step, state, u):
         from ludwig_tpu.io.ref_format import write_ref_field
         if freq_phi and step % freq_phi == 0:
@@ -2210,7 +2257,7 @@ def run_text(text: str, out=sys.stdout) -> System:
             names.append("vel")
         return names
 
-    def _dump(step, state):
+    def _dump_colloids(step, state):
         if sys_.is_colloid:
             # reference-format colloid configuration dump
             # (ref: colloid_io.c colloid_io_write, config.cds%8.8d)
@@ -2246,6 +2293,9 @@ def run_text(text: str, out=sys.stdout) -> System:
             write_colloid_file(
                 _os.path.join(iodir, f"config.cds{step:08d}.001-001"),
                 recs)
+
+    def _dump(step, state):
+        _dump_colloids(step, state)
         # friendly names for the classic fields, generic ones for the
         # rest of the state pytree (colloid state, noise, BC carries) so
         # EVERY run restarts exactly (ref: ludwig.c:868-916 writes all
@@ -2360,6 +2410,30 @@ def run_text(text: str, out=sys.stdout) -> System:
             ts0 = time.time()
             _dump(t, state)
             _acc("cfgio", time.time() - ts0)
+        elif ((freq_measure and t % freq_measure == 0)
+                or (freq_colloid_io and t % freq_colloid_io == 0)):
+            # colloid state is also written at measurement /
+            # colloid-io steps (ref: ludwig.c:878-884)
+            _dump_colloids(t, state)
+        if freq_measure and t % freq_measure == 0 and sigma_cal is not None:
+            # (ref: ludwig.c:920-923 stats_sigma_measure)
+            fl_ = _binary_fields(state)
+            radius, xifit, sig = sigma_cal.measure(
+                jax.device_get(state[1]), fl_)
+            out.write("\nSurface tension calibration - radius xi0 "
+                      "surface tension\n")
+            out.write(f"[sigma] {t:14d} {radius:14.7e} {xifit:14.7e} "
+                      f"{sig:14.7e}\n")
+        if freq_shear_meas and t % freq_shear_meas == 0:
+            # (ref: ludwig.c:925-929, stats_rheology accumulate)
+            rheo.accumulate(jax.device_get(state[0]), sys_.lb_cfg.model,
+                            _rheo_pth(state))
+        if freq_shear_io and t % freq_shear_io == 0:
+            # (ref: ludwig.c:931-935, str-%8.8d.dat + zero)
+            import os as _os
+            rheo.write_section(_os.path.join(iodir, f"str-{t:08d}.dat"),
+                               sys_.lb_cfg.eta_shear)
+            rheo.zero()
         if freq_phi or freq_vel or freq_psi:
             ts0 = time.time()
             _ref_dump(t, state, u)

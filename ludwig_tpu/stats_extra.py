@@ -93,3 +93,163 @@ class TurbulentStats:
                     fh.write(f"{ic + 1:4d} {kc + 1:4d} "
                              f"{v[0]:14.7e} {v[1]:14.7e} "
                              f"{v[2]:14.7e}\n")
+
+
+class RheologyAccumulator:
+    """Mean-stress xz-section accumulator.
+
+    22 data items per (x, z) point, accumulated over y and time
+    (ref: stats_rheology.c:54-55 NSTAT2, :332-425
+    stats_rheology_stress_profile_accumulate): 6 components each of the
+    measured second moment minus rho u u (the viscous stress up to a
+    factor applied at output), the thermodynamic stress, and rho u u;
+    then the 3 velocity components; slot 21 is the reference's zero
+    placeholder for the isotropic chemical stress.
+    """
+
+    TRIU = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+
+    def __init__(self, size):
+        self.size = tuple(size)
+        self.stat = np.zeros((size[0], size[2], 22))
+        self.count = 0
+
+    def accumulate(self, f, model, pth=None):
+        fnp = np.asarray(f, np.float64)
+        cv = np.asarray(model.cv, np.float64)
+        rho = fnp.sum(0)
+        mom = np.einsum("qxyz,qa->axyz", fnp, cv)
+        s2 = np.einsum("qxyz,qa,qb->abxyz", fnp, cv, cv)
+        v = mom / rho
+        cols = [s2[a, b] - v[a] * mom[b] for (a, b) in self.TRIU]
+        if pth is None:
+            cols += [np.zeros_like(rho)] * 6
+        else:
+            p = np.asarray(pth, np.float64)
+            cols += [p[a, b] for (a, b) in self.TRIU]
+        cols += [v[a] * mom[b] for (a, b) in self.TRIU]
+        cols += [v[a] for a in range(3)]
+        self.stat[:, :, :21] += np.stack(cols, axis=-1).sum(axis=1)
+        self.count += 1
+
+    def zero(self):
+        self.stat[:] = 0.0
+        self.count = 0
+
+    def write_section(self, path, eta):
+        """str-%8.8d.dat: z runs fastest, 22 columns ' %15.8e'
+        (ref: stats_rheology_stress_section; the viscous factor is
+        -rcs2 eta / tau = -3 eta 2 / (1 + 6 eta))."""
+        viscous = -3.0 * eta * 2.0 / (1.0 + 6.0 * eta)
+        ravg = (1.0 / (self.size[1] * self.count)) if self.count else 0.0
+        dat = self.stat * ravg
+        dat[:, :, :6] *= viscous
+        with open(path, "w") as fh:
+            for i in range(self.size[0]):
+                for k in range(self.size[2]):
+                    fh.write("".join(f" {x:15.8e}" for x in dat[i, k]))
+                    fh.write("\n")
+
+
+class SigmaCalibration:
+    """Surface-tension calibration via a droplet (ref: stats_sigma.c).
+
+    Initialises phi as a drop of radius L/4 and width 2 xi0 at the box
+    centre; measure() recovers the drop centre (mean of phi < 0 sites),
+    radius (mean distance of sign-change crossings over the 26-site
+    neighbourhood), interfacial width (best tanh fit over a binned
+    radial profile, NFITMAX grid) and surface tension (excess free
+    energy over the site minimum / drop area).
+    """
+
+    NBIN, NFITMAX, XIINIT, XIPROFILE = 128, 2000, 2.0, 10.0
+
+    def __init__(self, fe, size, mobility):
+        self.fe = fe
+        self.size = tuple(size)
+        self.xi0 = float(np.sqrt(-2.0 * fe.kappa / fe.a))
+        self.radius = 0.25 * size[0]
+        self.phistar = float(np.sqrt(-fe.a / fe.b))
+        self.diffusivity = -mobility / fe.a
+        self.tdiff = (self.XIINIT * self.xi0) ** 2 / self.diffusivity
+
+    def banner(self, out):
+        out.write("\nSurface tension calibration via droplet initialised\n")
+        out.write("---------------------------------------------------\n")
+        out.write(f"Drop radius:     {self.radius:14.7e}\n")
+        out.write(f"Cahn number:     {self.xi0 / self.radius:14.7e}\n")
+        out.write(f"Diffusivity:     {self.diffusivity:14.7e}\n")
+        out.write(f"Diffusion time:  {self.tdiff:14.7e}\n")
+
+    def init_phi(self, dtype):
+        """phi = phistar tanh((r - r0)/xi) on global site coords i+1
+        (ref: field_phi_init_drop, is_centred = 0)."""
+        nx, ny, nz = self.size
+        x = np.arange(1, nx + 1) - 0.5 * nx
+        y = np.arange(1, ny + 1) - 0.5 * ny
+        z = np.arange(1, nz + 1) - 0.5 * nz
+        r = np.sqrt(x[:, None, None] ** 2 + y[None, :, None] ** 2
+                    + z[None, None, :] ** 2)
+        rxi = 1.0 / (self.XIINIT * self.xi0)
+        return (self.phistar * np.tanh(rxi * (r - self.radius))).astype(dtype)
+
+    def measure(self, phi, fields):
+        phin = np.asarray(phi, np.float64)
+        nx, ny, nz = self.size
+        gx = np.arange(1, nx + 1, dtype=np.float64)
+        gy = np.arange(1, ny + 1, dtype=np.float64)
+        gz = np.arange(1, nz + 1, dtype=np.float64)
+        neg = phin <= 0.0
+        nneg = neg.sum()
+        centre = np.array([
+            (neg * gx[:, None, None]).sum() / nneg,
+            (neg * gy[None, :, None]).sum() / nneg,
+            (neg * gz[None, None, :]).sum() / nneg])
+        # radius: interpolated sign-change crossings over 26 neighbours
+        rsum = 0.0
+        rcount = 0.0
+        inside = phin < 0.0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    if dx == 0 and dy == 0 and dz == 0:
+                        continue
+                    phi1 = np.roll(phin, (-dx, -dy, -dz), (0, 1, 2))
+                    m = inside & (phi1 > 0.0)
+                    if not m.any():
+                        continue
+                    frac = phin[m] / (phin[m] - phi1[m])
+                    ii, jj, kk = np.nonzero(m)
+                    rx = gx[ii] + frac * dx - centre[0]
+                    ry = gy[jj] + frac * dy - centre[1]
+                    rz = gz[kk] + frac * dz - centre[2]
+                    rsum += np.sqrt(rx ** 2 + ry ** 2 + rz ** 2).sum()
+                    rcount += m.sum()
+        radius = rsum / rcount
+        # xi: binned radial profile + best tanh fit
+        rmin = radius - self.XIPROFILE * self.xi0
+        rmax = radius + self.XIPROFILE * self.xi0
+        dr = (rmax - rmin) / self.NBIN
+        r0 = np.sqrt((gx[:, None, None] - centre[0]) ** 2
+                     + (gy[None, :, None] - centre[1]) ** 2
+                     + (gz[None, None, :] - centre[2]) ** 2)
+        nb = np.floor((r0 - rmin) / dr).astype(np.int64)
+        ok = (nb >= 0) & (nb < self.NBIN)
+        phir = np.bincount(nb[ok], weights=phin[ok], minlength=self.NBIN)
+        nphi = np.bincount(nb[ok], minlength=self.NBIN)
+        has = nphi > 0
+        phir[has] = phir[has] / nphi[has]
+        rbin = rmin + (np.arange(self.NBIN) + 0.5) * dr
+        xifits = 2.0 * (np.arange(self.NFITMAX) + 1) * self.xi0 \
+            / self.NFITMAX
+        prof = np.tanh((rbin[None, :] - radius) / xifits[:, None])
+        cost = (((phir[None, :] - prof) ** 2) * has[None, :]).sum(axis=1)
+        xi0fit = float(xifits[int(np.argmin(cost))])
+        # sigma: excess free energy density over the minimum
+        fed = np.asarray(self.fe.fed(fields), np.float64)
+        excess = (fed - fed.min()).sum()
+        if nz == 1:
+            sigma = excess / (2.0 * np.pi * radius)
+        else:
+            sigma = excess / (4.0 * np.pi * radius * radius)
+        return radius, xi0fit, sigma

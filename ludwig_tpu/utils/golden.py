@@ -61,6 +61,16 @@ IRREPRODUCIBLE = {
     # below the plain-sum noise scale.
     "d3q19-elec/serial-elec-ep2": (("[psi]", 1e-10),
                                    ("[total   ]", 2.5e-12)),
+    # ORACLE.md Finding 6: the committed v0.1.28 log's near-zero
+    # momentum components are not reproduced by the fresh reference
+    # v0.20.1 either (committed [fluid]x 1.2461351e-12, oracle
+    # -6.4011643e-13, ours -7.6594980e-13): the 1000-step trajectory of
+    # the old binary differs at the ulp level, and these totals are
+    # pure accumulation roundoff of it (t = 0 rest-state [total] is
+    # already 3.6e-12 in rank-block order).  Waive momentum tokens when
+    # both sides sit below the plain-sum noise scale.
+    "d3q19/long08-chol-n01": (("[total   ]", 2.5e-12),
+                              ("[fluid   ]", 2.5e-12)),
 }
 
 
@@ -180,6 +190,11 @@ def run_case(name: str, workdir: Optional[str] = None,
             text = "_q_labels q\n" + text
         elif "\n[phi]" in whole and "lc_" in text:
             text = "_q_labels phi\n" + text
+        # v0.2-era LC logs print the generic free-energy DENSITY block
+        # rather than the [fe] ... redshift row (long64-chol-bp1.log);
+        # sniff the actual block from the committed log
+        if "\n[fed]" in whole and "lc_" in text:
+            text = "_fed_block 1\n" + text
         # whether the initial-conditions block carries a free-energy
         # line also varies within versions; sniff it
         mi = _re.search(r"Initial conditions\.(.*?)Starting", whole,
