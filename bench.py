@@ -19,7 +19,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ludwig_tpu.lb import LBConfig, initial_rest
-from ludwig_tpu.ops.fused import FusedPlan, make_fused_nstep, pad_state
+from ludwig_tpu.ops.fused import (FusedPlan, make_fused2_nstep,
+                                  make_fused_nstep, pad_state, pad_state2)
 
 
 def main():
@@ -30,9 +31,16 @@ def main():
 
     cfg = LBConfig(size=size, nvel=19, eta_shear=0.1, eta_bulk=0.1,
                    dtype="float32")
-    f = pad_state(initial_rest(cfg))
-    nstep = make_fused_nstep(cfg.model, cfg.collision_params(),
-                             FusedPlan(16, 32))
+    if "--single" in sys.argv:
+        f = pad_state(initial_rest(cfg))
+        nstep = make_fused_nstep(cfg.model, cfg.collision_params(),
+                                 FusedPlan(16, 32))
+    else:
+        # temporally-blocked kernel: two steps per HBM pass (bitwise
+        # two single fused steps; tests/test_fused.py)
+        f = pad_state2(initial_rest(cfg))
+        nstep = make_fused2_nstep(cfg.model, cfg.collision_params(),
+                                  FusedPlan(16, 32))
 
     def fence(x):
         # A scalar readback is the only reliable execution fence on every

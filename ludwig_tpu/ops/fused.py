@@ -277,6 +277,176 @@ def make_fused_nstep(model: LatticeModel, params: CollisionParams,
     return nstep
 
 
+HX2 = 2  # x halo width of the temporally-blocked (2-step) kernel
+
+
+def pad_state2(f: jnp.ndarray) -> jnp.ndarray:
+    """(nvel, X, Y, Z) -> padded (nvel, X+4, Y+16, Z) for the 2-step
+    kernel (x halo 2; the two innermost y pad rows are live)."""
+    return jnp.pad(f, ((0, 0), (HX2, HX2), (HY, HY), (0, 0)), mode="wrap")
+
+
+def unpad_state2(fpad: jnp.ndarray) -> jnp.ndarray:
+    return fpad[:, HX2:-HX2, HY:-HY, :]
+
+
+def _pad_refresh2(fpad: jnp.ndarray) -> jnp.ndarray:
+    """Periodic pad refresh for the 2-step kernel: two rows/planes per
+    side (y first, then x, so corners pick up doubly-periodic values)."""
+    X = fpad.shape[1] - 2 * HX2
+    Y = fpad.shape[2] - 2 * HY
+    fpad = fpad.at[:, :, HY - 2:HY, :].set(fpad[:, :, Y + HY - 2:Y + HY, :])
+    fpad = fpad.at[:, :, Y + HY:Y + HY + 2, :].set(fpad[:, :, HY:HY + 2, :])
+    fpad = fpad.at[:, 0:2, :, :].set(fpad[:, X:X + 2, :, :])
+    fpad = fpad.at[:, X + 2:X + 4, :, :].set(fpad[:, 2:4, :, :])
+    return fpad
+
+
+def _fused2_kernel(model: LatticeModel, params: CollisionParams,
+                   X, Y, Z, BX, BY,
+                   fpad_hbm, out_hbm, inbuf, outbuf, insem, outsem):
+    """Temporally-blocked kernel: TWO collide+stream steps per HBM pass.
+
+    Per (BX, BY) block the DMA window is (BX+4, BY+16); step 1 produces
+    the intermediate state on the (BX+2, BY+2) halo window entirely in
+    VMEM, step 2 consumes it to emit the final (BX, BY) block.  HBM
+    traffic per two steps is ~((BX+4)(BY+16)/(BX BY) + 1) passes of f -
+    at (16, 32) that is 2.88 vs 5.38 for two single-step passes.  The
+    arithmetic per site is identical to the single-step kernel's, so
+    the result is bitwise equal to two fused_step calls.
+    """
+    nvel = model.nvel
+    nbx, nby = X // BX, Y // BY
+    nblocks = nbx * nby
+
+    def in_dma(slot, k):
+        i = k // nby
+        j = k % nby
+        return pltpu.make_async_copy(
+            fpad_hbm.at[:, pl.ds(i * BX, BX + 4), pl.ds(j * BY, BY + 16), :],
+            inbuf.at[slot],
+            insem.at[slot])
+
+    def out_dma(slot, k):
+        i = k // nby
+        j = k % nby
+        return pltpu.make_async_copy(
+            outbuf.at[slot],
+            out_hbm.at[:, pl.ds(HX2 + i * BX, BX),
+                       pl.ds(HY + j * BY, BY), :],
+            outsem.at[slot])
+
+    in_dma(0, 0).start()
+
+    mi = model.mi
+    cvs = [(int(model.cv[q][0]), int(model.cv[q][1]), int(model.cv[q][2]))
+           for q in range(nvel)]
+
+    def assemble(modes, q, nx_out, ny_out):
+        cx, cy, cz = cvs[q]
+        acc = None
+        for mm in range(nvel):
+            coef = float(mi[q, mm])
+            if coef == 0.0 or isinstance(modes[mm], float):
+                continue
+            term = modes[mm] if coef == 1.0 else (
+                -modes[mm] if coef == -1.0 else coef * modes[mm])
+            acc = term if acc is None else acc + term
+        blk = acc[1 - cx:1 - cx + nx_out, 1 - cy:1 - cy + ny_out, :]
+        if cz:
+            blk = pltpu.roll(blk, cz % Z, 2)
+        return blk
+
+    def body(k, _):
+        slot = k % 2
+        nslot = (k + 1) % 2
+
+        @pl.when(k + 1 < nblocks)
+        def _():
+            in_dma(nslot, k + 1).start()
+
+        in_dma(slot, k).wait()
+
+        window = inbuf[slot]
+        # step 1 over the (BX+2, BY+2) halo window: sources span
+        # (BX+4, BY+4) = window y rows [HY-2, HY+BY+2)
+        fl0 = [window[p, :, HY - 2:HY + BY + 2, :] for p in range(nvel)]
+        modes0, _u0 = _collide_modes(model, params, fl0)
+        f1 = [assemble(modes0, q, BX + 2, BY + 2) for q in range(nvel)]
+
+        # step 2 on the intermediate state
+        modes1, _u1 = _collide_modes(model, params, f1)
+
+        @pl.when(k >= 2)
+        def _():
+            out_dma(slot, k - 2).wait()
+
+        for q in range(nvel):
+            outbuf[slot, q] = assemble(modes1, q, BX, BY)
+
+        out_dma(slot, k).start()
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, body, 0)
+    out_dma((nblocks - 1) % 2, nblocks - 1).wait()
+
+    @pl.when(nblocks >= 2)
+    def _():
+        out_dma(nblocks % 2, nblocks - 2).wait()
+
+
+def fused2_step(fpad: jnp.ndarray, model: LatticeModel,
+                params: CollisionParams, plan: FusedPlan = FusedPlan(),
+                interpret: bool = False) -> jnp.ndarray:
+    """TWO fused collide+stream steps on a pad_state2-padded state."""
+    nvel, Xp, Yp, Z = fpad.shape
+    X, Y = Xp - 2 * HX2, Yp - 2 * HY
+    BX = min(plan.BX, X)
+    BY = min(plan.BY, Y)
+    if X % BX or Y % BY or BY % 8:
+        raise ValueError(
+            f"blocks ({BX},{BY}) must divide lattice ({X},{Y}), BY%8==0")
+    if not interpret and Z % 128:
+        raise ValueError(
+            f"fused kernel needs Z % 128 == 0 on hardware (got {Z})")
+
+    kernel = partial(_fused2_kernel, model, params, X, Y, Z, BX, BY)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(fpad.shape, fpad.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, nvel, BX + 4, BY + 16, Z), fpad.dtype),
+            pltpu.VMEM((2, nvel, BX, BY, Z), fpad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(fpad)
+    return _pad_refresh2(out)
+
+
+def make_fused2_nstep(model: LatticeModel, params: CollisionParams,
+                      plan: FusedPlan = FusedPlan(),
+                      interpret: bool = False):
+    """Jitted n-step driver on a pad_state2 state; n must be even."""
+
+    @partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def nstep(fpad, n):
+        if n % 2:
+            raise ValueError("fused2 nstep needs an even step count")
+        def body(fp, _):
+            return fused2_step(fp, model, params, plan,
+                               interpret=interpret), ()
+        fpad, _ = jax.lax.scan(body, fpad, None, length=n // 2)
+        return fpad
+
+    return nstep
+
+
 def _fused_force_kernel(model: LatticeModel, params: CollisionParams,
                         X, Y, Z, BX, BY,
                         fpad_hbm, force_hbm, out_hbm, u_hbm,

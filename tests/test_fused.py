@@ -244,3 +244,37 @@ def test_fused_droplet_step_matches_jnp_path():
                                np.asarray(sx[2]), rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(unpad_f(sf[0])),
                                np.asarray(sx[0]), rtol=1e-10, atol=1e-12)
+
+
+def test_fused2_matches_two_single_steps():
+    """The temporally-blocked kernel is bitwise two fused steps."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ludwig_tpu.lb import LBConfig
+    from ludwig_tpu.ops.fused import (FusedPlan, fused2_step, fused_step,
+                                      pad_state, pad_state2, unpad_state,
+                                      unpad_state2)
+
+    cfg = LBConfig(size=(16, 16, 32), nvel=19, eta_shear=0.1,
+                   dtype="float64")
+    model, params = cfg.model, cfg.collision_params()
+    rng = np.random.default_rng(7)
+    f0 = jnp.asarray(
+        0.05 + 0.01 * rng.random((19, 16, 16, 32)), jnp.float64)
+
+    plan = FusedPlan(BX=4, BY=8)
+    fa = pad_state(f0)
+    for _ in range(2):
+        fa = fused_step(fa, model, params, plan, interpret=True)
+    ref2 = np.asarray(unpad_state(fa))
+
+    fb = fused2_step(pad_state2(f0), model, params, plan, interpret=True)
+    out2 = np.asarray(unpad_state2(fb))
+    np.testing.assert_array_equal(out2, ref2)
+
+    # and again (pads refreshed correctly between 2-step passes)
+    for _ in range(2):
+        fa = fused_step(fa, model, params, plan, interpret=True)
+    fb = fused2_step(fb, model, params, plan, interpret=True)
+    np.testing.assert_array_equal(np.asarray(unpad_state2(fb)),
+                                  np.asarray(unpad_state(fa)))
