@@ -35,6 +35,17 @@ from ludwig_tpu.runtime import RunTime, RunTimeError
 from ludwig_tpu import stats
 
 
+def _fused_plan(size):
+    """Largest (BX <= 16, BY <= 32 with BY % 8 == 0) fused-kernel block
+    plan that divides the lattice, or None."""
+    from ludwig_tpu.ops.fused import FusedPlan
+    bx = next((b for b in (16, 8, 4, 2, 1) if size[0] % b == 0), None)
+    by = next((b for b in (32, 24, 16, 8) if size[1] % b == 0), None)
+    if bx is None or by is None:
+        return None
+    return FusedPlan(bx, by)
+
+
 @dataclasses.dataclass
 class System:
     """A configured simulation: state + step + reporting."""
@@ -61,6 +72,7 @@ class System:
     has_kiss: bool = False    # per-site KISS noise state rides the state
     colloid_charge: Optional[tuple] = None     # (N, 2) input charges
     es_cfg: Optional[object] = None   # fe_electro_symmetric coupled run
+    fused_mode: Optional[str] = None  # 'plain' | 'lc': Pallas fast path
 
     @property
     def is_binary(self) -> bool:
@@ -1126,6 +1138,27 @@ def build_system(rt: RunTime) -> System:
             return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
                           solid=None, state=state, step_fn=step,
                           lc_cfg=lcfg, colloid_params=cparams)
+        fused_req = rt.string("tpu_fused", "off")
+        if (fused_req != "off" and solid is None and wallspec is None
+                and lcfg.advection_order == 1
+                and not lcfg.redshift_update and lcfg.noise_kt == 0.0
+                and lcfg.hydrodynamics and not any(fe.e0)):
+            # production fast path: the two-kernel Pallas LC step
+            # (ops/fused_lc.py) replaces the jnp pipeline
+            plan = _fused_plan(size)
+            interp = fused_req == "interpret"
+            if plan is not None and (interp or (size[2] % 128 == 0
+                                     and lb_cfg.dtype == "float32")):
+                from ludwig_tpu.ops.fused_lc import (LCPlan,
+                                                     initial_fused_lc,
+                                                     make_fused_lc_step)
+                lcfg = dataclasses.replace(lcfg, keep_grads=False)
+                step = make_fused_lc_step(
+                    lcfg, LCPlan(min(8, plan.BX), plan.BY),
+                    lb_plan=plan, interpret=interp)
+                return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
+                              solid=None, state=initial_fused_lc(lcfg, q5),
+                              step_fn=step, lc_cfg=lcfg, fused_mode="lc")
         state = initial_lc(lcfg, q5)
         step = make_lc_step(lcfg, solid=solid)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
@@ -1467,8 +1500,33 @@ def build_system(rt: RunTime) -> System:
                           solid=None, state=state, step_fn=step,
                           wallspec=ws, has_kiss=has_kiss)
         f = _distribution_init(rt, lb_cfg)
-        step = make_step(lb_cfg, solid=solid, le=le)
         has_kiss = nz is not None and nz.kiss and nz.rho
+        fused_req = rt.string("tpu_fused", "off")
+        if (fused_req != "off" and le is None and solid is None
+                and not has_kiss and nz is None):
+            # production fast path: the fused Pallas collide+stream
+            # replaces the jnp step (requires float32 on hardware and a
+            # 128-aligned z; 'tpu_fused interpret' runs the same kernel
+            # in interpret mode for CPU tests)
+            plan = _fused_plan(size)
+            interp = fused_req == "interpret"
+            if plan is not None and (interp or (size[2] % 128 == 0
+                                     and lb_cfg.dtype == "float32")):
+                from functools import partial as _p
+
+                from ludwig_tpu.ops.fused import fused_step, pad_state
+                model = lb_cfg.model
+                params = lb_cfg.collision_params()
+
+                @_p(jax.jit, donate_argnums=0)
+                def step(fpad, t=0):
+                    return fused_step(fpad, model, params, plan,
+                                      interpret=interp)
+
+                return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
+                              solid=None, state=(pad_state(f),),
+                              step_fn=step, fused_mode="plain")
+        step = make_step(lb_cfg, solid=solid, le=le)
         state = (f,)
         if has_kiss:
             from ludwig_tpu.noise_kiss import kiss_init
@@ -1490,6 +1548,49 @@ def _lc_efield_adjust(fe, q5, coswt):
     ef = sum(fe.e0[a] * q[a][b] * fe.e0[b]
              for a in range(3) for b in range(3))
     return (1.0 - coswt * coswt) * fe.epsilon * ef
+
+
+def _make_fast_stats_fn(sys_: System):
+    """Plain-jnp statistics for the fused production path.
+
+    The golden-parity stats (reference-ordered compensated scans) lower
+    to huge sequential programs on TPU; production runs report the same
+    observables with ordinary reductions (values equal up to roundoff).
+    """
+    from functools import partial as _partial
+
+    from ludwig_tpu.lb import hydro_fields
+    from ludwig_tpu.lc import lc_fields
+    model = sys_.lb_cfg.model
+    lcfg = sys_.lc_cfg
+
+    def _fstats(x):
+        m = jnp.mean(x)
+        return (jnp.sum(x), m, jnp.mean(x * x) - m * m,
+                jnp.min(x), jnp.max(x))
+
+    @_partial(jax.jit, static_argnums=3)
+    def compute(state, u, prev, coswt=1.0):
+        f = state[0]
+        rho, g = hydro_fields(f, model)
+        res = {"rho": _fstats(rho),
+               "g": jnp.sum(g, axis=(1, 2, 3)),
+               "umm": stats.velocity_minmax(u)}
+        if lcfg is not None:
+            q5 = state[1]
+            res["q5"] = [_fstats(q5[n]) for n in range(5)]
+            src = prev[0] if len(prev) == 1 else q5
+            fields = lc_fields(src, lcfg.gradient)
+            fields["q"] = q5
+            fed = lcfg.fe.fed(fields) + _lc_efield_adjust(
+                lcfg.fe, q5, coswt)
+            bulk, grad = lcfg.fe.fed_bulk_grad(fields)
+            vol = jnp.asarray(float(fed.size), fed.dtype)
+            res["fe_lc"] = (jnp.sum(fed), vol, jnp.sum(bulk),
+                            jnp.sum(grad))
+        return res
+
+    return compute
 
 
 def _make_stats_fn(sys_: System):
@@ -1895,6 +1996,15 @@ def _make_stats_fn(sys_: System):
                 # the top of the step (pre-BE-update q), ludwig.c loop
                 fields = {"q": q5, "grad_q": state[-2],
                           "delsq_q": state[-1]}
+            elif sys_.fused_mode == "lc" and len(prev) == 1:
+                # fused fast path: same stale-gradient convention, with
+                # the pre-update q carried through `prev`
+                w3 = (lcfg.wallspec.walls if lcfg.has_walls
+                      else (False,) * 3)
+                pf = lc_fields(prev[0], lcfg.gradient,
+                               anchoring=lcfg.anchoring, walls=w3)
+                fields = {"q": q5, "grad_q": pf["grad_q"],
+                          "delsq_q": pf["delsq_q"]}
             else:
                 w3 = (lcfg.wallspec.walls if lcfg.has_walls
                       else (False,) * 3)
@@ -2151,7 +2261,8 @@ def run_text(text: str, out=sys.stdout) -> System:
 
     ncycles = rt.int("N_cycles", 0)
     freq = rt.int("freq_statistics", max(ncycles, 1))
-    stats_fn = _make_stats_fn(sys_)
+    stats_fn = (_make_fast_stats_fn(sys_) if sys_.fused_mode is not None
+                else _make_stats_fn(sys_))
 
     # checkpoint / restart (ref: ludwig.c:310-369, 868-916)
     from ludwig_tpu.io import read_state, write_state
@@ -2212,6 +2323,8 @@ def run_text(text: str, out=sys.stdout) -> System:
 
     def _ref_dump(step, state, u):
         from ludwig_tpu.io.ref_format import write_ref_field
+        if sys_.fused_mode is not None:
+            state, u = _fused_view(state, u)
         if freq_phi and step % freq_phi == 0:
             if sys_.is_lc:
                 write_ref_field(iodir, "q", step,
@@ -2319,8 +2432,34 @@ def run_text(text: str, out=sys.stdout) -> System:
         sys_.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
         out.write(f"Restart from step {n_start}\n")
 
+    def _fused_view(state, u=None):
+        """Unpadded (state, u) view of a fused-mode state for the
+        statistics / IO machinery."""
+        from ludwig_tpu.ops.fused import unpad_state
+        if sys_.fused_mode == "plain":
+            from ludwig_tpu.lb import hydro_fields
+            f = unpad_state(state[0])
+            if u is None:
+                # the reference's hydro u is the collision-time
+                # force-shifted velocity (g_pre + F/2)/rho; after the
+                # kick the stored momentum is g_pre + F, so subtract F/2
+                rho_, g_ = hydro_fields(f, sys_.lb_cfg.model)
+                fg = sys_.lb_cfg.collision_params().force_global
+                g_ = g_ - 0.5 * jnp.asarray(
+                    np.asarray(fg[:3]), g_.dtype)[:, None, None, None]
+                u = g_ / rho_
+            return (f,), u
+        from ludwig_tpu.ops.fused_lc import unpad_q
+        return ((unpad_state(state[0]), unpad_q(state[1]), state[2]),
+                state[2] if u is None else u)
+
     def _op_fields(state):
         # copies: the step donates its input buffers
+        if sys_.fused_mode == "lc":
+            from ludwig_tpu.ops.fused_lc import unpad_q
+            return (jnp.array(unpad_q(state[1])),)   # pre-update q
+        if sys_.fused_mode is not None:
+            return ()
         if sys_.le_cfg is not None:
             return ()   # LE runs carry stale gradients in the state
         if sys_.is_colloid:
@@ -2344,9 +2483,17 @@ def run_text(text: str, out=sys.stdout) -> System:
 
     # initial report (tstep 0) as the reference does before the loop
     u = jnp.zeros((3,) + size, sys_.lb_cfg.jdtype)
-    report_statistics(sys_, sys_.n_start, u, stats_fn,
-                      with_velocity=False, out=out, in_loop=False,
-                      prev=_op_fields(sys_.state))
+    if sys_.fused_mode is not None:
+        _padded0 = sys_.state
+        sys_.state, _ = _fused_view(_padded0, u)
+        report_statistics(sys_, sys_.n_start, u, stats_fn,
+                          with_velocity=False, out=out, in_loop=False,
+                          prev=())
+        sys_.state = _padded0
+    else:
+        report_statistics(sys_, sys_.n_start, u, stats_fn,
+                          with_velocity=False, out=out, in_loop=False,
+                          prev=_op_fields(sys_.state))
 
     out.write("\nStarting time step loop.\n")
     t_init = time.time() - t0
@@ -2372,7 +2519,13 @@ def run_text(text: str, out=sys.stdout) -> System:
     for t in range(sys_.n_start + 1, sys_.n_start + ncycles + 1):
         ts0 = time.time()
         prev = _op_fields(state)
-        if sys_.is_colloid:
+        if sys_.fused_mode == "plain":
+            state = (sys_.step_fn(state[0], t),)
+            rho = u = None    # derived from f at statistics steps only
+        elif sys_.fused_mode == "lc":
+            state = sys_.step_fn(state, t)
+            rho, u = None, state[2]
+        elif sys_.is_colloid:
             state, (rho, u) = sys_.step_fn(state, t)
         elif (sys_.wallspec is not None and not sys_.is_binary
                 and not sys_.is_two_field and not sys_.is_binary_lb):
@@ -2403,8 +2556,14 @@ def run_text(text: str, out=sys.stdout) -> System:
         _acc("step", time.time() - ts0)
         if t % freq == 0:
             ts0 = time.time()
-            report_statistics(sys_, t, u, stats_fn, out=out,
-                              with_velocity=sys_.hydro_on, prev=prev)
+            if sys_.fused_mode is not None:
+                sys_.state, u = _fused_view(state, u)
+                report_statistics(sys_, t, u, stats_fn, out=out,
+                                  with_velocity=sys_.hydro_on, prev=prev)
+                sys_.state = state
+            else:
+                report_statistics(sys_, t, u, stats_fn, out=out,
+                                  with_velocity=sys_.hydro_on, prev=prev)
             _acc("stats", time.time() - ts0)
         if freq_config and t % freq_config == 0:
             ts0 = time.time()
@@ -2426,8 +2585,10 @@ def run_text(text: str, out=sys.stdout) -> System:
                       f"{sig:14.7e}\n")
         if freq_shear_meas and t % freq_shear_meas == 0:
             # (ref: ludwig.c:925-929, stats_rheology accumulate)
-            rheo.accumulate(jax.device_get(state[0]), sys_.lb_cfg.model,
-                            _rheo_pth(state))
+            st_ = (_fused_view(state)[0] if sys_.fused_mode is not None
+                   else state)
+            rheo.accumulate(jax.device_get(st_[0]), sys_.lb_cfg.model,
+                            _rheo_pth(st_))
         if freq_shear_io and t % freq_shear_io == 0:
             # (ref: ludwig.c:931-935, str-%8.8d.dat + zero)
             import os as _os

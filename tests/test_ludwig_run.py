@@ -96,3 +96,64 @@ def test_runtime_vectors_and_switches():
     assert rt.switch("b") and not rt.switch("c")
     assert rt.double("d") == 1.5
     assert rt.unused_keys() == []
+
+
+PLAIN_FUSED_INPUT = """
+N_cycles 6
+size 16_16_32
+viscosity 0.1
+ghost_modes on
+free_energy none
+force 0.00001_0.0_0.0
+periodicity 1_1_1
+freq_statistics 3
+colloid_init no_colloids
+"""
+
+LC_FUSED_INPUT = """
+N_cycles 4
+size 8_8_16
+viscosity 0.1
+free_energy lc_blue_phase
+fd_gradient_calculation 3d_7pt_fluid
+fd_advection_scheme_order 1
+lc_a0 0.01
+lc_gamma 3.0
+lc_q0 0.19635
+lc_kappa0 0.000648456
+lc_kappa1 0.000648456
+lc_xi 0.7
+lc_Gamma 0.5
+lc_q_initialisation o8m
+lc_q_init_amplitude -0.2
+lc_init_redshift 1.0
+periodicity 1_1_1
+freq_statistics 2
+colloid_init no_colloids
+"""
+
+
+def _stat_floats(log):
+    """All floats from the statistics blocks of a run log."""
+    vals = []
+    for line in log.splitlines():
+        if line.startswith(("[rho]", "[phi]", "[Q", "[fe", "[total",
+                            "[fluid", "[minimum", "[maximum")):
+            vals += [float(t) for t in line.split()
+                     if re.match(r"^-?\d", t)]
+    return np.array(vals)
+
+
+@pytest.mark.parametrize("text", [PLAIN_FUSED_INPUT, LC_FUSED_INPUT],
+                         ids=["plain", "lc"])
+def test_tpu_fused_cli_path_matches_jnp(text):
+    """'tpu_fused interpret' runs the Pallas production kernels through
+    the input-file surface and reproduces the jnp path's statistics."""
+    out_a = io.StringIO()
+    run_text(text, out=out_a)
+    out_b = io.StringIO()
+    sysobj = run_text("tpu_fused interpret\n" + text, out=out_b)
+    assert sysobj.fused_mode is not None
+    a, b = _stat_floats(out_a.getvalue()), _stat_floats(out_b.getvalue())
+    assert a.size == b.size and a.size > 0
+    np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-11)
