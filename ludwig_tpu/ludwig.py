@@ -2516,44 +2516,7 @@ def run_text(text: str, out=sys.stdout) -> System:
         s[2] = max(s[2], dt_)
         s[3] += 1
 
-    for t in range(sys_.n_start + 1, sys_.n_start + ncycles + 1):
-        ts0 = time.time()
-        prev = _op_fields(state)
-        if sys_.fused_mode == "plain":
-            state = (sys_.step_fn(state[0], t),)
-            rho = u = None    # derived from f at statistics steps only
-        elif sys_.fused_mode == "lc":
-            state = sys_.step_fn(state, t)
-            rho, u = None, state[2]
-        elif sys_.is_colloid:
-            state, (rho, u) = sys_.step_fn(state, t)
-        elif (sys_.wallspec is not None and not sys_.is_binary
-                and not sys_.is_two_field and not sys_.is_binary_lb):
-            state, rho, u = sys_.step_fn(state, t)
-        elif sys_.is_electro:
-            state, rho = sys_.step_fn(state, t)
-            u = state[4] if sys_.es_cfg is not None else state[3]
-        elif sys_.is_binary_lb:
-            state, (rho, _phi) = sys_.step_fn(state, t)
-            u = state[2]
-        elif (sys_.is_binary or sys_.is_lc or sys_.is_two_field
-                or sys_.is_droplet or sys_.is_polar):
-            state, rho = sys_.step_fn(state, t)
-            if sys_.is_two_field:
-                u = state[3]
-            elif (sys_.is_lc or sys_.le_cfg is not None
-                    or sys_.wallspec is not None or sys_.has_kiss):
-                u = state[2]
-            else:
-                u = state[-1]
-        elif sys_.has_kiss:
-            # plain fluid + reference-exact KISS noise: (f, nstate)
-            state, rho, u = sys_.step_fn(state, t)
-        else:
-            f, rho, u = sys_.step_fn(state[0], t)
-            state = (f,)
-        sys_.state = state
-        _acc("step", time.time() - ts0)
+    def _loop_outputs(t, state, u, prev):
         if t % freq == 0:
             ts0 = time.time()
             if sys_.fused_mode is not None:
@@ -2599,6 +2562,95 @@ def run_text(text: str, out=sys.stdout) -> System:
             ts0 = time.time()
             _ref_dump(t, state, u)
             _acc("fldio", time.time() - ts0)
+
+    _tend = sys_.n_start + ncycles
+    _freqs = [fq for fq in (freq, freq_config, freq_measure,
+                            freq_colloid_io, freq_shear_meas,
+                            freq_shear_io, freq_phi, freq_vel, freq_psi)
+              if fq]
+
+    def _event_gap(t0):
+        """Steps from t0 (inclusive) to the next output event."""
+        k = _tend - t0 + 1
+        for fq in _freqs:
+            k = min(k, fq - (t0 - 1) % fq)
+        return max(k, 1)
+
+    _chunk_cache = {}
+
+    def _fused_chain(state, n):
+        """n fused steps as ONE scanned program (per-step dispatch over
+        the remote relay costs ~0.2 s; production throughput needs the
+        steps between output events batched)."""
+        fn = _chunk_cache.get(n)
+        if fn is None:
+            from functools import partial as _p
+            plain = sys_.fused_mode == "plain"
+
+            @_p(jax.jit, donate_argnums=0)
+            def fn(st):
+                def body(s, _):
+                    if plain:
+                        return (sys_.step_fn(s[0], 0),), None
+                    return sys_.step_fn(s, 0), None
+                st, _ = jax.lax.scan(body, st, None, length=n)
+                return st
+
+            _chunk_cache[n] = fn
+        return fn(state)
+
+    t = sys_.n_start + 1
+    while t <= _tend:
+        ts0 = time.time()
+        if sys_.fused_mode is not None:
+            k = _event_gap(t)
+            if k > 1:
+                state = _fused_chain(state, k - 1)
+                t += k - 1
+            prev = _op_fields(state)
+            if sys_.fused_mode == "plain":
+                state = (sys_.step_fn(state[0], t),)
+                rho = u = None   # derived from f at statistics steps
+            else:
+                state = sys_.step_fn(state, t)
+                rho, u = None, state[2]
+            sys_.state = state
+            _acc("step", time.time() - ts0)
+            _loop_outputs(t, state, u, prev)
+            t += 1
+            continue
+        prev = _op_fields(state)
+        if sys_.is_colloid:
+            state, (rho, u) = sys_.step_fn(state, t)
+        elif (sys_.wallspec is not None and not sys_.is_binary
+                and not sys_.is_two_field and not sys_.is_binary_lb):
+            state, rho, u = sys_.step_fn(state, t)
+        elif sys_.is_electro:
+            state, rho = sys_.step_fn(state, t)
+            u = state[4] if sys_.es_cfg is not None else state[3]
+        elif sys_.is_binary_lb:
+            state, (rho, _phi) = sys_.step_fn(state, t)
+            u = state[2]
+        elif (sys_.is_binary or sys_.is_lc or sys_.is_two_field
+                or sys_.is_droplet or sys_.is_polar):
+            state, rho = sys_.step_fn(state, t)
+            if sys_.is_two_field:
+                u = state[3]
+            elif (sys_.is_lc or sys_.le_cfg is not None
+                    or sys_.wallspec is not None or sys_.has_kiss):
+                u = state[2]
+            else:
+                u = state[-1]
+        elif sys_.has_kiss:
+            # plain fluid + reference-exact KISS noise: (f, nstate)
+            state, rho, u = sys_.step_fn(state, t)
+        else:
+            f, rho, u = sys_.step_fn(state[0], t)
+            state = (f,)
+        sys_.state = state
+        _acc("step", time.time() - ts0)
+        _loop_outputs(t, state, u, prev)
+        t += 1
 
     if config_at_end and ncycles > 0:
         _dump(sys_.n_start + ncycles, state)
