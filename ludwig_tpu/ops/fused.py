@@ -447,6 +447,189 @@ def make_fused2_nstep(model: LatticeModel, params: CollisionParams,
     return nstep
 
 
+def pad_staten(f: jnp.ndarray, nsteps: int) -> jnp.ndarray:
+    """(nvel, X, Y, Z) -> (nvel, X+2n, Y+16, Z) for the n-step
+    temporally-blocked kernel (x halo n; the n innermost y pad rows are
+    live).  n <= HY(=8) by construction."""
+    return jnp.pad(f, ((0, 0), (nsteps, nsteps), (HY, HY), (0, 0)),
+                   mode="wrap")
+
+
+def unpad_staten(fpad: jnp.ndarray, nsteps: int) -> jnp.ndarray:
+    return fpad[:, nsteps:-nsteps, HY:-HY, :]
+
+
+def _pad_refreshn(fpad: jnp.ndarray, nsteps: int) -> jnp.ndarray:
+    """Periodic pad refresh for the n-step kernel: n rows/planes per
+    side (y first, then x, so corners pick up doubly-periodic values)."""
+    H = nsteps
+    X = fpad.shape[1] - 2 * H
+    Y = fpad.shape[2] - 2 * HY
+    fpad = fpad.at[:, :, HY - H:HY, :].set(fpad[:, :, Y + HY - H:Y + HY, :])
+    fpad = fpad.at[:, :, Y + HY:Y + HY + H, :].set(fpad[:, :, HY:HY + H, :])
+    fpad = fpad.at[:, 0:H, :, :].set(fpad[:, X:X + H, :, :])
+    fpad = fpad.at[:, X + H:X + 2 * H, :, :].set(fpad[:, H:2 * H, :, :])
+    return fpad
+
+
+def _fusedn_kernel(model: LatticeModel, params: CollisionParams,
+                   nsteps, X, Y, Z, BX, BY,
+                   fpad_hbm, out_hbm, inbuf, outbuf, insem, outsem):
+    """Temporally-blocked kernel generalised to n collide+stream steps
+    per HBM pass.
+
+    Per (BX, BY) block the DMA window is (BX+2n, BY+16); step s produces
+    an intermediate state on a (BX+2(n-1-s), BY+2(n-1-s)) halo window
+    entirely in VMEM, the last step emits the final (BX, BY) block.  The
+    y window is (BY+16) regardless of n (Mosaic tile alignment pads y by
+    8 each side anyway), so for n <= 8 the extra temporal depth only
+    widens x: HBM traffic per n steps is (BX+2n)(BY+16)/(BX BY) + 1
+    passes of f - at (16, 32) and n=3 that is 3.06 vs 2.88/2 steps for
+    the 2-step kernel and 2.69/1 for the single-step kernel, i.e. 1.02
+    HBM passes per step.  Arithmetic per site is identical to the
+    single-step kernel's, so the result is bitwise equal to n
+    fused_step calls.
+    """
+    nvel = model.nvel
+    nbx, nby = X // BX, Y // BY
+    nblocks = nbx * nby
+    H = nsteps
+
+    def in_dma(slot, k):
+        i = k // nby
+        j = k % nby
+        return pltpu.make_async_copy(
+            fpad_hbm.at[:, pl.ds(i * BX, BX + 2 * H),
+                        pl.ds(j * BY, BY + 16), :],
+            inbuf.at[slot],
+            insem.at[slot])
+
+    def out_dma(slot, k):
+        i = k // nby
+        j = k % nby
+        return pltpu.make_async_copy(
+            outbuf.at[slot],
+            out_hbm.at[:, pl.ds(H + i * BX, BX),
+                       pl.ds(HY + j * BY, BY), :],
+            outsem.at[slot])
+
+    in_dma(0, 0).start()
+
+    mi = model.mi
+    cvs = [(int(model.cv[q][0]), int(model.cv[q][1]), int(model.cv[q][2]))
+           for q in range(nvel)]
+
+    def assemble(modes, q, nx_out, ny_out):
+        cx, cy, cz = cvs[q]
+        acc = None
+        for mm in range(nvel):
+            coef = float(mi[q, mm])
+            if coef == 0.0 or isinstance(modes[mm], float):
+                continue
+            term = modes[mm] if coef == 1.0 else (
+                -modes[mm] if coef == -1.0 else coef * modes[mm])
+            acc = term if acc is None else acc + term
+        blk = acc[1 - cx:1 - cx + nx_out, 1 - cy:1 - cy + ny_out, :]
+        if cz:
+            blk = pltpu.roll(blk, cz % Z, 2)
+        return blk
+
+    def body(k, _):
+        slot = k % 2
+        nslot = (k + 1) % 2
+
+        @pl.when(k + 1 < nblocks)
+        def _():
+            in_dma(nslot, k + 1).start()
+
+        in_dma(slot, k).wait()
+
+        window = inbuf[slot]
+        # step 0 sources span (BX+2n, BY+2n) = y rows [HY-n, HY+BY+n)
+        fl = [window[p, :, HY - H:HY + BY + H, :] for p in range(nvel)]
+        for s in range(H - 1):
+            modes, _u = _collide_modes(model, params, fl)
+            m = H - 1 - s   # halo width remaining after this step
+            fl = [assemble(modes, q, BX + 2 * m, BY + 2 * m)
+                  for q in range(nvel)]
+        modes, _u = _collide_modes(model, params, fl)
+
+        @pl.when(k >= 2)
+        def _():
+            out_dma(slot, k - 2).wait()
+
+        for q in range(nvel):
+            outbuf[slot, q] = assemble(modes, q, BX, BY)
+
+        out_dma(slot, k).start()
+        return 0
+
+    jax.lax.fori_loop(0, nblocks, body, 0)
+    out_dma((nblocks - 1) % 2, nblocks - 1).wait()
+
+    @pl.when(nblocks >= 2)
+    def _():
+        out_dma(nblocks % 2, nblocks - 2).wait()
+
+
+def fusedn_step(fpad: jnp.ndarray, model: LatticeModel,
+                params: CollisionParams, nsteps: int,
+                plan: FusedPlan = FusedPlan(),
+                interpret: bool = False) -> jnp.ndarray:
+    """n fused collide+stream steps on a pad_staten-padded state."""
+    if not 1 <= nsteps <= HY:
+        raise ValueError(f"nsteps must be in [1, {HY}] (got {nsteps})")
+    nvel, Xp, Yp, Z = fpad.shape
+    X, Y = Xp - 2 * nsteps, Yp - 2 * HY
+    BX = min(plan.BX, X)
+    BY = min(plan.BY, Y)
+    if X % BX or Y % BY or BY % 8:
+        raise ValueError(
+            f"blocks ({BX},{BY}) must divide lattice ({X},{Y}), BY%8==0")
+    if 2 * nsteps > BY + 2:
+        raise ValueError(f"BY={BY} too small for {nsteps} temporal steps")
+    if not interpret and Z % 128:
+        raise ValueError(
+            f"fused kernel needs Z % 128 == 0 on hardware (got {Z})")
+
+    kernel = partial(_fusedn_kernel, model, params, nsteps, X, Y, Z, BX, BY)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(fpad.shape, fpad.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, nvel, BX + 2 * nsteps, BY + 16, Z), fpad.dtype),
+            pltpu.VMEM((2, nvel, BX, BY, Z), fpad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(fpad)
+    return _pad_refreshn(out, nsteps)
+
+
+def make_fusedn_nstep(model: LatticeModel, params: CollisionParams,
+                      nsteps: int, plan: FusedPlan = FusedPlan(),
+                      interpret: bool = False):
+    """Jitted n-step driver on a pad_staten state; n must be a multiple
+    of `nsteps`."""
+
+    @partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def nstep(fpad, n):
+        if n % nsteps:
+            raise ValueError(f"fusedn nstep needs n % {nsteps} == 0")
+        def body(fp, _):
+            return fusedn_step(fp, model, params, nsteps, plan,
+                               interpret=interpret), ()
+        fpad, _ = jax.lax.scan(body, fpad, None, length=n // nsteps)
+        return fpad
+
+    return nstep
+
+
 def _fused_force_kernel(model: LatticeModel, params: CollisionParams,
                         X, Y, Z, BX, BY,
                         fpad_hbm, force_hbm, out_hbm, u_hbm,

@@ -71,6 +71,18 @@ IRREPRODUCIBLE = {
     # both sides sit below the plain-sum noise scale.
     "d3q19/long08-chol-n01": (("[total   ]", 2.5e-12),
                               ("[fluid   ]", 2.5e-12)),
+    # ORACLE.md Finding 7: the fresh reference v0.20.1 reproduces OUR
+    # t=0 [phi] (Q-component) cancellation totals bitwise
+    # (-4.0156293e-04) where the committed 64-rank old-version log has
+    # -4.0156291e-04 - a 2e-11 summation-order residual the reference
+    # itself no longer produces; its step-20000 near-zero momentum
+    # totals likewise land as far from the committed values as ours.
+    # Waive [phi] token pairs differing by < 5e-11 (the documented
+    # cross-version drift; "diff" mode) and momentum tokens when both
+    # sides sit below the plain-sum noise scale.
+    "d3q19/long64-chol-bp2": (("[phi]", 5e-11, "diff"),
+                              ("[total   ]", 2.5e-12),
+                              ("[fluid   ]", 2.5e-12)),
 }
 
 
@@ -90,7 +102,13 @@ def waive_irreproducible(name: str, diffs: List[str]) -> List[str]:
     def waived(a: str, b: str) -> bool:
         a = a[a.index(" < ") + 3:]
         b = b[b.index(" > ") + 3:]
-        for prefix, bound in rules:
+        for rule in rules:
+            prefix, bound = rule[0], rule[1]
+            # default mode: both sides within `bound` of zero (pure
+            # cancellation total); "diff" mode: sides within `bound` of
+            # EACH OTHER (well-determined value, documented
+            # cross-version ulp drift)
+            mode = rule[2] if len(rule) > 2 else "abs"
             if not (a.startswith(prefix) and b.startswith(prefix)):
                 continue
             ta, tb = _tokens(a), _tokens(b)
@@ -104,7 +122,10 @@ def waive_irreproducible(name: str, diffs: List[str]) -> List[str]:
                 fx, fy = float(x), float(y)
                 if abs(fx - fy) < TOLERANCE:
                     continue
-                if not (abs(fx) < bound and abs(fy) < bound):
+                if mode == "diff":
+                    if abs(fx - fy) >= bound:
+                        return False
+                elif not (abs(fx) < bound and abs(fy) < bound):
                     return False
             return True
         return False

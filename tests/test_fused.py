@@ -278,3 +278,38 @@ def test_fused2_matches_two_single_steps():
     fb = fused2_step(fb, model, params, plan, interpret=True)
     np.testing.assert_array_equal(np.asarray(unpad_state2(fb)),
                                   np.asarray(unpad_state(fa)))
+
+
+@pytest.mark.parametrize("nsteps", [2, 3, 4])
+def test_fusedn_matches_n_single_steps(nsteps):
+    """The generic n-step temporally-blocked kernel is bitwise n fused
+    steps (and for n=2, bitwise the dedicated fused2 kernel by the same
+    transitivity)."""
+    from ludwig_tpu.lb import LBConfig
+    from ludwig_tpu.ops.fused import (FusedPlan, fused_step, fusedn_step,
+                                      pad_state, pad_staten, unpad_state,
+                                      unpad_staten)
+
+    cfg = LBConfig(size=(16, 16, 32), nvel=19, eta_shear=0.1,
+                   dtype="float64")
+    model, params = cfg.model, cfg.collision_params()
+    rng = np.random.default_rng(11)
+    f0 = jnp.asarray(
+        0.05 + 0.01 * rng.random((19, 16, 16, 32)), jnp.float64)
+
+    plan = FusedPlan(BX=4, BY=8)
+    fa = pad_state(f0)
+    for _ in range(nsteps):
+        fa = fused_step(fa, model, params, plan, interpret=True)
+    ref = np.asarray(unpad_state(fa))
+
+    fb = fusedn_step(pad_staten(f0, nsteps), model, params, nsteps, plan,
+                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(unpad_staten(fb, nsteps)), ref)
+
+    # chain once more (pads refreshed correctly between n-step passes)
+    for _ in range(nsteps):
+        fa = fused_step(fa, model, params, plan, interpret=True)
+    fb = fusedn_step(fb, model, params, nsteps, plan, interpret=True)
+    np.testing.assert_array_equal(np.asarray(unpad_staten(fb, nsteps)),
+                                  np.asarray(unpad_state(fa)))
