@@ -19,13 +19,13 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ludwig_tpu.lb import LBConfig, initial_rest
-from ludwig_tpu.ops.fused import (FusedPlan, make_fused2_nstep,
-                                  make_fused_nstep, pad_state, pad_state2)
+from ludwig_tpu.ops.fused import (FusedPlan, make_fused_nstep,
+                                  make_fusedn_nstep, pad_state, pad_staten)
 
 
 def main():
     size = (256, 256, 256)
-    niter, inner = 3, 50
+    niter, inner = 3, 48
     if "--small" in sys.argv:  # quick sanity mode (Z must be 128-aligned)
         size, inner, niter = (64, 64, 128), 20, 2
 
@@ -36,11 +36,14 @@ def main():
         nstep = make_fused_nstep(cfg.model, cfg.collision_params(),
                                  FusedPlan(16, 32))
     else:
-        # temporally-blocked kernel: two steps per HBM pass (bitwise
-        # two single fused steps; tests/test_fused.py)
-        f = pad_state2(initial_rest(cfg))
-        nstep = make_fused2_nstep(cfg.model, cfg.collision_params(),
-                                  FusedPlan(16, 32))
+        # temporally-blocked kernel: FOUR steps per HBM pass (bitwise
+        # four single fused steps; tests/test_fused.py).  Measured
+        # sweep at 256^3: n=2 2850, n=3 3177, n=4 3355 MLUPS.
+        nsteps = 4
+        inner = inner - inner % nsteps
+        f = pad_staten(initial_rest(cfg), nsteps)
+        nstep = make_fusedn_nstep(cfg.model, cfg.collision_params(),
+                                  nsteps, FusedPlan(16, 32))
 
     def fence(x):
         # A scalar readback is the only reliable execution fence on every
