@@ -18,7 +18,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from ludwig_tpu.lb import LBConfig, initial_rest
+from ludwig_tpu.lb import LBConfig
 from ludwig_tpu.ops.fused import (FusedPlan, make_fused_nstep,
                                   make_fusedn_nstep, pad_state, pad_staten)
 
@@ -31,8 +31,21 @@ def main():
 
     cfg = LBConfig(size=size, nvel=19, eta_shear=0.1, eta_bulk=0.1,
                    dtype="float32")
+
+    def rest_padded(pad):
+        # Build the ~1.3 GB initial state ON DEVICE in one jitted
+        # program: an eager initial_rest() materialises it on the host
+        # and ships it through the axon relay (~5 min at 256^3).
+        @jax.jit
+        def init():
+            w = jnp.asarray(cfg.model.wv, cfg.jdtype) * cfg.rho0
+            f = jnp.broadcast_to(w[:, None, None, None],
+                                 (cfg.model.nvel,) + tuple(size))
+            return pad(f)
+        return init()
+
     if "--single" in sys.argv:
-        f = pad_state(initial_rest(cfg))
+        f = rest_padded(pad_state)
         nstep = make_fused_nstep(cfg.model, cfg.collision_params(),
                                  FusedPlan(16, 32))
     else:
@@ -41,7 +54,7 @@ def main():
         # sweep at 256^3: n=2 2850, n=3 3177, n=4 3355 MLUPS.
         nsteps = 4
         inner = inner - inner % nsteps
-        f = pad_staten(initial_rest(cfg), nsteps)
+        f = rest_padded(lambda x: pad_staten(x, nsteps))
         nstep = make_fusedn_nstep(cfg.model, cfg.collision_params(),
                                   nsteps, FusedPlan(16, 32))
 
