@@ -49,10 +49,11 @@ def main():
         nstep = make_fused_nstep(cfg.model, cfg.collision_params(),
                                  FusedPlan(16, 32))
     else:
-        # temporally-blocked kernel: FOUR steps per HBM pass (bitwise
-        # four single fused steps; tests/test_fused.py).  Measured
-        # sweep at 256^3: n=2 2850, n=3 3177, n=4 3355 MLUPS.
-        nsteps = 4
+        # temporally-blocked kernel: SIX steps per HBM pass (bitwise
+        # six single fused steps; tests/test_fused.py).  Measured sweep
+        # at 256^3 with the even/odd-factorised transforms: n=3 3681,
+        # n=4 3940, n=6 4034 MLUPS.
+        nsteps = 6
         inner = inner - inner % nsteps
         f = rest_padded(lambda x: pad_staten(x, nsteps))
         nstep = make_fusedn_nstep(cfg.model, cfg.collision_params(),

@@ -25,7 +25,12 @@ Design:
   window slices (x/y shifts) and lane rolls (z shifts).
 
 * The mode transforms are unrolled with compile-time constants (zeros
-  skipped, +/-1 folded) - pure VPU work, no MXU, exact in f32.
+  skipped, +/-1 folded) - pure VPU work, no MXU, exact in f32 - and
+  factorised over +/-c velocity pairs: every mode has definite parity
+  under c -> -c, so the forward transform acts on even/odd half-sums
+  and the back transform shares one even and one odd accumulation per
+  pair (f'_q = E + O, f'_-q = E - O), ~halving the multiply-add terms
+  of both hot loops (217 -> ~127 per transform for D3Q19).
 
 Traffic per step: ~((BX+2)(BY+16)/(BX BY) + 1) HBM passes of f, vs ~12
 for the unfused XLA pipeline.
@@ -43,8 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ludwig_tpu.lattice import LatticeModel
-from ludwig_tpu.ops.collide import (CollisionParams, _triu_pairs,
-                                    unrolled_matvec)
+from ludwig_tpu.ops.collide import CollisionParams, _triu_pairs
 
 HX = 1   # x halo width (untiled dim: free alignment)
 HY = 8   # y pad width (sublane tile alignment); only the inner row is used
@@ -76,6 +80,122 @@ def _pad_refresh(fpad: jnp.ndarray) -> jnp.ndarray:
     return fpad
 
 
+_EO_CACHE = {}
+
+
+def _eo_tables(model: LatticeModel):
+    """(anti, par): antipode index per velocity, +/-1 parity per mode.
+
+    Every mode row of `ma` is a polynomial of definite parity in c
+    (ma[m, anti[q]] == par[m] * ma[m, q]), hence mi[anti[q], m] ==
+    par[m] * mi[q, m]: both transforms factorise over +/-c velocity
+    pairs into even/odd half-sums, roughly halving the VPU terms of the
+    fused kernels' hottest loops (verified exactly for D2Q9/D3Q15/
+    D3Q19/D3Q27 at table-build time below)."""
+    key = model.nvel
+    hit = _EO_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n = model.nvel
+    cv, ma = model.cv, model.ma
+    idx = {tuple(int(c) for c in cv[q]): q for q in range(n)}
+    anti = tuple(idx[tuple(-int(c) for c in cv[q])] for q in range(n))
+    par = []
+    for m in range(n):
+        even = all(float(ma[m, anti[q]]) == float(ma[m, q])
+                   for q in range(n))
+        odd = all(float(ma[m, anti[q]]) == -float(ma[m, q])
+                  for q in range(n))
+        if even == odd:
+            raise ValueError(f"mode {m} has no definite c-parity")
+        par.append(1 if even else -1)
+    mi = model.mi
+    for q in range(n):
+        for m in range(n):
+            if float(mi[anti[q], m]) != par[m] * float(mi[q, m]):
+                raise ValueError("mi rows are not +/-c symmetric")
+    _EO_CACHE[key] = (anti, tuple(par))
+    return _EO_CACHE[key]
+
+
+def _eo_matvec(model: LatticeModel, fl):
+    """modes = ma @ fl, factorised over +/-c pairs: even modes act on
+    e_q = f_q + f_{-q}, odd modes on o_q = f_q - f_{-q}.  Trace-time
+    unrolled (zeros skipped, +/-1 folded) like ops.collide's
+    unrolled_matvec but with ~half the multiply-add terms."""
+    anti, par = _eo_tables(model)
+    n = model.nvel
+    ma = model.ma
+    e, o = {}, {}
+    for q in range(n):
+        if anti[q] > q:
+            e[q] = fl[q] + fl[anti[q]]
+            o[q] = fl[q] - fl[anti[q]]
+    out = []
+    for m in range(n):
+        acc = None
+        for q in range(n):
+            qb = anti[q]
+            if qb < q:
+                continue
+            coef = float(ma[m, q])
+            if coef == 0.0:
+                continue
+            src = fl[q] if qb == q else (e[q] if par[m] > 0 else o[q])
+            term = src if coef == 1.0 else (
+                -src if coef == -1.0 else coef * src)
+            acc = term if acc is None else acc + term
+        out.append(acc)
+    return out
+
+
+def _assemble_eo(model: LatticeModel, modes, emit):
+    """Back transform f'_q = sum_m mi[q, m] modes[m] for ALL velocities,
+    factorised over +/-c pairs: one even-mode sum E and one odd-mode
+    sum O per pair, then emit(E + O, q) and emit(E - O, -q).  All fused
+    kernels share this exact expression tree, so they stay bitwise
+    equal to each other."""
+    anti, par = _eo_tables(model)
+    mi = model.mi
+    for q in range(model.nvel):
+        qb = anti[q]
+        if qb < q:
+            continue
+        E = O = None
+        for m in range(model.nvel):
+            coef = float(mi[q, m])
+            if coef == 0.0 or isinstance(modes[m], float):
+                continue
+            term = modes[m] if coef == 1.0 else (
+                -modes[m] if coef == -1.0 else coef * modes[m])
+            if par[m] > 0:
+                E = term if E is None else E + term
+            else:
+                O = term if O is None else O + term
+        if qb == q:
+            emit(E, q)  # rest velocity: odd-mode coefficients are 0
+        else:
+            emit(E + O, q)
+            emit(E - O, qb)
+
+
+def _make_stream_emit(model: LatticeModel, Z, nx_out, ny_out, sink):
+    """emit closure for _assemble_eo doing the pull-streamed slice
+    (x/y shifts are static window slices, z a periodic lane roll) and
+    handing the (nx_out, ny_out, Z) block to sink(q, blk)."""
+    cvs = [(int(model.cv[q][0]), int(model.cv[q][1]), int(model.cv[q][2]))
+           for q in range(model.nvel)]
+
+    def emit(acc, q):
+        cx, cy, cz = cvs[q]
+        blk = acc[1 - cx:1 - cx + nx_out, 1 - cy:1 - cy + ny_out, :]
+        if cz:
+            blk = pltpu.roll(blk, cz % Z, 2)  # roll wants shift >= 0
+        sink(q, blk)
+
+    return emit
+
+
 def _collide_modes(model: LatticeModel, params: CollisionParams, fl,
                    force=None):
     """Post-collision modes from a list of per-velocity arrays.
@@ -89,7 +209,7 @@ def _collide_modes(model: LatticeModel, params: CollisionParams, fl,
     Returns (modes, u).
     """
     ndim = model.ndim
-    m = unrolled_matvec(model.ma, fl)
+    m = _eo_matvec(model, fl)
     rho = m[0]
     rrho = 1.0 / rho
     fg = [float(v) for v in params.force_global[:ndim]]
@@ -177,24 +297,12 @@ def _fused_kernel(model: LatticeModel, params: CollisionParams,
         def _():
             out_dma(slot, k - 2).wait()
 
-        # Pull-streamed assembly: f'_q = collide_q shifted by c_q.
-        mi = model.mi
-        for q in range(nvel):
-            cx, cy, cz = (int(model.cv[q][0]), int(model.cv[q][1]),
-                          int(model.cv[q][2]))
-            acc = None
-            for mm in range(nvel):
-                coef = float(mi[q, mm])
-                if coef == 0.0 or isinstance(modes[mm], float):
-                    continue
-                term = modes[mm] if coef == 1.0 else (
-                    -modes[mm] if coef == -1.0 else coef * modes[mm])
-                acc = term if acc is None else acc + term
-            # x/y shifts via static window slices, z via periodic lane roll
-            blk = acc[1 - cx:1 - cx + BX, 1 - cy:1 - cy + BY, :]
-            if cz:
-                blk = pltpu.roll(blk, cz % Z, 2)  # roll wants shift >= 0
+        # Pull-streamed assembly: f'_q = collide_q shifted by c_q,
+        # factorised over +/-c pairs (even/odd mode half-sums).
+        def store(q, blk):
             outbuf[slot, q] = blk
+        _assemble_eo(model, modes,
+                     _make_stream_emit(model, Z, BX, BY, store))
 
         out_dma(slot, k).start()
         return 0
@@ -338,24 +446,13 @@ def _fused2_kernel(model: LatticeModel, params: CollisionParams,
 
     in_dma(0, 0).start()
 
-    mi = model.mi
-    cvs = [(int(model.cv[q][0]), int(model.cv[q][1]), int(model.cv[q][2]))
-           for q in range(nvel)]
-
-    def assemble(modes, q, nx_out, ny_out):
-        cx, cy, cz = cvs[q]
-        acc = None
-        for mm in range(nvel):
-            coef = float(mi[q, mm])
-            if coef == 0.0 or isinstance(modes[mm], float):
-                continue
-            term = modes[mm] if coef == 1.0 else (
-                -modes[mm] if coef == -1.0 else coef * modes[mm])
-            acc = term if acc is None else acc + term
-        blk = acc[1 - cx:1 - cx + nx_out, 1 - cy:1 - cy + ny_out, :]
-        if cz:
-            blk = pltpu.roll(blk, cz % Z, 2)
-        return blk
+    def assemble_all(modes, nx_out, ny_out):
+        out = [None] * nvel
+        def sink(q, blk):
+            out[q] = blk
+        _assemble_eo(model, modes,
+                     _make_stream_emit(model, Z, nx_out, ny_out, sink))
+        return out
 
     def body(k, _):
         slot = k % 2
@@ -372,7 +469,7 @@ def _fused2_kernel(model: LatticeModel, params: CollisionParams,
         # (BX+4, BY+4) = window y rows [HY-2, HY+BY+2)
         fl0 = [window[p, :, HY - 2:HY + BY + 2, :] for p in range(nvel)]
         modes0, _u0 = _collide_modes(model, params, fl0)
-        f1 = [assemble(modes0, q, BX + 2, BY + 2) for q in range(nvel)]
+        f1 = assemble_all(modes0, BX + 2, BY + 2)
 
         # step 2 on the intermediate state
         modes1, _u1 = _collide_modes(model, params, f1)
@@ -381,8 +478,10 @@ def _fused2_kernel(model: LatticeModel, params: CollisionParams,
         def _():
             out_dma(slot, k - 2).wait()
 
-        for q in range(nvel):
-            outbuf[slot, q] = assemble(modes1, q, BX, BY)
+        def store(q, blk):
+            outbuf[slot, q] = blk
+        _assemble_eo(model, modes1,
+                     _make_stream_emit(model, Z, BX, BY, store))
 
         out_dma(slot, k).start()
         return 0
@@ -515,24 +614,13 @@ def _fusedn_kernel(model: LatticeModel, params: CollisionParams,
 
     in_dma(0, 0).start()
 
-    mi = model.mi
-    cvs = [(int(model.cv[q][0]), int(model.cv[q][1]), int(model.cv[q][2]))
-           for q in range(nvel)]
-
-    def assemble(modes, q, nx_out, ny_out):
-        cx, cy, cz = cvs[q]
-        acc = None
-        for mm in range(nvel):
-            coef = float(mi[q, mm])
-            if coef == 0.0 or isinstance(modes[mm], float):
-                continue
-            term = modes[mm] if coef == 1.0 else (
-                -modes[mm] if coef == -1.0 else coef * modes[mm])
-            acc = term if acc is None else acc + term
-        blk = acc[1 - cx:1 - cx + nx_out, 1 - cy:1 - cy + ny_out, :]
-        if cz:
-            blk = pltpu.roll(blk, cz % Z, 2)
-        return blk
+    def assemble_all(modes, nx_out, ny_out):
+        out = [None] * nvel
+        def sink(q, blk):
+            out[q] = blk
+        _assemble_eo(model, modes,
+                     _make_stream_emit(model, Z, nx_out, ny_out, sink))
+        return out
 
     def body(k, _):
         slot = k % 2
@@ -550,16 +638,17 @@ def _fusedn_kernel(model: LatticeModel, params: CollisionParams,
         for s in range(H - 1):
             modes, _u = _collide_modes(model, params, fl)
             m = H - 1 - s   # halo width remaining after this step
-            fl = [assemble(modes, q, BX + 2 * m, BY + 2 * m)
-                  for q in range(nvel)]
+            fl = assemble_all(modes, BX + 2 * m, BY + 2 * m)
         modes, _u = _collide_modes(model, params, fl)
 
         @pl.when(k >= 2)
         def _():
             out_dma(slot, k - 2).wait()
 
-        for q in range(nvel):
-            outbuf[slot, q] = assemble(modes, q, BX, BY)
+        def store(q, blk):
+            outbuf[slot, q] = blk
+        _assemble_eo(model, modes,
+                     _make_stream_emit(model, Z, BX, BY, store))
 
         out_dma(slot, k).start()
         return 0
@@ -688,22 +777,10 @@ def _fused_force_kernel(model: LatticeModel, params: CollisionParams,
             for d in out_dma(slot, k - 2):
                 d.wait()
 
-        mi = model.mi
-        for q in range(nvel):
-            cx, cy, cz = (int(model.cv[q][0]), int(model.cv[q][1]),
-                          int(model.cv[q][2]))
-            acc = None
-            for mm in range(nvel):
-                coef = float(mi[q, mm])
-                if coef == 0.0 or isinstance(modes[mm], float):
-                    continue
-                term = modes[mm] if coef == 1.0 else (
-                    -modes[mm] if coef == -1.0 else coef * modes[mm])
-                acc = term if acc is None else acc + term
-            blk = acc[1 - cx:1 - cx + BX, 1 - cy:1 - cy + BY, :]
-            if cz:
-                blk = pltpu.roll(blk, cz % Z, 2)
+        def store(q, blk):
             outbuf[slot, q] = blk
+        _assemble_eo(model, modes,
+                     _make_stream_emit(model, Z, BX, BY, store))
         for a in range(3):
             ubuf[slot, a] = u[a][1:1 + BX, 1:1 + BY, :]
 
