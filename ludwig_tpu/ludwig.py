@@ -2321,41 +2321,43 @@ def run_text(text: str, out=sys.stdout) -> System:
         sys_.state = (sys_.state[0], phi0) + tuple(sys_.state[2:])
         sigma_cal.banner(out)
 
-    def _ref_dump(step, state, u):
+    # I/O decomposition (ref: io_info_args_rt.c:55-57 "<stub>_io_grid"
+    # overriding "default_io_grid"); grid != 1_1_1 writes an iogrid
+    # subfile set via the parallel writer (io/sharded.py)
+    _io_grid_default = tuple(rt.int_vector("default_io_grid", (1, 1, 1)))
+
+    def _write_field(name, step, arr):
         from ludwig_tpu.io.ref_format import write_ref_field
+        grid = tuple(rt.int_vector(f"{name}_io_grid", _io_grid_default))
+        if grid != (1, 1, 1):
+            from ludwig_tpu.io.sharded import write_sharded
+            write_sharded(iodir, name, step, np.asarray(arr), grid=grid,
+                          periodic=_periodic)
+        else:
+            write_ref_field(iodir, name, step, arr, periodic=_periodic)
+
+    def _ref_dump(step, state, u):
         if sys_.fused_mode is not None:
             state, u = _fused_view(state, u)
         if freq_phi and step % freq_phi == 0:
             if sys_.is_lc:
-                write_ref_field(iodir, "q", step,
-                                jax.device_get(state[1]),
-                                periodic=_periodic)
+                _write_field("q", step, jax.device_get(state[1]))
             elif sys_.is_binary_lb:
                 from ludwig_tpu.binary_lb import g_moments
-                write_ref_field(
-                    iodir, "phi", step,
+                _write_field(
+                    "phi", step,
                     jax.device_get(g_moments(state[1],
-                                             sys_.lb_cfg.model)[0]),
-                    periodic=_periodic)
+                                             sys_.lb_cfg.model)[0]))
             elif sys_.is_binary or sys_.is_two_field or sys_.is_droplet:
-                write_ref_field(iodir, "phi", step,
-                                jax.device_get(state[1]),
-                                periodic=_periodic)
+                _write_field("phi", step, jax.device_get(state[1]))
             elif sys_.is_colloid and sys_.binary_cfg is not None:
-                write_ref_field(iodir, "phi", step,
-                                jax.device_get(state[7]),
-                                periodic=_periodic)
+                _write_field("phi", step, jax.device_get(state[7]))
         if freq_vel and step % freq_vel == 0:
-            write_ref_field(iodir, "vel", step, jax.device_get(u),
-                            periodic=_periodic)
+            _write_field("vel", step, jax.device_get(u))
         if freq_psi and step % freq_psi == 0 and sys_.is_electro:
             off = 1 if sys_.es_cfg is not None else 0
-            write_ref_field(iodir, "psi", step,
-                            jax.device_get(state[1 + off]),
-                            periodic=_periodic)
-            write_ref_field(iodir, "rho", step,
-                            jax.device_get(state[2 + off]),
-                            periodic=_periodic)
+            _write_field("psi", step, jax.device_get(state[1 + off]))
+            _write_field("rho", step, jax.device_get(state[2 + off]))
 
     def _field_names():
         names = ["dist"]

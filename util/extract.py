@@ -23,7 +23,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def load(directory, field, step):
     from ludwig_tpu.io import read_state
-    return read_state(directory, step, [field])[field]
+    try:
+        return read_state(directory, step, [field])[field]
+    except FileNotFoundError:
+        # reference-format subfile set (possibly iogrid-decomposed):
+        # recombine as the reference extract does (ref: util/extract.c)
+        from ludwig_tpu.io import read_subfile_set
+        return read_subfile_set(directory, field, step)
 
 
 def director(q5):
