@@ -2254,8 +2254,46 @@ def run_text(text: str, out=sys.stdout) -> System:
     sys_.hydro_on = rt.switch("hydrodynamics", True)
     sys_.vol_flux = rt.string("stats_vel_print_vol_flux", "no") == "yes"
     size = sys_.lb_cfg.size
+
+    # Device-mesh decomposition (our extension key `tpu_shard on`): the
+    # reference's `grid Px_Py_Pz` spawns MPI ranks (ref: coords.c:151)
+    # - here it shards ONE program's lattice arrays over the chips of a
+    # 3-D jax Mesh and GSPMD emits the halo collective-permutes
+    # (SURVEY 2.11).  Off by default: golden-parity runs replay the
+    # reference's per-rank roundoff on one device, so `grid` without
+    # `tpu_shard` stays a no-op exactly like the reference's serial
+    # build ignoring its decomposition hint.
+    mesh_note = None
+    if rt.switch("tpu_shard", False):
+        from ludwig_tpu.parallel.mesh import (check_divisible,
+                                              lattice_sharding, make_mesh)
+        ndev = len(jax.devices())
+        g = rt.int_vector("grid")
+        g = tuple(g) if g is not None else None
+        try:
+            if g is not None and int(np.prod(g)) != ndev:
+                raise ValueError(f"grid {g} != {ndev} devices")
+            if g is not None:
+                check_divisible(size, g)
+            mesh = make_mesh(g)
+
+            def _shard(leaf):
+                if (hasattr(leaf, "ndim") and leaf.ndim >= 3
+                        and tuple(leaf.shape[-3:]) == tuple(size)):
+                    return jax.device_put(
+                        leaf, lattice_sharding(mesh, leaf.ndim - 3))
+                return leaf
+
+            sys_.state = jax.tree_util.tree_map(_shard, sys_.state)
+            mesh_note = dict(mesh.shape)
+        except ValueError as e:
+            out.write(f"tpu_shard: {e}; running unsharded\n\n")
+
     out.write("System details\n--------------\n")
     out.write(f"System size:    {size[0]} {size[1]} {size[2]}\n")
+    if mesh_note is not None:
+        out.write(f"Decomposition:  {mesh_note['x']} {mesh_note['y']} "
+                  f"{mesh_note['z']} (device mesh)\n")
     out.write(f"Model:          d{2 if size[2] == 1 else 3}"
               f"q{sys_.lb_cfg.nvel}\n\n")
 

@@ -157,3 +157,24 @@ def test_tpu_fused_cli_path_matches_jnp(text):
     a, b = _stat_floats(out_a.getvalue()), _stat_floats(out_b.getvalue())
     assert a.size == b.size and a.size > 0
     np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-11)
+
+
+def test_tpu_shard_grid_matches_unsharded():
+    """`tpu_shard on` + `grid` shards the lattice state over the device
+    mesh (8 virtual CPU devices in conftest); the statistics log must
+    match the unsharded run (GSPMD halo exchange, SURVEY 2.11)."""
+    _, log0 = _run(SPINODAL_INPUT)
+    _, log1 = _run(SPINODAL_INPUT + "\ntpu_shard on\ngrid 2_2_2\n")
+    assert "Decomposition:  2 2 2 (device mesh)" in log1
+    s0 = re.findall(r"\[(?:rho|phi)\]\s+(\S+)\s+(\S+)", log0)
+    s1 = re.findall(r"\[(?:rho|phi)\]\s+(\S+)\s+(\S+)", log1)
+    assert len(s0) == len(s1) > 0
+    for (a0, b0), (a1, b1) in zip(s0, s1):
+        assert abs(float(a0) - float(a1)) <= 1e-9 * max(1, abs(float(a0)))
+        assert abs(float(b0) - float(b1)) <= 1e-9
+
+
+def test_tpu_shard_bad_grid_falls_back():
+    _, log = _run(PLAIN_INPUT + "\ntpu_shard on\ngrid 3_1_1\n")
+    assert "running unsharded" in log
+    assert "Completed cycle 5" in log
