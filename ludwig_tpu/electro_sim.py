@@ -96,7 +96,8 @@ def make_psi_neighbours(shape, e0, dtype):
 # -- reference-exact SOR solver ----------------------------------------------
 
 def poisson_sor_ref(psi0: jnp.ndarray, rho_el: jnp.ndarray,
-                    cfg: ElectroConfig, psi_up, psi_dn) -> jnp.ndarray:
+                    cfg: ElectroConfig, psi_up, psi_dn,
+                    return_iters: bool = False) -> jnp.ndarray:
     """Red/black SOR with Chebyshev acceleration, matching the reference
     iteration step-for-step (ref: src/psi_sor.c:132-300 psi_solver_sor_solve):
 
@@ -146,7 +147,9 @@ def poisson_sor_ref(psi0: jnp.ndarray, rho_el: jnp.ndarray,
         return (p, omega, n + 1, stop)
 
     init = (psi0, 1.0, 0, jnp.asarray(False))
-    p, _, _, _ = jax.lax.while_loop(cond, body, init)
+    p, _, n, _ = jax.lax.while_loop(cond, body, init)
+    if return_iters:
+        return p, n
     return p
 
 

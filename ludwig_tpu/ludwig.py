@@ -72,7 +72,10 @@ class System:
     has_kiss: bool = False    # per-site KISS noise state rides the state
     colloid_charge: Optional[tuple] = None     # (N, 2) input charges
     es_cfg: Optional[object] = None   # fe_electro_symmetric coupled run
-    fused_mode: Optional[str] = None  # 'plain' | 'lc': Pallas fast path
+    # 'plain' | 'lc' | 'binary' | 'droplet': Pallas production fast path
+    fused_mode: Optional[str] = None
+    step_nfn: Optional[object] = None  # sharded fused n-step (f, n) -> f
+    fused_unpadded: bool = False       # sharded fused state is unpadded
 
     @property
     def is_binary(self) -> bool:
@@ -946,6 +949,32 @@ def build_system(rt: RunTime) -> System:
             return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg,
                           solid=None, state=state, step_fn=step,
                           le_cfg=le)
+        fused_req = rt.string("tpu_fused", "off")
+        if (fused_req != "off" and fe_name == "symmetric"
+                and solid is None and not any(walls) and nz is None
+                and bcfg.force_method == "stress_divergence"
+                and not any(bcfg.gradmu_ex) and visc_model is None
+                and bcfg.wetting == (0.0, 0.0)
+                and bcfg.gradient == "3d_7pt_fluid"
+                and bcfg.advection_order in (1, 2)
+                and bcfg.hydrodynamics):
+            # production fast path: the two-kernel Pallas binary step
+            # (ops/fused_binary.py) replaces the jnp CH pipeline
+            # (ref: the step wiring at ludwig.c:679-860)
+            plan = _fused_plan(size)
+            interp = fused_req == "interpret"
+            if plan is not None and (interp or (size[2] % 128 == 0
+                                     and lb_cfg.dtype == "float32")):
+                from ludwig_tpu.ops.fused_binary import (
+                    BinaryPlan, initial_fused_binary,
+                    make_fused_binary_step)
+                step = make_fused_binary_step(
+                    bcfg, BinaryPlan(min(8, plan.BX), plan.BY),
+                    lb_plan=plan, interpret=interp)
+                return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg,
+                              solid=None,
+                              state=initial_fused_binary(bcfg, phi0),
+                              step_fn=step, fused_mode="binary")
         state = initial_binary(bcfg, phi0)   # appends KISS noise states
         has_kiss = nz is not None and nz.kiss and (nz.phi or nz.rho)
         step = make_binary_step(bcfg, solid=solid)
@@ -1023,6 +1052,29 @@ def build_system(rt: RunTime) -> System:
                                                   (1.0, 0.0, 0.0))))
         else:
             raise ValueError(f"lc_q_initialisation '{mode}' for droplet")
+        fused_req = rt.string("tpu_fused", "off")
+        if (fused_req != "off" and solid is None and not any(walls)
+                and nz is None and dcfg.gradient == "3d_7pt_fluid"
+                and dcfg.force_method == "stress_divergence"
+                and dcfg.advection_order in (1, 2)):
+            # production fast path: the two-kernel Pallas phi+Q step
+            # (ops/fused_droplet.py) replaces the jnp coupled pipeline
+            # (ref: the step wiring at ludwig.c:679-860)
+            plan = _fused_plan(size)
+            interp = fused_req == "interpret"
+            if plan is not None and (interp or (size[2] % 128 == 0
+                                     and lb_cfg.dtype == "float32")):
+                from ludwig_tpu.ops.fused_droplet import (
+                    DropletPlan, initial_fused_droplet,
+                    make_fused_droplet_step)
+                step = make_fused_droplet_step(
+                    dcfg, DropletPlan(min(8, plan.BX), plan.BY),
+                    lb_plan=plan, interpret=interp)
+                return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
+                              solid=None,
+                              state=initial_fused_droplet(dcfg, phi0, q5),
+                              step_fn=step, droplet_cfg=dcfg,
+                              fused_mode="droplet")
         state = initial_droplet(dcfg, phi0, q5)
         step = make_droplet_step(dcfg, solid=solid)
         return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None, solid=solid,
@@ -1481,6 +1533,25 @@ def build_system(rt: RunTime) -> System:
                           slip_active=slip_on)
             lb_cfg = dataclasses.replace(lb_cfg, walls=(False,) * 3)
             f = _distribution_init(rt, lb_cfg)
+            fused_req = rt.string("tpu_fused", "off")
+            if (fused_req != "off" and not slip_on and nz is None
+                    and not rt.switch("lb_bc_open", False)):
+                # production fast path: fused Pallas collide+stream with
+                # an O(surface) boundary-plane bounce-back fix
+                # (ref: wall.c:860-980; step order ludwig.c:802-860)
+                plan = _fused_plan(size)
+                interp = fused_req == "interpret"
+                if plan is not None and (interp or (size[2] % 128 == 0
+                                         and lb_cfg.dtype == "float32")):
+                    from ludwig_tpu.ops.fused import (make_fused_wall_step,
+                                                      pad_state)
+                    step = make_fused_wall_step(lb_cfg, ws, plan,
+                                                interpret=interp)
+                    state = (pad_state(f),
+                             jnp.zeros((3,), lb_cfg.jdtype))
+                    return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
+                                  solid=None, state=state, step_fn=step,
+                                  wallspec=ws, fused_mode="wall")
             obc = None
             oax = 0
             if rt.switch("lb_bc_open", False):
@@ -1502,6 +1573,21 @@ def build_system(rt: RunTime) -> System:
         f = _distribution_init(rt, lb_cfg)
         has_kiss = nz is not None and nz.kiss and nz.rho
         fused_req = rt.string("tpu_fused", "off")
+        if (fused_req != "off" and le is not None and solid is None
+                and not has_kiss and nz is None):
+            # sheared production fast path: fused kernel + LE column
+            # post-pass (ref: model_le.c:57; ludwig.c:811)
+            plan = _fused_plan(size)
+            interp = fused_req == "interpret"
+            if plan is not None and (interp or (size[2] % 128 == 0
+                                     and lb_cfg.dtype == "float32")):
+                from ludwig_tpu.ops.fused import (make_fused_le_step,
+                                                  pad_state)
+                step = make_fused_le_step(lb_cfg, le, plan,
+                                          interpret=interp)
+                return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
+                              solid=None, state=(pad_state(f),),
+                              step_fn=step, le_cfg=le, fused_mode="le")
         if (fused_req != "off" and le is None and solid is None
                 and not has_kiss and nz is None):
             # production fast path: the fused Pallas collide+stream
@@ -1563,6 +1649,8 @@ def _make_fast_stats_fn(sys_: System):
     from ludwig_tpu.lc import lc_fields
     model = sys_.lb_cfg.model
     lcfg = sys_.lc_cfg
+    bcfg = sys_.binary_cfg
+    dcfg = sys_.droplet_cfg
 
     def _fstats(x):
         m = jnp.mean(x)
@@ -1576,6 +1664,31 @@ def _make_fast_stats_fn(sys_: System):
         res = {"rho": _fstats(rho),
                "g": jnp.sum(g, axis=(1, 2, 3)),
                "umm": stats.velocity_minmax(u)}
+        if sys_.wallspec is not None:
+            # fused wall mode: gwall rides the state (f, gwall)
+            res["gwall"] = state[1]
+        if bcfg is not None:
+            # fused binary: [phi] + [fed] with the reference's
+            # stale-gradient convention (pre-update phi via `prev`)
+            phi = state[1]
+            res["phi"] = _fstats(phi)
+            fields = fe_fields(prev[0] if prev else phi, bcfg.gradient)
+            fields["phi"] = phi
+            fed = bcfg.fe.fed(fields)
+            m = jnp.mean(fed)
+            res["fed"] = (m, m)
+        if dcfg is not None:
+            from ludwig_tpu.lc_droplet_sim import droplet_fields
+            phi, q5 = state[1], state[2]
+            res["phi"] = _fstats(phi)
+            res["q5"] = [_fstats(q5[n]) for n in range(5)]
+            pp, pq = (prev[0], prev[1]) if len(prev) == 2 else (phi, q5)
+            fields = droplet_fields(pp, pq, dcfg.gradient)
+            fields["phi"] = phi
+            fields["q"] = q5
+            fed = dcfg.fe.fed(fields)
+            m = jnp.mean(fed)
+            res["fed"] = (m, m)
         if lcfg is not None:
             q5 = state[1]
             res["q5"] = [_fstats(q5[n]) for n in range(5)]
@@ -2264,27 +2377,63 @@ def run_text(text: str, out=sys.stdout) -> System:
     # `tpu_shard` stays a no-op exactly like the reference's serial
     # build ignoring its decomposition hint.
     mesh_note = None
+    _shard_fn = None    # re-applied after a checkpoint restart load
     if rt.switch("tpu_shard", False):
         from ludwig_tpu.parallel.mesh import (check_divisible,
+                                              default_devices,
                                               lattice_sharding, make_mesh)
-        ndev = len(jax.devices())
+        ndev = len(default_devices())
         g = rt.int_vector("grid")
-        g = tuple(g) if g is not None else None
+        g = tuple(g) if g is not None else (ndev, 1, 1)
         try:
-            if g is not None and int(np.prod(g)) != ndev:
+            if int(np.prod(g)) != ndev:
                 raise ValueError(f"grid {g} != {ndev} devices")
-            if g is not None:
-                check_divisible(size, g)
-            mesh = make_mesh(g)
+            check_divisible(size, g)
+            if sys_.fused_mode == "plain":
+                # fused + sharded: route to the shard_map'd fused
+                # kernel (pads exchanged as ppermute face slabs over
+                # ICI).  The device mesh is 2-D over (x, y); z stays
+                # whole per chip so the kernel's in-register z lane
+                # rolls remain globally periodic (ref: the 3-D MPI
+                # decomposition coords.c:151-257; here z-sharding would
+                # fragment the 128-lane minor dim anyway).
+                if g[2] != 1:
+                    raise ValueError(
+                        f"tpu_fused needs grid Pz == 1, got {g}")
+                local = (size[0] // g[0], size[1] // g[1], size[2])
+                plan = _fused_plan(local)
+                if plan is None:
+                    raise ValueError(
+                        f"no fused block plan for local shard {local}")
+                from ludwig_tpu.ops.fused import (
+                    make_fused_sharded_nstep, unpad_state)
+                mesh = make_mesh(g)
+                nstep = make_fused_sharded_nstep(
+                    sys_.lb_cfg.model, sys_.lb_cfg.collision_params(),
+                    mesh, plan,
+                    interpret=rt.string("tpu_fused", "off") == "interpret")
+                sys_.step_fn = lambda f, t=0: nstep(f, 1)
+                sys_.step_nfn = nstep
+                sys_.fused_unpadded = True
+                sys_.state = (unpad_state(sys_.state[0]),)
+            elif sys_.fused_mode is not None:
+                raise ValueError(
+                    f"sharding not supported with the fused "
+                    f"'{sys_.fused_mode}' kernels yet")
+            else:
+                mesh = make_mesh(g)
 
-            def _shard(leaf):
-                if (hasattr(leaf, "ndim") and leaf.ndim >= 3
-                        and tuple(leaf.shape[-3:]) == tuple(size)):
-                    return jax.device_put(
-                        leaf, lattice_sharding(mesh, leaf.ndim - 3))
-                return leaf
+            def _shard_apply():
+                def _shard(leaf):
+                    if (hasattr(leaf, "ndim") and leaf.ndim >= 3
+                            and tuple(leaf.shape[-3:]) == tuple(size)):
+                        return jax.device_put(
+                            leaf, lattice_sharding(mesh, leaf.ndim - 3))
+                    return leaf
+                sys_.state = jax.tree_util.tree_map(_shard, sys_.state)
 
-            sys_.state = jax.tree_util.tree_map(_shard, sys_.state)
+            _shard_fn = _shard_apply
+            _shard_fn()
             mesh_note = dict(mesh.shape)
         except ValueError as e:
             out.write(f"tpu_shard: {e}; running unsharded\n\n")
@@ -2356,6 +2505,9 @@ def run_text(text: str, out=sys.stdout) -> System:
         sigma_cal = SigmaCalibration(bcfg.fe, size, bcfg.mobility)
         phi0 = jnp.asarray(sigma_cal.init_phi(np.float64),
                            sys_.state[1].dtype)
+        if sys_.fused_mode == "binary":
+            from ludwig_tpu.ops.fused_binary import pad_phi
+            phi0 = pad_phi(phi0)
         sys_.state = (sys_.state[0], phi0) + tuple(sys_.state[2:])
         sigma_cal.banner(out)
 
@@ -2470,15 +2622,34 @@ def run_text(text: str, out=sys.stdout) -> System:
         new_leaves = [jnp.asarray(data[k], leaf.dtype)
                       for k, leaf in zip(keys, leaves0)]
         sys_.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        if _shard_fn is not None:
+            # jnp.asarray above placed the leaves on the default device;
+            # a sharded run must re-apply the mesh placement or the
+            # restart silently runs serial (and OOMs at scale)
+            _shard_fn()
         out.write(f"Restart from step {n_start}\n")
+
+    @jax.jit
+    def _wall_collide_u(state):
+        """Collision-time (force-shifted) velocity the next step's
+        collide computes from the pre-step state: (g + F/2)/rho."""
+        from ludwig_tpu.lb import hydro_fields
+        from ludwig_tpu.ops.fused import unpad_state
+        f = unpad_state(state[0])
+        rho_, g_ = hydro_fields(f, sys_.lb_cfg.model)
+        fg = sys_.lb_cfg.collision_params().force_global
+        g_ = g_ + 0.5 * jnp.asarray(
+            np.asarray(fg[:3]), g_.dtype)[:, None, None, None]
+        return g_ / rho_
 
     def _fused_view(state, u=None):
         """Unpadded (state, u) view of a fused-mode state for the
         statistics / IO machinery."""
         from ludwig_tpu.ops.fused import unpad_state
-        if sys_.fused_mode == "plain":
+        if sys_.fused_mode in ("plain", "le"):
             from ludwig_tpu.lb import hydro_fields
-            f = unpad_state(state[0])
+            f = (state[0] if sys_.fused_unpadded
+                 else unpad_state(state[0]))
             if u is None:
                 # the reference's hydro u is the collision-time
                 # force-shifted velocity (g_pre + F/2)/rho; after the
@@ -2489,6 +2660,28 @@ def run_text(text: str, out=sys.stdout) -> System:
                     np.asarray(fg[:3]), g_.dtype)[:, None, None, None]
                 u = g_ / rho_
             return (f,), u
+        if sys_.fused_mode == "wall":
+            from ludwig_tpu.lb import hydro_fields
+            f = unpad_state(state[0])
+            if u is None:
+                # fallback (t = 0 report passes zeros; the loop passes
+                # the pre-step collision-time u explicitly)
+                rho_, g_ = hydro_fields(f, sys_.lb_cfg.model)
+                fg = sys_.lb_cfg.collision_params().force_global
+                g_ = g_ - 0.5 * jnp.asarray(
+                    np.asarray(fg[:3]), g_.dtype)[:, None, None, None]
+                u = g_ / rho_
+            return (f, state[1]), u
+        if sys_.fused_mode == "binary":
+            from ludwig_tpu.ops.fused_binary import unpad_phi
+            return ((unpad_state(state[0]), unpad_phi(state[1]),
+                     state[2]), state[2] if u is None else u)
+        if sys_.fused_mode == "droplet":
+            from ludwig_tpu.ops.fused_binary import unpad_phi
+            from ludwig_tpu.ops.fused_lc import unpad_q
+            return ((unpad_state(state[0]), unpad_phi(state[1]),
+                     unpad_q(state[2]), state[3]),
+                    state[3] if u is None else u)
         from ludwig_tpu.ops.fused_lc import unpad_q
         return ((unpad_state(state[0]), unpad_q(state[1]), state[2]),
                 state[2] if u is None else u)
@@ -2498,6 +2691,14 @@ def run_text(text: str, out=sys.stdout) -> System:
         if sys_.fused_mode == "lc":
             from ludwig_tpu.ops.fused_lc import unpad_q
             return (jnp.array(unpad_q(state[1])),)   # pre-update q
+        if sys_.fused_mode == "binary":
+            from ludwig_tpu.ops.fused_binary import unpad_phi
+            return (jnp.array(unpad_phi(state[1])),)   # pre-update phi
+        if sys_.fused_mode == "droplet":
+            from ludwig_tpu.ops.fused_binary import unpad_phi
+            from ludwig_tpu.ops.fused_lc import unpad_q
+            return (jnp.array(unpad_phi(state[1])),
+                    jnp.array(unpad_q(state[2])))
         if sys_.fused_mode is not None:
             return ()
         if sys_.le_cfg is not None:
@@ -2520,6 +2721,31 @@ def run_text(text: str, out=sys.stdout) -> System:
                 or sys_.is_polar):
             return tuple(jnp.array(x) for x in state[1:-1])
         return ()
+
+    # hydrodynamic-radius calibration (ref: stats_calibration.c, key
+    # `calibration on`; requires exactly one resolved colloid)
+    ahydro = None
+    _cp = sys_.colloid_params
+    if (rt.switch("calibration", False) and sys_.is_colloid
+            and _cp.n == 1
+            and (not _cp.types or _cp.types[0] != "subgrid")):
+        from ludwig_tpu.stats_extra import AhydroCalibration
+        ahydro = AhydroCalibration(
+            max(_cp.ah), _cp.a0[0], sys_.lb_cfg.eta_shear,
+            sys_.lb_cfg.rho0, _cp.rho0, size, _cp.gravity)
+        ahydro.banner(out)
+        from ludwig_tpu.colloids import build_map as _ah_bm
+
+        @jax.jit
+        def _ahydro_meas(R, V, u):
+            """Particle velocity minus fluid-site mean velocity
+            (ref: stats_ahydro_measure)."""
+            _, inside = _ah_bm(R, _cp, size)
+            fl = jnp.logical_not(inside)
+            vol = jnp.sum(fl.astype(u.dtype))
+            um = jnp.stack([jnp.sum(jnp.where(fl, u[a], 0.0))
+                            for a in range(3)]) / vol
+            return V[0] - um
 
     # initial report (tstep 0) as the reference does before the loop
     u = jnp.zeros((3,) + size, sys_.lb_cfg.jdtype)
@@ -2579,9 +2805,11 @@ def run_text(text: str, out=sys.stdout) -> System:
             _dump_colloids(t, state)
         if freq_measure and t % freq_measure == 0 and sigma_cal is not None:
             # (ref: ludwig.c:920-923 stats_sigma_measure)
-            fl_ = _binary_fields(state)
+            stv = (_fused_view(state)[0] if sys_.fused_mode is not None
+                   else state)
+            fl_ = _binary_fields(stv)
             radius, xifit, sig = sigma_cal.measure(
-                jax.device_get(state[1]), fl_)
+                jax.device_get(stv[1]), fl_)
             out.write("\nSurface tension calibration - radius xi0 "
                       "surface tension\n")
             out.write(f"[sigma] {t:14d} {radius:14.7e} {xifit:14.7e} "
@@ -2618,26 +2846,29 @@ def run_text(text: str, out=sys.stdout) -> System:
 
     _chunk_cache = {}
 
-    def _fused_chain(state, n):
+    def _fused_chain(state, n, t0):
         """n fused steps as ONE scanned program (per-step dispatch over
         the remote relay costs ~0.2 s; production throughput needs the
-        steps between output events batched)."""
+        steps between output events batched).  t0 is the timestep of the
+        first chained step (the LE displacement is t-dependent)."""
+        if sys_.step_nfn is not None:
+            return (sys_.step_nfn(state[0], n),)
         fn = _chunk_cache.get(n)
         if fn is None:
             from functools import partial as _p
             plain = sys_.fused_mode == "plain"
 
             @_p(jax.jit, donate_argnums=0)
-            def fn(st):
-                def body(s, _):
+            def fn(st, t0_):
+                def body(s, tt):
                     if plain:
-                        return (sys_.step_fn(s[0], 0),), None
-                    return sys_.step_fn(s, 0), None
-                st, _ = jax.lax.scan(body, st, None, length=n)
+                        return (sys_.step_fn(s[0], tt),), None
+                    return sys_.step_fn(s, tt), None
+                st, _ = jax.lax.scan(body, st, t0_ + jnp.arange(n))
                 return st
 
             _chunk_cache[n] = fn
-        return fn(state)
+        return fn(state, t0)
 
     t = sys_.n_start + 1
     while t <= _tend:
@@ -2645,15 +2876,23 @@ def run_text(text: str, out=sys.stdout) -> System:
         if sys_.fused_mode is not None:
             k = _event_gap(t)
             if k > 1:
-                state = _fused_chain(state, k - 1)
+                state = _fused_chain(state, k - 1, t)
                 t += k - 1
             prev = _op_fields(state)
             if sys_.fused_mode == "plain":
                 state = (sys_.step_fn(state[0], t),)
                 rho = u = None   # derived from f at statistics steps
+            elif sys_.fused_mode in ("wall", "le"):
+                # the logged u is the collision-time velocity of THIS
+                # step: (g + F/2)/rho from the PRE-step state, exactly
+                # what the jnp path's collide returns (ref: hydro u set
+                # in lb_collision_mrt1)
+                u = _wall_collide_u(state)
+                state = sys_.step_fn(state, t)
+                rho = None
             else:
                 state = sys_.step_fn(state, t)
-                rho, u = None, state[2]
+                rho, u = None, state[-1]   # u rides at the state tail
             sys_.state = state
             _acc("step", time.time() - ts0)
             _loop_outputs(t, state, u, prev)
@@ -2662,6 +2901,10 @@ def run_text(text: str, out=sys.stdout) -> System:
         prev = _op_fields(state)
         if sys_.is_colloid:
             state, (rho, u) = sys_.step_fn(state, t)
+            if ahydro is not None and ahydro.wants(t):
+                rel = jax.device_get(_ahydro_meas(state[1], state[2], u))
+                ahydro.accumulate(jax.device_get(state[2])[0],
+                                  jax.device_get(prev[0])[0], rel)
         elif (sys_.wallspec is not None and not sys_.is_binary
                 and not sys_.is_two_field and not sys_.is_binary_lb):
             state, rho, u = sys_.step_fn(state, t)
@@ -2695,6 +2938,9 @@ def run_text(text: str, out=sys.stdout) -> System:
     if config_at_end and ncycles > 0:
         _dump(sys_.n_start + ncycles, state)
 
+    if ahydro is not None:
+        ahydro.report(out)
+
     unused = rt.unused_keys()
     if unused:
         out.write("\nUnused (or not-yet-supported) input keys:\n")
@@ -2722,7 +2968,125 @@ def run_text(text: str, out=sys.stdout) -> System:
             continue
         out.write(f"{label:>20s}: {tmin:10.3f} {tmax:10.3f} "
                   f"{tot:10.3f} {tot / ncall:10.6f} ({ncall} calls)\n")
+
+    if rt.switch("tpu_timer_detail", False) and ncycles > 0:
+        # per-phase breakdown (ref: the reference's ~45 TIMER sections,
+        # timer.h:52-100, e.g. Collision/Propagation/Lattice halos/
+        # phi gradients/BBL/Poisson).  Under jit the production step is
+        # ONE fused program, so honest phase costs are measured by
+        # running each phase standalone on the final state, fenced.
+        for name, dt_ in _timer_detail(sys_, state, stats_fn):
+            out.write(f"{name:>20s}: {dt_:10.3f} {dt_:10.3f} "
+                      f"{dt_:10.3f} {dt_:10.6f} (probe)\n")
     return sys_
+
+
+def _timer_detail(sys_, state, stats_fn, reps: int = 3):
+    """Measured per-phase costs (seconds per call) on the final state.
+
+    Mirrors the reference's per-phase TIMER sections (timer.h:52-100:
+    Collision/Propagation/Lattice halos/phi gradients/BBL/Poisson) for
+    the phases that exist in each production mode.  Under jit the step
+    is one fused program, so each phase is jitted standalone, compiled
+    by a warmup call, then timed with a scalar-readback fence
+    (block_until_ready is unreliable over remote relays)."""
+    import jax as _jax
+    tu = _jax.tree_util
+
+    def _fence(x):
+        return float(jnp.ravel(tu.tree_leaves(x)[0])[0])
+
+    def _time(fn, *args):
+        _fence(fn(*args))           # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _fence(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def _step_probe():
+        # the production step donates its input: regenerate the state
+        # copy inside the timed call (adds one state copy to the time)
+        return _time(lambda s: tu.tree_leaves(
+            sys_.step_fn(tu.tree_map(jnp.array, s), 1))[0], state)
+
+    model = sys_.lb_cfg.model
+    params = sys_.lb_cfg.collision_params()
+    rows = []
+    try:
+        if sys_.fused_mode in ("plain", "wall", "le"):
+            from ludwig_tpu.ops.fused import _fused_call, _pad_refresh
+            plan = _fused_plan(sys_.lb_cfg.size)
+            fpad = state[0]
+            interp = (sys_.rt.string("tpu_fused", "off") == "interpret")
+            rows.append(("Collide+stream", _time(
+                _jax.jit(lambda fp: _fused_call(fp, model, params, plan,
+                                                interp)), fpad)))
+            rows.append(("Pad refresh", _time(
+                _jax.jit(_pad_refresh), fpad)))
+        elif sys_.fused_mode == "binary":
+            from ludwig_tpu.ops.fused_binary import binary_phi_force_step
+            from ludwig_tpu.ops.fused_lc import pad_q
+            bcfg = sys_.binary_cfg
+            rows.append(("Phi+force kernel", _time(
+                _jax.jit(lambda p, u: binary_phi_force_step(
+                    p, pad_q(u), bcfg.fe, bcfg.mobility,
+                    bcfg.advection_order)[0]),
+                state[1], state[2])))
+            rows.append(("Full step", _step_probe()))
+        elif sys_.fused_mode == "droplet":
+            from ludwig_tpu.ops.fused_droplet import \
+                droplet_phi_q_force_step
+            from ludwig_tpu.ops.fused_lc import pad_q
+            dcfg = sys_.droplet_cfg
+            rows.append(("Phi+Q+force kernel", _time(
+                _jax.jit(lambda p, q, u: droplet_phi_q_force_step(
+                    p, q, pad_q(u), dcfg.fe, dcfg.gamma,
+                    dcfg.mobility, dcfg.advection_order)[0]),
+                state[1], state[2], state[3])))
+            rows.append(("Full step", _step_probe()))
+        elif sys_.fused_mode == "lc":
+            rows.append(("Full step", _step_probe()))
+        elif sys_.is_electro:
+            from ludwig_tpu.electro import rho_elec
+            from ludwig_tpu.electro_sim import (make_psi_neighbours,
+                                                poisson_sor_ref)
+            ek = sys_.electro_cfg.ek
+            off = 1 if sys_.es_cfg is not None else 0
+            psi, rhok = state[1 + off], state[2 + off]
+            pu, pd = make_psi_neighbours(sys_.lb_cfg.size,
+                                         sys_.electro_cfg.e0,
+                                         sys_.lb_cfg.dtype)
+            rows.append(("Poisson (SOR)", _time(
+                _jax.jit(lambda p, r: poisson_sor_ref(
+                    p, rho_elec(r, ek), ek, pu, pd)), psi, rhok)))
+            rows.append(("Full step", _step_probe()))
+        elif sys_.is_colloid:
+            cp = sys_.colloid_params
+            if cp.n > 4:
+                from ludwig_tpu.colloids_fast import build_map_fast as bm
+            else:
+                from ludwig_tpu.colloids import build_map as bm
+            rows.append(("Colloid map build", _time(
+                _jax.jit(lambda R: bm(R, cp, sys_.lb_cfg.size)[0]),
+                state[1])))
+            rows.append(("Full step", _step_probe()))
+        else:
+            arg_is_tuple = (sys_.is_binary or sys_.is_lc
+                            or sys_.is_two_field or sys_.is_droplet
+                            or sys_.is_polar or sys_.has_kiss
+                            or sys_.lb2_cfg is not None
+                            or sys_.wallspec is not None)
+            if arg_is_tuple:
+                rows.append(("Full step", _step_probe()))
+            else:
+                rows.append(("Full step", _time(
+                    lambda s: tu.tree_leaves(
+                        sys_.step_fn(jnp.array(s[0]), 1))[0], state)))
+    except Exception as e:                      # pragma: no cover
+        rows.append((f"(probe failed: {type(e).__name__})", 0.0))
+    return rows
 
 
 def run(path: str = "input", out=sys.stdout) -> System:

@@ -370,6 +370,69 @@ def _fused_call(fpad: jnp.ndarray, model: LatticeModel,
     return out
 
 
+def make_fused_wall_step(cfg, spec, plan: FusedPlan = FusedPlan(),
+                         interpret: bool = False):
+    """Fused collide+stream with halo plane walls: ((fpad, gwall), t) ->
+    (fpad', gwall').
+
+    The Pallas kernel streams fully periodically; the contaminated
+    boundary-plane populations are then overwritten with half-way
+    bounce-back (incl. moving walls) computed from a collide of ONLY the
+    boundary planes of the pre-step state - O(surface) work around the
+    unmodified O(volume) kernel (ref: wall.c:860-980 wall_bbl_kernel;
+    step order ludwig.c collide -> halo -> wall -> propagation).
+    gwall accumulates the momentum transferred to the walls for the
+    [walls] statistics row (ref: wall.c fnet, wall_momentum).
+    """
+    from ludwig_tpu.ops.collide import collide
+    from ludwig_tpu.ops.walls import wall_bounce_back_fused
+    model = cfg.model
+    params = cfg.collision_params()
+
+    def plane2(f, ax):
+        sl_lo = [slice(None)] * 4
+        sl_lo[1 + ax] = slice(0, 1)
+        sl_hi = [slice(None)] * 4
+        sl_hi[1 + ax] = slice(f.shape[1 + ax] - 1, f.shape[1 + ax])
+        return jnp.concatenate([f[tuple(sl_lo)], f[tuple(sl_hi)]],
+                               axis=1 + ax)
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, t=0):
+        fpad, gwall = state
+        f = unpad_state(fpad)
+        fpost2 = {ax: collide(plane2(f, ax), params)[0]
+                  for ax in range(3) if spec.walls[ax]}
+        fpad = _fused_call(fpad, model, params, plan, interpret)
+        fpad, gw = wall_bounce_back_fused(fpad, fpost2, model, spec,
+                                          rho0=cfg.rho0)
+        return (_pad_refresh(fpad), gwall + gw)
+
+    return step
+
+
+def make_fused_le_step(cfg, le, plan: FusedPlan = FusedPlan(),
+                       interpret: bool = False):
+    """Fused collide+stream with Lees-Edwards sliding boundaries:
+    ((fpad,), t) -> (fpad',).
+
+    The LE reprojection + y-displacement runs as a column post-pass
+    conjugated through streaming (ops/lees_edwards.apply_le_fused) -
+    exactly the reference's collide -> LE -> propagate order
+    (ref: model_le.c:57, ludwig.c:811) at O(surface) cost."""
+    from ludwig_tpu.ops.lees_edwards import apply_le_fused
+    model = cfg.model
+    params = cfg.collision_params()
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, t=0):
+        fpad = _fused_call(state[0], model, params, plan, interpret)
+        fpad = apply_le_fused(fpad, model, le, t, pad=(HX, HY))
+        return (_pad_refresh(fpad),)
+
+    return step
+
+
 def make_fused_nstep(model: LatticeModel, params: CollisionParams,
                      plan: FusedPlan = FusedPlan(), interpret: bool = False):
     """Jitted n-step driver on padded state (donated, scanned)."""

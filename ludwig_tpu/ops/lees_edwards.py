@@ -143,6 +143,68 @@ def apply_lb_le(f: jnp.ndarray, model: LatticeModel,
     return f
 
 
+def apply_le_fused(fpad: jnp.ndarray, model: LatticeModel,
+                   cfg: LeesEdwardsConfig, t,
+                   pad: Tuple[int, int] = (1, 8)) -> jnp.ndarray:
+    """LE boundary conditions conjugated through streaming, for the
+    fused collide+stream kernel's PADDED output.
+
+    The fused kernel applies stream@collide in one pass; the reference
+    order is stream@LE@collide (ref: model_le.c:57 runs before
+    propagation, ludwig.c:811).  Streaming is an exact per-velocity
+    shift, so LE commutes to a post-pass stream@LE@stream^-1: the
+    post-collision plane-adjacent columns are reassembled by un-shifting
+    each velocity from the fused output, the reprojection + displacement
+    applied, and the crossing rows re-shifted back.  O(nplanes nvel Y Z)
+    column work around the unmodified O(volume) kernel.  Pads are left
+    stale (caller refreshes).
+    """
+    HX, HY = pad
+    nvel = model.nvel
+    X = fpad.shape[1] - 2 * HX
+    Y = fpad.shape[2] - 2 * HY
+    tt = jnp.asarray(t, fpad.dtype)
+    uy = cfg.uy_now(tt)
+    dy = cfg.displacement(tt)
+
+    def col_live(c, q):
+        return fpad[q, HX + (c % X), HY:HY + Y, :]
+
+    def gather_post(c):
+        """Post-collision column c: un-stream every velocity from the
+        fused output (f_out_q(x) = fpost_q(x - c_q))."""
+        rows = []
+        for q in range(nvel):
+            cx, cy, cz = (int(model.cv[q][a]) for a in range(3))
+            src = col_live(c + cx, q)
+            if cy:
+                src = jnp.roll(src, -cy, axis=0)
+            if cz:
+                src = jnp.roll(src, -cz, axis=1)
+            rows.append(src)
+        return jnp.stack(rows)
+
+    fixes = []   # (q, live column, value): written after ALL gathers
+    for col in cfg.plane_cols:
+        cup = (col + 1) % cfg.nx
+        for c, cx, du, dd in ((col, +1, -uy, dy), (cup, -1, uy, -dy)):
+            slab = _boost_column(gather_post(c), model, cx, du)
+            slab = _displace_column(slab, model, cx, dd)
+            for q in range(nvel):
+                if int(model.cv[q][0]) != cx:
+                    continue
+                cy, cz = int(model.cv[q][1]), int(model.cv[q][2])
+                v = slab[q]
+                if cy:
+                    v = jnp.roll(v, cy, axis=0)
+                if cz:
+                    v = jnp.roll(v, cz, axis=1)
+                fixes.append((q, (c + cx) % X, v))
+    for q, c, v in fixes:
+        fpad = fpad.at[q, HX + c, HY:HY + Y, :].set(v)
+    return fpad
+
+
 def _interp_y(col: jnp.ndarray, dy) -> jnp.ndarray:
     """Sample a (.., Y, Z) column at y + dy (linear, periodic, dynamic)."""
     ny = col.shape[-2]

@@ -145,6 +145,77 @@ def wall_bounce_back(f_new: jnp.ndarray, f_post: jnp.ndarray,
     return f_new, g_new, gw
 
 
+def wall_bounce_back_fused(fpad: jnp.ndarray, fpost2: dict,
+                           model: LatticeModel, spec: WallSpec,
+                           rho0: float = 1.0,
+                           pad: Tuple[int, int, int] = (1, 8, 0)):
+    """Wall fix for the fused collide+stream kernel's PADDED output.
+
+    The fused kernel streams fully periodically; here the contaminated
+    (wrapped-in) populations on each walled boundary plane are
+    overwritten with half-way bounce-back, using ``fpost2[ax]`` =
+    post-collision distributions on the two boundary planes of axis
+    ``ax`` (extent 2 along that axis, computed by a plane collide of the
+    pre-step state - O(surface), not O(volume)).
+
+    Returns (fpad, gwall_inc).  The momentum transfer uses the per-link
+    sum (2 f*_q - corr - 2 w_q) c_q (ref: wall.c:941-949 fnet); with
+    whole-plane walls this equals the jnp path's global pre/post-fix
+    momentum difference in exact arithmetic (the wrapped-in values it
+    removes are exactly the into-wall populations of the opposite
+    plane).
+    """
+    cv = model.cv
+    wv = model.wv
+    rev = model.reverse
+    dtype = fpad.dtype
+    ext = tuple(fpad.shape[1 + a] - 2 * pad[a] for a in range(3))
+    gw = jnp.zeros((3,), dtype)
+
+    for ax in range(3):
+        if not spec.walls[ax]:
+            continue
+        rem = [a for a in range(3) if a != ax]   # axes kept in a plane
+        for side, uw in ((0, spec.ubot), (1, spec.utop)):
+            # live-region slice of the boundary plane on the padded array
+            sl_pad = [slice(pad[a], pad[a] + ext[a]) for a in range(3)]
+            sl_pad[ax] = pad[ax] + (0 if side == 0 else ext[ax] - 1)
+            sl_pad = tuple(sl_pad)
+            # matching slice on the 2-plane post-collision array
+            sl_p = [slice(None)] * 3
+            sl_p[ax] = side
+            sl_p = tuple(sl_p)
+            into = -1 if side == 0 else 1
+            for q in range(model.nvel):
+                if cv[q][ax] != int(into):
+                    continue
+                p = int(rev[q])
+                cdotu = float(np.dot(cv[q], uw))
+                corr = 2.0 * wv[q] * rho0 * cdotu / CS2
+                fq = fpost2[ax][(q,) + sl_p]
+                fpad = fpad.at[(p,) + sl_pad].set(fq - corr)
+                # one link per (site, q): overlap with an earlier walled
+                # axis' plane pass masked as in wall_bounce_back
+                ov = np.zeros(fq.shape, bool)
+                for ax2 in range(ax):
+                    if not spec.walls[ax2] or cv[q][ax2] == 0:
+                        continue
+                    p2 = 0 if cv[q][ax2] < 0 else ext[ax2] - 1
+                    sel = [slice(None)] * ov.ndim
+                    sel[rem.index(ax2)] = p2
+                    ov[tuple(sel)] = True
+                nsl = float(np.prod(fq.shape))
+                if ov.any():
+                    keep = jnp.asarray(~ov)
+                    link = (jnp.sum(jnp.where(keep, 2.0 * fq, 0.0))
+                            - (corr + 2.0 * wv[q]) * float((~ov).sum()))
+                else:
+                    link = jnp.sum(2.0 * fq) - (corr + 2.0 * wv[q]) * nsl
+                gw = gw + link * jnp.asarray(np.array(cv[q], np.float64),
+                                             dtype)
+    return fpad, gw
+
+
 def wall_bounce_back_slip(f_new: jnp.ndarray, f_post: jnp.ndarray,
                           model: LatticeModel, spec: WallSpec,
                           rho0: float = 1.0):

@@ -24,6 +24,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 LATTICE_AXES = ("x", "y", "z")
 
 
+def default_devices():
+    """Devices of the platform actually computing: when a default device
+    is configured (tests pin CPU while a TPU platform is registered),
+    the mesh must be built from THAT platform's devices, not the
+    highest-priority backend's."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return jax.devices(dd.platform)
+    return jax.devices()
+
+
 def make_mesh(grid: Optional[Sequence[int]] = None,
               devices=None) -> Mesh:
     """Build a 3-D device mesh with shape grid = (Px, Py, Pz).
@@ -32,7 +43,7 @@ def make_mesh(grid: Optional[Sequence[int]] = None,
     decomposition), which keeps each shard's trailing (Y, Z) plane large
     and TPU-tile friendly.
     """
-    devices = devices if devices is not None else jax.devices()
+    devices = devices if devices is not None else default_devices()
     n = len(devices)
     if grid is None:
         grid = (n, 1, 1)

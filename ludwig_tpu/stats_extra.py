@@ -46,6 +46,105 @@ def hydrodynamic_radius(force, velocity, eta: float) -> float:
     return f / (6.0 * np.pi * eta * max(u, 1e-30))
 
 
+def _hasimoto(a: float, length: float) -> float:
+    """Finite-size correction fraction to Stokes drag
+    (ref: stats_calibration.c:275-283)."""
+    x = a / length
+    return 1.0 - 2.837 * x + 4.19 * x ** 3 - 27.4 * x ** 6
+
+
+class AhydroCalibration:
+    """Hydrodynamic-radius calibration for a single driven colloid
+    (ref: src/stats_calibration.c, switched on by `calibration on`).
+
+    The particle is driven at target Reynolds number 0.05; after a
+    momentum-diffusion spin-up, the mean hydrodynamic force and the
+    particle velocity relative to the fluid are accumulated every
+    nstokes/50 steps, and the hydrodynamic radius solved from the
+    Hasimoto-corrected Stokes relation at the end.  The hydrodynamic
+    force comes from the BBL implicit update via Newton's identity
+    fhydro = m (v_new - v_old) - F_ext, which equals the reference's
+    diagnostic f0 - zeta.v (ref: bbl.c:922-944) exactly for the
+    wall-free calibration geometry."""
+
+    REYNOLDS = 0.05
+    PER_STOKES = 50        # measurements per Stokes time
+
+    def __init__(self, ah: float, a0: float, eta: float, rho0: float,
+                 colloid_rho0: float, size, gravity):
+        length = float(size[2])
+        self.a0 = float(ah)
+        self.eta = float(eta)
+        self.length = length
+        self.utarget = eta * self.REYNOLDS / (self.a0 * rho0)
+        fh = _hasimoto(self.a0, length)
+        self.ftarget = 6.0 * np.pi * eta * self.a0 * self.utarget / fh
+        self.nstokes = int(self.a0 / self.utarget)
+        self.nfreq = max(1, self.nstokes // self.PER_STOKES)
+        self.nstart = int(length * length / eta)
+        # particle mass from the INPUT radius (ref: bbl.c:786)
+        self.mass = (4.0 / 3.0) * np.pi * colloid_rho0 * float(a0) ** 3
+        self.grav = np.asarray(gravity, np.float64)
+        self.fbar = np.zeros(3)
+        self.ubar = np.zeros(3)
+        self.ndata = 0
+
+    def banner(self, out):
+        out.write("\n\nCalibration information:\n")
+        out.write(f"Target Reynolds number:    {self.REYNOLDS:11.4e}\n")
+        out.write(f"Target particle speed:     {self.utarget:11.4e}\n")
+        out.write(f"Force applied:             {self.ftarget:11.4e}\n")
+        out.write(f"Spin-up T_diffusion:       {self.nstart:11d}\n")
+        out.write(f"Stokes time (timesteps):   {self.nstokes:11d}\n")
+        out.write(f"Measurement frequency:     {self.nfreq:11d}\n\n\n")
+
+    def wants(self, t: int) -> bool:
+        return t >= self.nstart and t % self.nfreq == 0
+
+    def accumulate(self, v_new, v_old, upart_minus_ufluid):
+        """One measurement (ref: stats_ahydro_measure): v_new/v_old are
+        the particle velocity after/before this step's BBL update,
+        upart_minus_ufluid the particle velocity minus the fluid-site
+        mean velocity."""
+        self.ndata += 1
+        self.fbar += self.mass * (np.asarray(v_new, np.float64)
+                                  - np.asarray(v_old, np.float64)) \
+            - self.grav
+        self.ubar += np.asarray(upart_minus_ufluid, np.float64)
+
+    def result(self):
+        """(f0, u0, ah, fhasimoto) from the accumulated means, iterating
+        the Hasimoto correction (ref: stats_ahydro_free)."""
+        u = self.ubar / self.ndata
+        f = self.fbar / self.ndata
+        f0 = float(np.linalg.norm(f))
+        u0 = float(np.linalg.norm(u))
+        ah = self.a0
+        for _ in range(10):
+            fh = _hasimoto(ah, self.length)
+            ah = 1.0 / (6.0 * np.pi * self.eta * u0 / f0
+                        - (fh - 1.0) / ah)
+        return f0, u0, ah, _hasimoto(ah, self.length)
+
+    def report(self, out):
+        t = 1.0 * self.ndata * self.nfreq / self.nstokes
+        out.write("\n\nCalibration result\n")
+        out.write(f"Number of measurements:    {self.ndata:11d}\n")
+        out.write(f"Run time (Stokes times):   {t:11.4e}\n")
+        if self.ndata < 1:
+            return
+        f0, u0, ah, fh = self.result()
+        out.write("\n")
+        out.write(f"Actual force:              {f0:11.4e}\n")
+        out.write(f"Actual speed:              {u0:11.4e}\n")
+        out.write(f"Hasimoto correction (a/L): {fh:11.4e}\n")
+        out.write(f"Input radius:              {self.a0:11.4e}\n")
+        out.write(f"Hydrodynamic radius:       {ah:11.4e}\n")
+        out.write(f"Stokes equation rhs:       "
+                  f"{6.0 * np.pi * self.eta * ah * u0:11.4e}\n")
+        out.write(f"Stokes equation lhs:       {f0 * fh:11.4e}\n")
+
+
 def shear_stress_mean(f: jnp.ndarray, model) -> float:
     """Volume-mean deviatoric S_xy from the distributions
     (ref: stats_rheology mean stress)."""

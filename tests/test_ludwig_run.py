@@ -144,8 +144,105 @@ def _stat_floats(log):
     return np.array(vals)
 
 
-@pytest.mark.parametrize("text", [PLAIN_FUSED_INPUT, LC_FUSED_INPUT],
-                         ids=["plain", "lc"])
+BINARY_FUSED_INPUT = """
+N_cycles 4
+size 8_8_16
+viscosity 0.00625
+free_energy symmetric
+A -0.00625
+B 0.00625
+K 0.004
+phi0 0.0
+phi_initialisation spinodal
+mobility 1.25
+fd_gradient_calculation 3d_7pt_fluid
+fd_advection_scheme_order 2
+periodicity 1_1_1
+freq_statistics 2
+random_seed 8361235
+"""
+
+DROPLET_FUSED_INPUT = """
+N_cycles 4
+size 8_8_16
+viscosity 0.5
+free_energy lc_droplet
+fd_gradient_calculation 3d_7pt_fluid
+fd_advection_scheme_order 1
+A -0.0625
+B 0.0625
+K 0.053
+phi_initialisation spinodal
+phi0 0.0
+random_seed 8361235
+mobility 0.05
+lc_a0 0.1
+lc_gamma 3.0
+lc_q0 0.19635
+lc_kappa0 0.01
+lc_kappa1 0.01
+lc_xi 0.7
+lc_Gamma 0.5
+lc_q_initialisation random
+lc_q_init_amplitude 0.2
+lc_droplet_gamma 2.586
+lc_droplet_delta 0.25
+lc_droplet_W 0.0
+freq_statistics 2
+"""
+
+
+WALL_FUSED_INPUT = """
+N_cycles 6
+size 16_16_32
+viscosity 0.1
+boundary_walls 1_0_0
+force 0.0_0.00001_0.0
+periodicity 0_1_1
+freq_statistics 3
+"""
+
+COUETTE_FUSED_INPUT = """
+N_cycles 6
+size 16_16_32
+viscosity 0.1
+boundary_walls 0_1_0
+boundary_speed_bottom -0.001
+boundary_speed_top 0.001
+periodicity 1_0_1
+freq_statistics 3
+"""
+
+DUCT_FUSED_INPUT = """
+N_cycles 6
+size 16_16_32
+viscosity 0.1
+boundary_walls 1_1_0
+force 0.0_0.0_0.00001
+periodicity 0_0_1
+freq_statistics 3
+"""
+
+
+LE_FUSED_INPUT = """
+N_cycles 6
+size 16_16_32
+viscosity 0.1
+free_energy none
+N_LE_plane 2
+LE_plane_vel 0.05
+periodicity 1_1_1
+freq_statistics 3
+"""
+
+
+@pytest.mark.parametrize("text", [PLAIN_FUSED_INPUT, LC_FUSED_INPUT,
+                                  BINARY_FUSED_INPUT,
+                                  DROPLET_FUSED_INPUT, WALL_FUSED_INPUT,
+                                  COUETTE_FUSED_INPUT, DUCT_FUSED_INPUT,
+                                  LE_FUSED_INPUT],
+                         ids=["plain", "lc", "binary", "droplet",
+                              "wall", "couette", "duct", "le"])
 def test_tpu_fused_cli_path_matches_jnp(text):
     """'tpu_fused interpret' runs the Pallas production kernels through
     the input-file surface and reproduces the jnp path's statistics."""
@@ -178,3 +275,47 @@ def test_tpu_shard_bad_grid_falls_back():
     _, log = _run(PLAIN_INPUT + "\ntpu_shard on\ngrid 3_1_1\n")
     assert "running unsharded" in log
     assert "Completed cycle 5" in log
+
+
+def test_tpu_shard_default_grid_checks_divisibility():
+    """tpu_shard with no grid key takes the (ndev,1,1) slab default,
+    which must still be checked against the lattice extent (18 % 8)."""
+    _, log = _run(WALLS_INPUT + "\ntpu_shard on\n")
+    assert "running unsharded" in log
+    assert "Completed cycle 5" in log
+
+
+def test_tpu_timer_detail_breakdown():
+    """`tpu_timer_detail on` appends measured per-phase rows to the
+    timer table (the reference's TIMER_statistics per-phase sections,
+    timer.h:52-100)."""
+    _, log = _run("tpu_fused interpret\ntpu_timer_detail on\n"
+                  + PLAIN_FUSED_INPUT)
+    assert "Collide+stream" in log and "Pad refresh" in log
+    _, log2 = _run("tpu_timer_detail on\n" + SPINODAL_INPUT)
+    assert "Full step" in log2
+
+
+def test_tpu_shard_composes_with_tpu_fused():
+    """`tpu_shard on` + `tpu_fused` routes the CLI to the shard_map'd
+    fused kernel (make_fused_sharded_nstep) over the 8-device virtual
+    mesh and reproduces the single-device fused run's statistics."""
+    _, log0 = _run("tpu_fused interpret\n" + PLAIN_FUSED_INPUT)
+    sysobj, log1 = _run("tpu_fused interpret\ntpu_shard on\ngrid 4_2_1\n"
+                        + PLAIN_FUSED_INPUT)
+    assert sysobj.step_nfn is not None
+    assert "Decomposition:  4 2 1 (device mesh)" in log1
+    a, b = _stat_floats(log0), _stat_floats(log1)
+    assert a.size == b.size and a.size > 0
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-14)
+
+
+def test_tpu_shard_with_fused_lc_warns_and_runs():
+    """Sharding is not wired for the LC fused kernels; the run must say
+    so and fall back to unsharded rather than silently ignoring the
+    mesh (round-2 advisory)."""
+    _, log = _run("tpu_fused interpret\ntpu_shard on\ngrid 4_2_1\n"
+                  + LC_FUSED_INPUT)
+    assert "running unsharded" in log
+    assert "Decomposition" not in log
+    assert "Completed cycle 4" in log
