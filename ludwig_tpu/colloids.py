@@ -1120,13 +1120,23 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
     # round-1 'rescale colloids to suspensions')
     fast = (params.n > 4 and not has_walls
             and not any(params.is_active(n) for n in range(params.n)))
+    # Within the fast path, the per-particle link sums come in two
+    # flavours: reference-order sequential reductions (bitwise vs the
+    # reference's bbl.c pass1 accumulation - required for f64 golden
+    # parity, but a serial scan per particle x image that costs seconds
+    # per step for 1000-particle suspensions on TPU) and plain
+    # segment-sums (one lattice pass per velocity, machine-eps-
+    # equivalent).  f32 production runs have already left the bitwise
+    # contract, so they take the segment-sum flavour.
+    exact_sums = cfg.dtype == "float64"
     if fast:
         from ludwig_tpu.colloids_fast import (bbl_step_exact,
+                                              bbl_step_fast,
                                               build_map_fast,
+                                              remove_replace_fast,
                                               remove_replace_seeds_fast,
                                               solid_body_u)
 
-    @partial(jax.jit, static_argnums=2, donate_argnums=0)
     def _step(state, t, rebuild):
         f, R, V, W, dr, Rmap, Msw = state[:7]
         nstate = state.noise if kiss_rho else None
@@ -1148,12 +1158,16 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
             pid_old, inside_old = bmap(Rmap, params, size)
             Rmap = R
             pid, inside = bmap(R, params, size)
-            if fast:
+            if fast and exact_sums:
                 # batched per-image build seeds, bitwise vs the slow
                 # remove_replace(per_image=True)
                 f, rr_seeds = remove_replace_seeds_fast(
                     f, R, inside_old, pid_old, inside, pid, model,
                     params, size, rho0=cfg.rho0)
+            elif fast:
+                f, deltam, f0c, t0c = remove_replace_fast(
+                    f, R, V, W, inside_old, pid_old, inside, pid,
+                    model, params, size, rho0=cfg.rho0)
             else:
                 # per-periodic-image seeds keep the bbl accumulators
                 # bitwise against the reference's per-copy build sums
@@ -1230,11 +1244,17 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
                                              cfg.eta_shear, size, f.dtype)
         Vold = V
         # link geometry is from the last rebuild position Rmap
-        if fast:
+        if fast and exact_sums:
             f, V, W, Msw, gwbb = bbl_step_exact(
                 f, Rmap, V, W, model, params, size,
                 ext_force=ext, ext_torque=ext_t, rho0=cfg.rho0,
                 rr_seeds=rr_seeds, M=Msw,
+                pid_inside=(pid, inside))
+        elif fast:
+            f, V, W, Msw, gwbb = bbl_step_fast(
+                f, Rmap, V, W, model, params, size,
+                ext_force=ext, ext_torque=ext_t, rho0=cfg.rho0,
+                deltam=deltam, f0_corr=f0c, t0_corr=t0c, M=Msw,
                 pid_inside=(pid, inside))
         else:
             f, V, W, Msw, gwbb = bbl_step(
@@ -1269,6 +1289,17 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         return ColloidState(f, R, V, W, dr, Rmap, Msw,
                             noise=nstate, gwall=gwall), (rho, u)
 
+    # Donating the state halves peak HBM (the distribution double
+    # buffer).  The experimental axon TPU relay executes this
+    # particular donated program to a poisoned-client InvalidArgument
+    # (plain donation probes pass), so donation is keyed off the
+    # platform; real TPU/CPU backends keep it.
+    _pv = getattr(jax.devices()[0].client, "platform_version", "")
+    if "axon" in _pv:
+        _call = jax.jit(_step, static_argnums=2)
+    else:
+        _call = jax.jit(_step, static_argnums=2, donate_argnums=0)
+
     def step(state, t=0):
         if len(state) == 6:   # legacy tuple without swim directions
             mm = (np.array(params.m, np.float64) if params.m
@@ -1282,7 +1313,7 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         if has_walls and state.gwall is None:
             state = state._replace(
                 gwall=jnp.zeros((3,), state.f.dtype))
-        return _step(state, t, int(t) % rebuild_freq == 0)
+        return _call(state, t, int(t) % rebuild_freq == 0)
 
     return step
 

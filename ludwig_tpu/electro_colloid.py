@@ -278,9 +278,10 @@ def make_electro_colloid_step(cfg: ElectroSimConfig, params: ColloidParams,
         for _ in range(m_sub):
             rho = np_step(rho, psi, u if cfg.hydrodynamics else None,
                           fluid, cfg, psi_up, psi_dn, dt)
-        # plain site-order sum (ref: psi.c psi_zero_mean)
-        from ludwig_tpu.stats import seq_sum
-        psi = psi - seq_sum(psi) / float(np.prod(size))
+        # site-order scan in f64, tree sum in f32 production
+        # (ref: psi.c psi_zero_mean)
+        from ludwig_tpu.stats import site_sum
+        psi = psi - site_sum(psi) / float(np.prod(size))
 
         fb_force = force.astype(f.dtype)
         if any(v != 0.0 for v in params.gravity):

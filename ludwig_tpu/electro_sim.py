@@ -128,12 +128,20 @@ def poisson_sor_ref(psi0: jnp.ndarray, rho_el: jnp.ndarray,
         p = jnp.where(mask, p + omega * res / (6.0 * eps), p)
         return p, jnp.sum(jnp.where(mask, res * res, 0.0))
 
+    # f32 production guard: the reference's f64 tolerances (rel 1e-8)
+    # sit below the f32 residual floor, so without a stall check the
+    # loop always runs max_its (measured 10000 its/step on TPU).  In
+    # f32 only, stop when a convergence check shows no meaningful
+    # progress over the previous one; f64 keeps the reference's exact
+    # stopping behavior (golden-parity contract).
+    f32 = psi0.dtype == jnp.float32
+
     def cond(carry):
-        p, omega, n, stop = carry
+        p, omega, n, prev, stop = carry
         return jnp.logical_and(n < cfg.max_its, jnp.logical_not(stop))
 
     def body(carry):
-        p, omega, n, _ = carry
+        p, omega, n, prev, _ = carry
         p, s_red = half_sweep(p, red, omega)
         omega = jax.lax.select(
             n == 0, 1.0 / (1.0 - 0.5 * radius * radius),
@@ -143,11 +151,17 @@ def poisson_sor_ref(psi0: jnp.ndarray, rho_el: jnp.ndarray,
         rnorm1 = jnp.sqrt(s_red + s_blk)
         conv = jnp.logical_or(rnorm1 < cfg.abs_tol,
                               rnorm1 < cfg.rel_tol * rnorm0)
-        stop = jnp.logical_and(n % 5 == 0, conv)
-        return (p, omega, n + 1, stop)
+        check = n % 5 == 0
+        if f32:
+            stall = jnp.logical_and(n > 0, rnorm1 >= 0.995 * prev)
+            conv = jnp.logical_or(conv, stall)
+        prev = jnp.where(check, rnorm1, prev)
+        stop = jnp.logical_and(check, conv)
+        return (p, omega, n + 1, prev, stop)
 
-    init = (psi0, 1.0, 0, jnp.asarray(False))
-    p, _, n, _ = jax.lax.while_loop(cond, body, init)
+    init = (psi0, 1.0, 0, jnp.asarray(jnp.inf, psi0.dtype),
+            jnp.asarray(False))
+    p, _, n, _, _ = jax.lax.while_loop(cond, body, init)
     if return_iters:
         return p, n
     return p
@@ -405,10 +419,12 @@ def make_electro_step(cfg: ElectroSimConfig,
                 rho = np_step(rho, psi, u if cfg.hydrodynamics else None,
                               fl, cfg, psi_up, psi_dn, dt)
 
-        # 4. zero-mean potential (plain site-order sum, ref: psi.c
-        # psi_zero_mean)
-        from ludwig_tpu.stats import seq_sum
-        psi = psi - seq_sum(psi) / n_sites
+        # 4. zero-mean potential (site-order scan in f64 for the
+        # golden-log contract; in f32 production that scan is a
+        # 262k-element serial chain - ~200 ms/step at 64^3 on TPU, the
+        # whole step budget - so site_sum drops to a tree reduction)
+        from ludwig_tpu.stats import site_sum
+        psi = psi - site_sum(psi) / n_sites
 
         # 5. LB update
         if cfg.hydrodynamics:

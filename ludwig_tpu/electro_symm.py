@@ -211,10 +211,10 @@ def make_electro_symm_step(cfg: ElectroSymmConfig):
             rhok = np_step(rhok, psi, u if cfg.hydrodynamics else None,
                            fl, ek_sim, psi_up, psi_dn, dt, mu_ex=mu_ex)
 
-        # 4. zero-mean potential (plain site-order sum, ref:
-        # psi.c psi_zero_mean)
-        from ludwig_tpu.stats import seq_sum
-        psi = psi - seq_sum(psi) / float(np.prod(size))
+        # 4. zero-mean potential (site-order scan in f64, tree sum
+        # in f32 production; ref: psi.c psi_zero_mean)
+        from ludwig_tpu.stats import site_sum
+        psi = psi - site_sum(psi) / float(np.prod(size))
 
         # 5. Cahn-Hilliard with the coupled chemical potential
         mu = fe.mu_phi_coupled(fields, rhok, e2)

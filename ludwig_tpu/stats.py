@@ -70,6 +70,17 @@ def seq_sum(x: jnp.ndarray, fluid_mask: Optional[jnp.ndarray] = None):
     return total
 
 
+def site_sum(x: jnp.ndarray, fluid_mask: Optional[jnp.ndarray] = None):
+    """Global sum for in-step physics: bitwise site-order scan in f64
+    (the golden-log contract), tree reduction in f32 production (the
+    scan is a serial chain - ~200 ms for a 64^3 field on TPU)."""
+    if x.dtype == jnp.float64:
+        return seq_sum(x, fluid_mask)
+    if fluid_mask is not None:
+        x = jnp.where(fluid_mask, x, 0.0)
+    return jnp.sum(x)
+
+
 def field_stats_ref(x: jnp.ndarray,
                     fluid_mask: Optional[jnp.ndarray] = None,
                     klein="klein"):

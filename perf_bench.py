@@ -121,12 +121,27 @@ def bench_electro():
     _, iters = jax.jit(lambda p, r: poisson_sor_ref(
         p, r, ek, psi_up, psi_dn, return_iters=True))(
         holder["s"][1], rho_elec(holder["s"][2], ek))
+
+    # FFT Poisson production alternative (exact, one pass)
+    import dataclasses
+    cfg_fft = dataclasses.replace(cfg, ek=dataclasses.replace(
+        ek, solver="fft"))
+    step_fft = make_electro_step(cfg_fft, solid=solid)
+    holder["s"] = tuple(jnp.array(x) for x in holder["s"])
+    holder2 = {"s": tuple(jnp.array(x) for x in holder["s"])}
+
+    def once_fft():
+        holder2["s"], _ = step_fft(holder2["s"], 1)
+        return holder2["s"][1]
+
+    dt_fft = measure(once_fft)
     nsites = float(np.prod(size))
     return {
         "metric": "Gouy-Chapman 64^3 full step (SOR Poisson + "
                   "Nernst-Planck + LB)",
         "value": round(dt * 1e3, 2), "unit": "ms/step",
         "sor_iters_per_step": int(iters),
+        "fft_ms_per_step": round(dt_fft * 1e3, 2),
         "mlups": round(nsites / dt / 1e6, 1),
     }
 
