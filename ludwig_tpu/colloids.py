@@ -1131,7 +1131,7 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
     exact_sums = cfg.dtype == "float64"
     if fast:
         from ludwig_tpu.colloids_fast import (bbl_step_exact,
-                                              bbl_step_fast,
+                                              bbl_step_mxu,
                                               build_map_fast,
                                               remove_replace_fast,
                                               remove_replace_seeds_fast,
@@ -1251,7 +1251,7 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
                 rr_seeds=rr_seeds, M=Msw,
                 pid_inside=(pid, inside))
         elif fast:
-            f, V, W, Msw, gwbb = bbl_step_fast(
+            f, V, W, Msw, gwbb = bbl_step_mxu(
                 f, Rmap, V, W, model, params, size,
                 ext_force=ext, ext_torque=ext_t, rho0=cfg.rho0,
                 deltam=deltam, f0_corr=f0c, t0_corr=t0c, M=Msw,

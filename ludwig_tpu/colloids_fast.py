@@ -309,10 +309,6 @@ def remove_replace_fast(f, R, V, W, inside_old, pid_old, inside_new,
     g_n = unrolled_matvec(model.cv.T.astype(np.float64),
                           [newf[q] for q in range(model.nvel)])
 
-    def seg(values, ids):
-        return jax.ops.segment_sum(values.reshape(-1), ids,
-                                   num_segments=N + 1)[:N]
-
     ids_cov = jnp.where(covered, pid_new, N).reshape(-1)
     ids_unc = jnp.where(uncovered, pid_old, N).reshape(-1)
     cov = covered.astype(f.dtype)
@@ -326,20 +322,27 @@ def remove_replace_fast(f, R, V, W, inside_old, pid_old, inside_new,
     d_unc = _min_image(coords - jnp.moveaxis(R[own_old], -1, 0),
                        L[:, None, None, None])
 
-    deltam = (-seg(cov * (rho_f - rho0), ids_cov)
-              + seg(unc * (rho_n - rho0), ids_unc))
-    f0c = jnp.stack([seg(cov * g_f[a], ids_cov)
-                     - seg(unc * g_n[a], ids_unc)
-                     for a in range(3)], axis=1)
+    def cross(d, ga):
+        return [d[1] * ga[2] - d[2] * ga[1],
+                d[2] * ga[0] - d[0] * ga[2],
+                d[0] * ga[1] - d[1] * ga[0]]
 
-    def rbx(ga, d, w8, ids):
-        return [seg(w8 * (d[1] * ga[2] - d[2] * ga[1]), ids),
-                seg(w8 * (d[2] * ga[0] - d[0] * ga[2]), ids),
-                seg(w8 * (d[0] * ga[1] - d[1] * ga[0]), ids)]
+    # one (7, nsite) reduction per id set: [dm, g(3), torque(3)]; MXU
+    # matmul in f32 production, serialized scatters otherwise
+    def seg7(w8, rho_s, g_s, d, ids):
+        cols = jnp.stack([w8 * (rho_s - rho0)]
+                         + [w8 * g_s[a] for a in range(3)]
+                         + [w8 * t for t in cross(d, g_s)])
+        if f.dtype == jnp.float32:
+            return seg_cols_mxu(cols, ids, N + 1)[:, :N]
+        return jax.vmap(lambda v: jax.ops.segment_sum(
+            v.reshape(-1), ids, num_segments=N + 1)[:N])(cols)
 
-    tcov = rbx(g_f, d_cov, cov, ids_cov)
-    tunc = rbx(g_n, d_unc, unc, ids_unc)
-    t0c = jnp.stack([tcov[a] - tunc[a] for a in range(3)], axis=1)
+    rc = seg7(cov, rho_f, g_f, d_cov, ids_cov)
+    ru = seg7(unc, rho_n, g_n, d_unc, ids_unc)
+    deltam = -rc[0] + ru[0]
+    f0c = (rc[1:4] - ru[1:4]).T
+    t0c = (rc[4:7] - ru[4:7]).T
 
     f = jnp.where(uncovered[None], newf, f)
     return f, deltam, f0c, t0c
@@ -936,3 +939,204 @@ def bbl_step_exact(f: jnp.ndarray, R, V, W, model: LatticeModel,
         fout = fout.at[qr].set(jnp.where(mask_at_j, val_at_j, fout[qr]))
 
     return fout, Vn, Wn, Mn, jnp.zeros((3,), f.dtype)
+
+
+# ---------------------------------------------------------------------------
+# MXU-native link sums: segment reduction as one-hot matmul
+
+def seg_cols_mxu(cols: jnp.ndarray, ids: jnp.ndarray, nseg: int):
+    """Segment-sum of a (C, nsite) column stack via one-hot matmul.
+
+    TPU scatters serialize (~3 ms per segment_sum at 64^3/1000 bins on
+    v5); the MXU does the same reduction as (C, nsite) @ (nsite, nseg)
+    in ~1 ms for 30 columns.  The one-hot factor is exactly 0/1, so
+    with precision=HIGHEST every product is exact and the result
+    matches segment_sum to f32 accumulation order."""
+    oh = jax.nn.one_hot(ids.reshape(-1), nseg, dtype=cols.dtype)
+    return jax.lax.dot_general(cols.reshape(cols.shape[0], -1), oh,
+                               (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
+                 params: ColloidParams, size,
+                 ext_force=None, ext_torque=None, rho0: float = 1.0,
+                 deltam=None, f0_corr=None, t0_corr=None, M=None,
+                 pid_inside=None):
+    """bbl_step_fast restructured for the MXU (same contract/values to
+    f32 rounding; ref: bbl.c pass1/pass2, bbl_update_colloids:750-880).
+
+    Two structural changes vs the segment-sum version:
+    1. every link value is rolled to the link's INSIDE site j = s + c,
+       so all velocities share ONE segmentation (pid at inside sites)
+       and the whole pass-A/B reduction is a single one-hot matmul;
+    2. the owner geometry d = min_image(x_j - R[pid_j]) is gathered
+       once and reused for every velocity (rb at the fluid site equals
+       d_j - c/2), replacing nvel per-velocity gathers.
+    The zeta quadratic form is assembled from raw moments:
+      sum m (w6_a - B_a)(w6_b - B_b)
+        = S2_ab - B_a S1_b - B_b S1_a + B_a B_b S0
+    with B = (cbarn, rxcbarn) constant within a segment."""
+    N = params.n
+    rcs2 = 1.0 / CS2
+    nvel = model.nvel
+    dtype = f.dtype
+    if pid_inside is None:
+        pid, inside = build_map_fast(R, params, size)
+    else:
+        pid, inside = pid_inside
+    fluid = jnp.logical_not(inside)
+    coords = site_coords(size, dtype)
+    L = jnp.asarray(np.array(size, np.float64), dtype)
+
+    ids0 = jnp.where(inside, pid, N)
+    own = jnp.clip(pid, 0, N - 1)
+    d = _min_image(coords - jnp.moveaxis(R[own], -1, 0),
+                   L[:, None, None, None])
+
+    # per-q columns at the inside site j (value of the link whose
+    # fluid end is at j - c):  [S0, Sr(3), Sf, Sfr(3), Srr(6),
+    # Scc, Sccr(3)] -> 18 columns
+    cols = []
+    percol = []          # bookkeeping: (q, kind) per column block
+    rbxcs = []
+    masks = []
+    for q in range(1, nvel):
+        c = model.cv[q]
+        shift = tuple(int(v) for v in c)
+        mj = jnp.logical_and(inside, roll3(fluid, shift)).astype(dtype)
+        rbj = [d[a] - 0.5 * float(c[a]) for a in range(3)]
+        rbxc = [rbj[1] * float(c[2]) - rbj[2] * float(c[1]),
+                rbj[2] * float(c[0]) - rbj[0] * float(c[2]),
+                rbj[0] * float(c[1]) - rbj[1] * float(c[0])]
+        fqr = roll3(f[q], shift)
+        mcc = jnp.logical_and(
+            jnp.logical_and(inside, roll3(inside, shift)),
+            roll3(pid, shift) != pid).astype(dtype)
+        dmcc = fqr + f[int(model.reverse[q])]
+        qc = [mj]
+        qc += [mj * rbxc[a] for a in range(3)]
+        qc.append(mj * fqr)
+        qc += [mj * fqr * rbxc[a] for a in range(3)]
+        qc += [mj * rbxc[ia] * rbxc[ib]
+               for ia in range(3) for ib in range(ia, 3)]
+        qc.append(mcc * dmcc)
+        qc += [mcc * dmcc * rbxc[a] for a in range(3)]
+        cols.append(jnp.stack(qc))
+        rbxcs.append(rbxc)
+        masks.append(mj)
+    NC = cols[0].shape[0]                      # 18
+    red = seg_cols_mxu(jnp.concatenate(cols, axis=0), ids0, N + 1)
+    red = red[:, :N].reshape(nvel - 1, NC, N)  # (q, col, particle)
+
+    S0 = red[:, 0]                             # (q, N) link count
+    Sr = red[:, 1:4]                           # (q, 3, N)
+    Sf = red[:, 4]
+    Sfr = red[:, 5:8]
+    Srr = red[:, 8:14]                         # sym pairs 00,01,02,11,12,22
+    Scc = red[:, 14]
+    Sccr = red[:, 15:18]
+
+    cq = np.asarray(model.cv[1:], np.float64)  # (q, 3)
+    wq = np.asarray(model.wv[1:], np.float64)
+    cqj = jnp.asarray(cq, dtype)
+    wqj = jnp.asarray(wq, dtype)
+
+    # pass A totals
+    sumw = jnp.einsum("q,qn->n", wqj, S0)
+    sumw = jnp.maximum(sumw, 1e-30)
+    rsumw = 1.0 / sumw
+    cbar = jnp.einsum("q,qa,qn->an", wqj, cqj, S0)
+    rxcbar = jnp.einsum("q,qan->an", wqj, Sr)
+    cbarn = cbar * rsumw[None]                 # (3, N)
+    rxcbarn = rxcbar * rsumw[None]
+    dmn = (deltam * rsumw if deltam is not None
+           else jnp.zeros((N,), dtype))
+
+    # pass B: f0/t0 from raw moments (dm = 2 f[q] - w dmn[own])
+    sdm = 2.0 * Sf - wqj[:, None] * dmn[None] * S0          # (q, N)
+    f0 = jnp.einsum("qa,qn->na", cqj, sdm)
+    t0 = jnp.moveaxis(2.0 * Sfr
+                      - wqj[:, None, None] * dmn[None, None] * Sr,
+                      -1, 0).sum(axis=1)                     # (N, 3)
+    # solid-solid virtual links
+    f0 = f0 + jnp.einsum("qa,qn->na", cqj, Scc)
+    t0 = t0 + jnp.moveaxis(Sccr, -1, 0).sum(axis=1)
+
+    # zeta from raw moments; w6 = (c0, c1, c2, rbxc0, rbxc1, rbxc2),
+    # B = (cbarn, rxcbarn)
+    delta = (2.0 * rcs2 * rho0) * wqj                        # (q,)
+    _sympair = {(0, 0): 0, (0, 1): 1, (0, 2): 2,
+                (1, 1): 3, (1, 2): 4, (2, 2): 5}
+    zeta = jnp.zeros((N, 6, 6), dtype)
+    for ia in range(6):
+        for ib in range(ia, 6):
+            if ia < 3 and ib < 3:
+                s2 = (cqj[:, ia] * cqj[:, ib])[:, None] * S0
+                s1a = cqj[:, ia][:, None] * S0
+                s1b = cqj[:, ib][:, None] * S0
+            elif ia < 3:
+                s2 = cqj[:, ia][:, None] * Sr[:, ib - 3]
+                s1a = cqj[:, ia][:, None] * S0
+                s1b = Sr[:, ib - 3]
+            else:
+                s2 = Srr[:, _sympair[(ia - 3, ib - 3)]]
+                s1a = Sr[:, ia - 3]
+                s1b = Sr[:, ib - 3]
+            Ba = cbarn[ia] if ia < 3 else rxcbarn[ia - 3]     # (N,)
+            Bb = cbarn[ib] if ib < 3 else rxcbarn[ib - 3]
+            val = jnp.einsum("q,qn->n",
+                             delta, s2) \
+                - Ba * jnp.einsum("q,qn->n", delta, s1b) \
+                - Bb * jnp.einsum("q,qn->n", delta, s1a) \
+                + Ba * Bb * jnp.einsum("q,qn->n", delta, S0)
+            zeta = zeta.at[:, ia, ib].set(val)
+    zeta = zeta + jnp.transpose(jnp.triu(zeta, 1), (0, 2, 1))
+
+    mass = jnp.asarray([(4.0 / 3.0) * np.pi * params.rho0 * a ** 3
+                        for a in params.a0], dtype)
+    moment = jnp.asarray([(2.0 / 5.0) * (4.0 / 3.0) * np.pi
+                          * params.rho0 * a ** 5 for a in params.a0],
+                         dtype)
+    A = zeta + jax.vmap(jnp.diag)(
+        jnp.concatenate([jnp.tile(mass[:, None], (1, 3)),
+                         jnp.tile(moment[:, None], (1, 3))], axis=1))
+    fe = (jnp.zeros((N, 3), dtype) if ext_force is None else ext_force)
+    te = (jnp.zeros((N, 3), dtype) if ext_torque is None
+          else ext_torque)
+    if f0_corr is not None:
+        fe = fe + f0_corr
+    if t0_corr is not None:
+        te = te + t0_corr
+    b = jnp.concatenate(
+        [mass[:, None] * V + f0 + fe,
+         moment[:, None] * W + t0 + te], axis=1)
+    x = jax.vmap(solve6)(A, b)
+    Vn, Wn = x[:, :3], x[:, 3:]
+    Mn = (jax.vmap(rotate_vector)(M, Wn) if M is not None else None)
+
+    # pass 2, elementwise at the inside site with shared gathers
+    dms = 2.0 * rcs2 * rho0 * (
+        jnp.sum(Vn * cbarn.T, axis=1) + jnp.sum(Wn * rxcbarn.T, axis=1))
+    Vj = jnp.moveaxis(Vn[own], -1, 0)          # (3, size)
+    Wj = jnp.moveaxis(Wn[own], -1, 0)
+    dmn_j = dmn[own]
+    dms_j = dms[own]
+    fout = f
+    for iq, q in enumerate(range(1, nvel)):
+        c = model.cv[q]
+        shift = tuple(int(v) for v in c)
+        mj = masks[iq] > 0.0
+        rbxc = rbxcs[iq]
+        rbj = [d[a] - 0.5 * float(c[a]) for a in range(3)]
+        wxrb = [Wj[1] * rbj[2] - Wj[2] * rbj[1],
+                Wj[2] * rbj[0] - Wj[0] * rbj[2],
+                Wj[0] * rbj[1] - Wj[1] * rbj[0]]
+        vdotc = sum((Vj[a] + wxrb[a]) * float(c[a]) for a in range(3))
+        w = float(model.wv[q])
+        df = (rho0 * 2.0 * rcs2 * w * vdotc + w * dmn_j - w * dms_j)
+        qr = int(model.reverse[q])
+        val_at_j = roll3(f[q], shift) - df
+        fout = fout.at[qr].set(jnp.where(mj, val_at_j, fout[qr]))
+
+    return fout, Vn, Wn, Mn, jnp.zeros((3,), dtype)

@@ -100,3 +100,59 @@ def test_bbl_exact_matches_oracle_bitwise():
     np.testing.assert_array_equal(np.asarray(Vb), np.asarray(Va))
     np.testing.assert_array_equal(np.asarray(Wb), np.asarray(Wa))
     np.testing.assert_array_equal(np.asarray(fb), np.asarray(fa))
+
+
+def test_bbl_mxu_matches_fast():
+    # the MXU (one-hot matmul) restructuring of the segment-sum BBL:
+    # same values to rounding (shared-owner-gather + raw-moment zeta)
+    from ludwig_tpu.colloids_fast import bbl_step_mxu
+    cfg, params, f, R, V, W = _setup()
+    model = cfg.model
+    pid, inside = build_map(R, params, cfg.size)
+    ub = solid_body_u(R, V, W, pid, inside, cfg.size, f.dtype)
+    f = refresh_inside(f, model, inside, ub)
+    rng = np.random.RandomState(11)
+    ext = jnp.asarray(rng.uniform(-1e-3, 1e-3, (params.n, 3)))
+    dm = jnp.asarray(rng.uniform(-1e-4, 1e-4, params.n))
+    f0c = jnp.asarray(rng.uniform(-1e-4, 1e-4, (params.n, 3)))
+    t0c = jnp.asarray(rng.uniform(-1e-4, 1e-4, (params.n, 3)))
+    a = bbl_step_fast(f, R, V, W, model, params, cfg.size,
+                      ext_force=ext, deltam=dm, f0_corr=f0c,
+                      t0_corr=t0c)
+    b = bbl_step_mxu(f, R, V, W, model, params, cfg.size,
+                     ext_force=ext, deltam=dm, f0_corr=f0c,
+                     t0_corr=t0c)
+    for x, y in zip(a[:3], b[:3]):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-11, atol=1e-14)
+
+
+def test_rr_fast_consolidated_matches_seeds():
+    """remove_replace_fast's consolidated (deltam, f0, t0) equal the
+    per-image seeds summed over images, in both dtypes (the f32 route
+    runs the MXU one-hot matmul reduction)."""
+    from ludwig_tpu.colloids_fast import (remove_replace_fast,
+                                          remove_replace_seeds_fast)
+    cfg, params, f, R, V, W = _setup(n=3)
+    R2 = R + jnp.asarray([[0.4, -0.3, 0.2]] * params.n)
+    pid_o, in_o = build_map(R, params, cfg.size)
+    pid_n, in_n = build_map(R2, params, cfg.size)
+    fs, seeds = remove_replace_seeds_fast(f, R2, in_o, pid_o, in_n,
+                                          pid_n, cfg.model, params,
+                                          cfg.size)
+    want = np.asarray(seeds).sum(axis=1)            # (N, 7)
+    for dt in ("float64", "float32"):
+        fc = f.astype(dt)
+        f2, dm, f0c, t0c = remove_replace_fast(
+            fc, R2.astype(dt), V.astype(dt), W.astype(dt), in_o, pid_o,
+            in_n, pid_n, cfg.model, params, cfg.size)
+        tol = 1e-12 if dt == "float64" else 2e-5
+        np.testing.assert_allclose(np.asarray(dm), want[:, 0],
+                                   rtol=tol, atol=tol)
+        np.testing.assert_allclose(np.asarray(f0c), want[:, 1:4],
+                                   rtol=tol, atol=tol)
+        np.testing.assert_allclose(np.asarray(t0c), want[:, 4:7],
+                                   rtol=tol, atol=tol)
+        np.testing.assert_allclose(np.asarray(f2),
+                                   np.asarray(fs).astype(dt),
+                                   rtol=tol, atol=tol)
