@@ -289,3 +289,168 @@ def make_binary_le_nstep(cfg: BinaryLEConfig):
         return state
 
     return nstep
+
+
+def make_binary_le_column_fix(cfg: BinaryLEConfig):
+    """Column corrections turning the PLAIN-periodic fused binary
+    outputs into the Lees-Edwards-aware ones.
+
+    The fused kernels (ops/fused_binary.py) treat x as plain periodic;
+    under LE shear only plane-adjacent columns differ.  Because the CH
+    flux carries -M grad(mu) and mu is LE-aware at {c, c+1}, both
+    phi' and force differ at {c-1, c, c+1, c+2} per plane (order 1-2
+    advection, 7-pt gradients).  This recomputes exactly those columns
+    with the make_binary_le_step formulas (ref: phi_ch_flux_mu1 +
+    phi_ch_le_fix_fluxes averaging, phi_force_flux + fix_local,
+    gradient_3d_7pt_fluid _le) as O(nplanes * Y * Z) slab work.
+
+    Returns fix(phi, u, t) -> (pcols, fcols): dicts of corrected
+    columns {col: (Y, Z)} / {col: (3, Y, Z)}.  phi/u are step INPUTS.
+    """
+    bcfg = cfg.binary
+    le = cfg.le
+    fe = bcfg.fe
+    M = bcfg.mobility
+    order = bcfg.advection_order
+    nx = le.nx
+    if order not in (1, 2) or bcfg.gradient != "3d_7pt_fluid":
+        raise ValueError("fused LE fix needs order 1-2 advection and "
+                         "3d_7pt_fluid gradients")
+    if nx < 6 * le.nplanes:
+        raise ValueError("fused LE fix needs plane separation >= 6")
+
+    def mu_of(phi0, delsq0):
+        return fe.mu({"phi": phi0, "delsq_phi": delsq0})
+
+    def pth_of(phi0, grad0, delsq0):
+        return fe.stress({"phi": phi0, "grad_phi": grad0,
+                          "delsq_phi": delsq0})
+
+    def col_grad7(pm1, p0, pp1):
+        yp, ym = jnp.roll(p0, -1, -2), jnp.roll(p0, 1, -2)
+        zp, zm = jnp.roll(p0, -1, -1), jnp.roll(p0, 1, -1)
+        grad = jnp.stack([0.5 * (pp1 - pm1), 0.5 * (yp - ym),
+                          0.5 * (zp - zm)])
+        d2 = pp1 + pm1 + yp + ym + zp + zm - 6.0 * p0
+        return grad, d2
+
+    def fix(phi, u, t):
+        ctx = LEContext(le, t, phi.dtype)
+        area = float(np.prod(phi.shape[1:]))
+        pcols, fcols = {}, {}
+
+        def cp(j):
+            return phi[j % nx]
+
+        def cu0(j):
+            return u[0, j % nx]
+
+        for c in ctx.cols:
+            cup = (c + 1) % nx
+            pb1, grad_b1, dsq_b1 = le_buffer_fields(phi, ctx, c, True,
+                                                    bcfg.gradient)
+            pd0, grad_d0, dsq_d0 = le_buffer_fields(phi, ctx, c, False,
+                                                    bcfg.gradient)
+            mu_b1 = mu_of(pb1, dsq_b1)
+            pth_b1 = pth_of(pb1, grad_b1, dsq_b1)
+            mu_d0 = mu_of(pd0, dsq_d0)
+            pth_d0 = pth_of(pd0, grad_d0, dsq_d0)
+            u_b1 = ctx.col_u(u, c + 1, True, c)
+            u_d0 = ctx.col_u(u, c, False, c)
+
+            # mu / pth at the LE columns and the plain flanks
+            g_c, d_c = col_grad7(cp(c - 1), cp(c), pb1)
+            g_u, d_u = col_grad7(pd0, cp(cup), cp(c + 2))
+            mu_le = {c: mu_of(cp(c), d_c), c + 1: mu_of(cp(cup), d_u)}
+            pth_le = {c: pth_of(cp(c), g_c, d_c),
+                      c + 1: pth_of(cp(cup), g_u, d_u)}
+            mu_p, pth_p = {}, {}
+            for x in (c - 2, c - 1, c + 2, c + 3):
+                g_x, d_x = col_grad7(cp(x - 1), cp(x), cp(x + 1))
+                mu_p[x] = mu_of(cp(x), d_x)
+                pth_p[x] = pth_of(cp(x), g_x, d_x)
+
+            def mu_at(x):
+                return mu_le[x] if x in mu_le else mu_p[x]
+
+            # ---- CH x-faces c-2 .. c+2 -------------------------------
+            def plain_face(x):
+                uf = 0.5 * (cu0(x) + cu0(x + 1))
+                return (_upwind_face({0: cp(x), 1: cp(x + 1)}, uf, order)
+                        - M * (mu_at(x + 1) - mu_at(x)))
+
+            fe_cm2 = plain_face(c - 2)
+            fe_cm1 = plain_face(c - 1)
+            # plane face, lower frame
+            uu = 0.5 * (cu0(c) + u_b1[0])
+            fe_c = (_upwind_face({0: cp(c), 1: pb1}, uu, order)
+                    - M * (mu_b1 - mu_le[c]))
+            # plane face, upper frame
+            uu = 0.5 * (u_d0[0] + cu0(c + 1))
+            fw = (_upwind_face({0: pd0, 1: cp(cup)}, uu, order)
+                  - M * (mu_le[c + 1] - mu_d0))
+            fe_fix = 0.5 * (fe_c + sample_linear(fw, ctx.dy_field))
+            fw_fix = 0.5 * (fw + sample_linear(fe_c, -ctx.dy_field))
+            fe_cp1 = plain_face(c + 1)
+            fe_cp2 = plain_face(c + 2)
+
+            # y/z fluxes at the four fix columns
+            def yzdiv(x):
+                pc, mc = cp(x), mu_at(x)
+                uy = 0.5 * (u[1, x % nx] + jnp.roll(u[1, x % nx], -1, -2))
+                uz = 0.5 * (u[2, x % nx] + jnp.roll(u[2, x % nx], -1, -1))
+                fy = (_upwind_face({0: pc, 1: jnp.roll(pc, -1, -2)},
+                                   uy, order)
+                      - M * (jnp.roll(mc, -1, -2) - mc))
+                fz = (_upwind_face({0: pc, 1: jnp.roll(pc, -1, -1)},
+                                   uz, order)
+                      - M * (jnp.roll(mc, -1, -1) - mc))
+                return (fy - jnp.roll(fy, 1, -2)
+                        + fz - jnp.roll(fz, 1, -1))
+
+            pcols[(c - 1) % nx] = cp(c - 1) - (fe_cm1 - fe_cm2
+                                               + yzdiv(c - 1))
+            pcols[c % nx] = cp(c) - (fe_fix - fe_cm1 + yzdiv(c))
+            pcols[cup] = cp(cup) - (fe_cp1 - fw_fix + yzdiv(c + 1))
+            pcols[(c + 2) % nx] = cp(c + 2) - (fe_cp2 - fe_cp1
+                                               + yzdiv(c + 2))
+
+            # ---- force at {c-1, c, c+1, c+2} (ref: phi_force_flux) ---
+            def pth_at(x):
+                return pth_le[x] if x in pth_le else pth_p[x]
+
+            rows = {x: [] for x in (c - 1, c, c + 1, c + 2)}
+            for a in range(3):
+
+                def yz(p):
+                    fya = 0.5 * (p[a, 1] + jnp.roll(p[a, 1], -1, 0))
+                    fza = 0.5 * (p[a, 2] + jnp.roll(p[a, 2], -1, 1))
+                    return (fya - jnp.roll(fya, 1, 0)
+                            + fza - jnp.roll(fza, 1, 1))
+
+                fe_ca = 0.5 * (pth_le[c][a, 0] + pth_b1[a, 0])
+                fw_ca = 0.5 * (pth_d0[a, 0] + pth_le[c + 1][a, 0])
+                corr = jnp.sum(-fe_ca + fw_ca) * (0.5 / area)
+                fea = {
+                    c - 2: 0.5 * (pth_p[c - 2][a, 0]
+                                  + pth_p[c - 1][a, 0]),
+                    c - 1: 0.5 * (pth_p[c - 1][a, 0] + pth_le[c][a, 0]),
+                    c: fe_ca + corr,
+                    c + 1: 0.5 * (pth_le[c + 1][a, 0]
+                                  + pth_p[c + 2][a, 0]),
+                    c + 2: 0.5 * (pth_p[c + 2][a, 0]
+                                  + pth_p[c + 3][a, 0]),
+                }
+                fw_fa = fw_ca - corr
+                rows[c - 1].append(-(fea[c - 1] - fea[c - 2]
+                                     + yz(pth_p[c - 1])))
+                rows[c].append(-(fea[c] - fea[c - 1] + yz(pth_le[c])))
+                rows[c + 1].append(-(fea[c + 1] - fw_fa
+                                     + yz(pth_le[c + 1])))
+                rows[c + 2].append(-(fea[c + 2] - fea[c + 1]
+                                     + yz(pth_p[c + 2])))
+            for x, rr in rows.items():
+                fcols[x % nx] = jnp.stack(rr)
+        return pcols, fcols
+
+    return fix

@@ -89,6 +89,36 @@ def _lc_force(cfg: LCConfig, fields, h, dtype):
     return stress_divergence_force(pth).astype(dtype), None
 
 
+def _s5_corotation(q33, w, xi):
+    """Corotation source S(W,Q) in 5-component form, from the velocity
+    gradient tensor w[a][b] (ref: blue_phase_beris_edwards.c S(W,Q)
+    construction).  Shape-polymorphic: used on full lattices
+    (make_lc_le_step) and on plane-column slabs (the fused LE fix)."""
+    tr = (w[0][0] + w[1][1] + w[2][2]) / 3.0
+    w = [[w[a][b] - (tr if a == b else 0.0) for b in range(3)]
+         for a in range(3)]
+    trace_qw = sum(q33[a][b] * w[b][a]
+                   for a in range(3) for b in range(3))
+    d = [[0.5 * (w[a][b] + w[b][a]) for b in range(3)]
+         for a in range(3)]
+    om = [[0.5 * (w[a][b] - w[b][a]) for b in range(3)]
+          for a in range(3)]
+    r3 = 1.0 / 3.0
+    s33 = [[None] * 3 for _ in range(3)]
+    for a in range(3):
+        for b in range(3):
+            val = -2.0 * xi * (q33[a][b]
+                               + (r3 if a == b else 0.0)) * trace_qw
+            for cc in range(3):
+                val = val + (xi * d[a][cc] + om[a][cc]) * (
+                    q33[cc][b] + (r3 if cc == b else 0.0))
+                val = val + (q33[a][cc]
+                             + (r3 if a == cc else 0.0)) * (
+                    xi * d[cc][b] - om[cc][b])
+            s33[a][b] = val
+    return [s33[0][0], s33[0][1], s33[0][2], s33[1][1], s33[1][2]]
+
+
 def make_lc_step(cfg: LCConfig, solid=None):
     """Jitted step: (f, q5, u[, gwall]) -> ((f, q5, u[, gwall]), rho).
 
@@ -238,30 +268,8 @@ def make_lc_le_step(cfg: LCConfig, le, keep_grads: bool = False):
                     0.5 * (ub1[a] - u[a][(c - 1) % nx]))
                 w[a][0] = w[a][0].at[cu].set(
                     0.5 * (u[a][(c + 2) % nx] - ud0[a]))
-        tr = (w[0][0] + w[1][1] + w[2][2]) / 3.0
-        for a in range(3):
-            w[a][a] = w[a][a] - tr
         q33 = q5_to_q33(q5)
-        trace_qw = sum(q33[a][b] * w[b][a]
-                       for a in range(3) for b in range(3))
-        d = [[0.5 * (w[a][b] + w[b][a]) for b in range(3)]
-             for a in range(3)]
-        om = [[0.5 * (w[a][b] - w[b][a]) for b in range(3)]
-              for a in range(3)]
-        r3 = 1.0 / 3.0
-        s33 = [[None] * 3 for _ in range(3)]
-        for a in range(3):
-            for b in range(3):
-                val = -2.0 * xi * (q33[a][b]
-                                   + (r3 if a == b else 0.0)) * trace_qw
-                for cc in range(3):
-                    val = val + (xi * d[a][cc] + om[a][cc]) * (
-                        q33[cc][b] + (r3 if cc == b else 0.0))
-                    val = val + (q33[a][cc]
-                                 + (r3 if a == cc else 0.0)) * (
-                        xi * d[cc][b] - om[cc][b])
-                s33[a][b] = val
-        s5 = [s33[0][0], s33[0][1], s33[0][2], s33[1][1], s33[1][2]]
+        s5 = _s5_corotation(q33, w, xi)
         rhs = jnp.stack([gamma * h[0][0] + s5[0], gamma * h[0][1] + s5[1],
                          gamma * h[0][2] + s5[2], gamma * h[1][1] + s5[3],
                          gamma * h[1][2] + s5[4]]) - div
@@ -277,6 +285,168 @@ def make_lc_le_step(cfg: LCConfig, le, keep_grads: bool = False):
         return out, rho
 
     return step
+
+
+def make_lc_le_column_fix(cfg: LCConfig, le):
+    """Column corrections turning the PLAIN-periodic fused LC outputs
+    into the Lees-Edwards-aware ones.
+
+    The fused Pallas kernels (ops/fused_lc.py) treat x as plain
+    periodic; under LE shear only plane-adjacent columns differ: q5'
+    at {c, c+1} and force at {c-1 .. c+2} per plane (order-1 advection,
+    7-pt gradients).  This recomputes exactly those columns with the
+    make_lc_le_step formulas (ref: gradient_3d_7pt_fluid _le
+    correction, advection.c LE kernels, phi_force_flux + fix,
+    beris_edwards LE velocity gradients) as O(nplanes * Y * Z) slab
+    work around the unmodified O(volume) kernels.
+
+    Returns fix(q5, u, t) -> (qcols, fcols): dicts of corrected
+    columns {col: (5, Y, Z)} / {col: (3, Y, Z)} to overwrite in the
+    fused K1 outputs.  q5/u are the step INPUTS.
+    """
+    from ludwig_tpu.fe.blue_phase import q5_to_q33
+    from ludwig_tpu.ops.le_ref import LEContext, le_buffer_fields
+
+    if cfg.advection_order != 1 or cfg.gradient != "3d_7pt_fluid":
+        raise ValueError("fused LE fix needs order-1 advection and "
+                         "3d_7pt_fluid gradients")
+    if le.nx < 6 * le.nplanes:
+        # the per-plane column slabs (c-3 .. c+4) must not overlap the
+        # next plane's fix set
+        raise ValueError("fused LE fix needs plane separation >= 6")
+    fe = cfg.fe
+    gamma = cfg.gamma
+    xi = fe.xi
+    nx = le.nx
+
+    def h_pth_of(q5c, gradc, dsqc):
+        flds = {"q": q5c, "grad_q": gradc, "delsq_q": dsqc}
+        h = fe.molecular_field(flds)
+        pth = fe.stress(flds, h=h)
+        sa = fe.active_stress(flds)
+        if sa is not None:
+            pth = pth + sa
+        return h, pth
+
+    def col_grad7(pm1, p0, pp1):
+        yp, ym = jnp.roll(p0, -1, -2), jnp.roll(p0, 1, -2)
+        zp, zm = jnp.roll(p0, -1, -1), jnp.roll(p0, 1, -1)
+        grad = jnp.stack([0.5 * (pp1 - pm1), 0.5 * (yp - ym),
+                          0.5 * (zp - zm)])
+        d2 = pp1 + pm1 + yp + ym + zp + zm - 6.0 * p0
+        return grad, d2
+
+    def upw(ph0, ph1, uf):
+        return uf * jnp.where(uf > 0.0, ph0, ph1)
+
+    def fix(q5, u, t):
+        ctx = LEContext(le, t, q5.dtype)
+        area = float(np.prod(q5.shape[2:]))
+        qcols, fcols = {}, {}
+
+        def cq(j):
+            return q5[:, j % nx]
+
+        for c in ctx.cols:
+            cup = (c + 1) % nx
+            pb1 = ctx.col_field(q5, c + 1, True, c)
+            pd0 = ctx.col_field(q5, c, False, c)
+            # LE-aware gradients at the plane-adjacent columns
+            g_c, d_c = col_grad7(cq(c - 1), cq(c), pb1)
+            g_u, d_u = col_grad7(pd0, cq(cup), cq(c + 2))
+            h_c, pth_c = h_pth_of(cq(c), g_c, d_c)
+            h_u, pth_u = h_pth_of(cq(cup), g_u, d_u)
+            # buffer-column stresses (two-sided plane flux)
+            qb1, gb1, db1 = le_buffer_fields(q5, ctx, c, True,
+                                             cfg.gradient)
+            _, pth_b1 = h_pth_of(qb1, gb1, db1)
+            qd0, gd0, dd0 = le_buffer_fields(q5, ctx, c, False,
+                                             cfg.gradient)
+            _, pth_d0 = h_pth_of(qd0, gd0, dd0)
+            # plain stresses at the flanking columns
+            pth_p = {}
+            for x in (c - 2, c - 1, c + 2, c + 3):
+                g_x, d_x = col_grad7(cq(x - 1), cq(x), cq(x + 1))
+                _, pth_p[x] = h_pth_of(cq(x), g_x, d_x)
+
+            # ---- force at {c-1, c, c+1, c+2} (ref: le_stress_force) --
+            newf = {x: [] for x in (c - 1, c, c + 1, c + 2)}
+            for a in range(3):
+
+                def yz(p):
+                    fya = 0.5 * (p[a, 1] + jnp.roll(p[a, 1], -1, 0))
+                    fza = 0.5 * (p[a, 2] + jnp.roll(p[a, 2], -1, 1))
+                    return (fya - jnp.roll(fya, 1, 0)
+                            + fza - jnp.roll(fza, 1, 1))
+
+                fe_c = 0.5 * (pth_c[a, 0] + pth_b1[a, 0])
+                fw_c = 0.5 * (pth_d0[a, 0] + pth_u[a, 0])
+                corr = jnp.sum(-fe_c + fw_c) * (0.5 / area)
+                fea = {
+                    c - 2: 0.5 * (pth_p[c - 2][a, 0]
+                                  + pth_p[c - 1][a, 0]),
+                    c - 1: 0.5 * (pth_p[c - 1][a, 0] + pth_c[a, 0]),
+                    c: fe_c + corr,
+                    c + 1: 0.5 * (pth_u[a, 0] + pth_p[c + 2][a, 0]),
+                    c + 2: 0.5 * (pth_p[c + 2][a, 0]
+                                  + pth_p[c + 3][a, 0]),
+                }
+                fw_fix = fw_c - corr
+                newf[c - 1].append(-(fea[c - 1] - fea[c - 2]
+                                     + yz(pth_p[c - 1])))
+                newf[c].append(-(fea[c] - fea[c - 1] + yz(pth_c)))
+                newf[c + 1].append(-(fea[c + 1] - fw_fix + yz(pth_u)))
+                newf[c + 2].append(-(fea[c + 2] - fea[c + 1]
+                                     + yz(pth_p[c + 2])))
+            for x, rows in newf.items():
+                fcols[x % nx] = jnp.stack(rows)
+
+            # ---- Beris-Edwards update at {c, c+1} --------------------
+            ub1 = ctx.col_u(u, c + 1, True, c)
+            ud0 = ctx.col_u(u, c, False, c)
+
+            def col_w(um1x, u0, up1x):
+                # w[a][b] = du_a/dx_b at the column; x-derivative from
+                # the given (possibly LE-sampled) neighbour columns
+                return [[0.5 * (up1x[a] - um1x[a]),
+                         0.5 * (jnp.roll(u0[a], -1, -2)
+                                - jnp.roll(u0[a], 1, -2)),
+                         0.5 * (jnp.roll(u0[a], -1, -1)
+                                - jnp.roll(u0[a], 1, -1))]
+                        for a in range(3)]
+
+            w_c = col_w(u[:, (c - 1) % nx], u[:, c % nx], ub1)
+            w_u = col_w(ud0, u[:, cup], u[:, (c + 2) % nx])
+
+            for col, qc, h, w in ((c, cq(c), h_c, w_c),
+                                  (cup, cq(cup), h_u, w_u)):
+                q33 = q5_to_q33(qc)
+                s5 = _s5_corotation(q33, w, xi)
+
+                # order-1 advective flux divergence with LE faces
+                u0c = u[0, col]
+                if col == c:
+                    fe_hi = upw(qc, pb1, 0.5 * (u0c + ub1[0]))
+                    fe_lo = upw(cq(c - 1), qc,
+                                0.5 * (u[0, (c - 1) % nx] + u0c))
+                else:
+                    fe_hi = upw(qc, cq(c + 2),
+                                0.5 * (u0c + u[0, (c + 2) % nx]))
+                    fe_lo = upw(pd0, qc, 0.5 * (ud0[0] + u0c))
+                ufy = 0.5 * (u[1, col] + jnp.roll(u[1, col], -1, -2))
+                fy = upw(qc, jnp.roll(qc, -1, -2), ufy)
+                ufz = 0.5 * (u[2, col] + jnp.roll(u[2, col], -1, -1))
+                fz = upw(qc, jnp.roll(qc, -1, -1), ufz)
+                div = (fe_hi - fe_lo + fy - jnp.roll(fy, 1, -2)
+                       + fz - jnp.roll(fz, 1, -1))
+
+                h5 = [h[0][0], h[0][1], h[0][2], h[1][1], h[1][2]]
+                rhs = jnp.stack([gamma * h5[n] + s5[n]
+                                 for n in range(5)]) - div
+                qcols[col] = qc + rhs
+        return qcols, fcols
+
+    return fix
 
 
 def make_lc_nstep(cfg: LCConfig, solid=None):

@@ -943,6 +943,34 @@ def build_system(rt: RunTime) -> System:
                 f = initial_rest(lb_cfg)
             jd = lb_cfg.jdtype
             phi = jnp.asarray(phi0, jd)
+            fused_req = rt.string("tpu_fused", "off")
+            if (fused_req != "off" and solid is None and not any(walls)
+                    and nz is None
+                    and bcfg.force_method == "stress_divergence"
+                    and not any(bcfg.gradmu_ex) and visc_model is None
+                    and bcfg.wetting == (0.0, 0.0)
+                    and bcfg.gradient == "3d_7pt_fluid"
+                    and bcfg.advection_order in (1, 2)
+                    and bcfg.hydrodynamics
+                    and size[0] >= 6 * nplanes):
+                # sheared production fast path: fused binary kernels +
+                # LE column fixes (ref: model_le.c:57 +
+                # phi_ch_le_fix_fluxes)
+                plan = _fused_plan(size)
+                interp = fused_req == "interpret"
+                if plan is not None and (interp or (size[2] % 128 == 0
+                                         and lb_cfg.dtype == "float32")):
+                    from ludwig_tpu.ops.fused import pad_state
+                    from ludwig_tpu.ops.fused_binary import (
+                        BinaryPlan, make_fused_binary_le_step, pad_phi)
+                    step = make_fused_binary_le_step(
+                        lecfg, BinaryPlan(min(8, plan.BX), plan.BY),
+                        lb_plan=plan, interpret=interp)
+                    state = (pad_state(f), pad_phi(phi),
+                             jnp.zeros((3,) + size, jd))
+                    return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg,
+                                  solid=None, state=state, step_fn=step,
+                                  le_cfg=le, fused_mode="binary")
             grad, delsq = le_gradient(phi, le, 0, bcfg.gradient)
             state = (f, phi, jnp.zeros((3,) + size, jd), grad, delsq)
             step = make_binary_le_step(lecfg, keep_grads=True)
@@ -1167,6 +1195,36 @@ def build_system(rt: RunTime) -> System:
             else:
                 f = initial_rest(lb_cfg)
             jd = lb_cfg.jdtype
+            fused_req = rt.string("tpu_fused", "off")
+            if (fused_req != "off" and solid is None
+                    and wallspec is None
+                    and lcfg.advection_order == 1
+                    and lcfg.gradient == "3d_7pt_fluid"
+                    and not lcfg.redshift_update
+                    and lcfg.noise_kt == 0.0 and lcfg.hydrodynamics
+                    and not any(fe.e0)
+                    and size[0] >= 6 * nplanes_lc):
+                # sheared production fast path: the two-kernel Pallas
+                # LC step + LE column fixes (the reference's headline
+                # sheared blue-phase config, ref: model_le.c:57)
+                plan = _fused_plan(size)
+                interp = fused_req == "interpret"
+                if plan is not None and (interp or (size[2] % 128 == 0
+                                         and lb_cfg.dtype == "float32")):
+                    from ludwig_tpu.ops.fused import pad_state
+                    from ludwig_tpu.ops.fused_lc import (
+                        LCPlan, make_fused_lc_le_step, pad_q)
+                    lcfg = dataclasses.replace(lcfg, keep_grads=False)
+                    step = make_fused_lc_le_step(
+                        lcfg, le, LCPlan(min(8, plan.BX), plan.BY),
+                        lb_plan=plan, interpret=interp)
+                    state = (pad_state(f), pad_q(jnp.asarray(q5, jd)),
+                             jnp.zeros((3,) + size, jd))
+                    return System(rt=rt, lb_cfg=lb_cfg,
+                                  binary_cfg=None, solid=None,
+                                  state=state, step_fn=step,
+                                  lc_cfg=lcfg, le_cfg=le,
+                                  fused_mode="lc")
             q5j = jnp.asarray(q5, jd)
             grad, delsq = le_gradient(q5j, le, 0, lcfg.gradient)
             state = (f, q5j, jnp.zeros((3,) + size, jd), grad, delsq)
@@ -1193,6 +1251,7 @@ def build_system(rt: RunTime) -> System:
         fused_req = rt.string("tpu_fused", "off")
         if (fused_req != "off" and solid is None and wallspec is None
                 and lcfg.advection_order == 1
+                and lcfg.gradient == "3d_7pt_fluid"
                 and not lcfg.redshift_update and lcfg.noise_kt == 0.0
                 and lcfg.hydrodynamics and not any(fe.e0)):
             # production fast path: the two-kernel Pallas LC step
@@ -1658,7 +1717,7 @@ def _make_fast_stats_fn(sys_: System):
                 jnp.min(x), jnp.max(x))
 
     @_partial(jax.jit, static_argnums=3)
-    def compute(state, u, prev, coswt=1.0):
+    def compute(state, u, prev, coswt=1.0, tstep=0):
         f = state[0]
         rho, g = hydro_fields(f, model)
         res = {"rho": _fstats(rho),
@@ -1672,7 +1731,17 @@ def _make_fast_stats_fn(sys_: System):
             # stale-gradient convention (pre-update phi via `prev`)
             phi = state[1]
             res["phi"] = _fstats(phi)
-            fields = fe_fields(prev[0] if prev else phi, bcfg.gradient)
+            srcp = prev[0] if prev else phi
+            if sys_.le_cfg is not None:
+                # sheared fused run: LE-aware gradients of pre-update
+                # phi, matching the jnp LE path's stats convention
+                from ludwig_tpu.ops.le_ref import le_gradient
+                gp_, dp_ = le_gradient(srcp, sys_.le_cfg, tstep,
+                                       bcfg.gradient)
+                fields = {"phi": srcp, "grad_phi": gp_,
+                          "delsq_phi": dp_}
+            else:
+                fields = fe_fields(srcp, bcfg.gradient)
             fields["phi"] = phi
             fed = bcfg.fe.fed(fields)
             m = jnp.mean(fed)
@@ -1693,7 +1762,15 @@ def _make_fast_stats_fn(sys_: System):
             q5 = state[1]
             res["q5"] = [_fstats(q5[n]) for n in range(5)]
             src = prev[0] if len(prev) == 1 else q5
-            fields = lc_fields(src, lcfg.gradient)
+            if sys_.le_cfg is not None:
+                # sheared fused run: the reference computes stats with
+                # LE-aware gradients of the pre-update q (ludwig.c loop)
+                from ludwig_tpu.ops.le_ref import le_gradient
+                grad_, delsq_ = le_gradient(src, sys_.le_cfg, tstep,
+                                            lcfg.gradient)
+                fields = {"q": src, "grad_q": grad_, "delsq_q": delsq_}
+            else:
+                fields = lc_fields(src, lcfg.gradient)
             fields["q"] = q5
             fed = lcfg.fe.fed(fields) + _lc_efield_adjust(
                 lcfg.fe, q5, coswt)
@@ -1728,7 +1805,7 @@ def _make_stats_fn(sys_: System):
     from functools import partial as _partial
 
     @_partial(jax.jit, static_argnums=3)
-    def compute(state, u, prev, coswt=1.0):
+    def compute(state, u, prev, coswt=1.0, tstep=0):
         # coswt: phase of the external electric field as the HOST stats
         # see it.  The reference's fe params live in a calloc'd struct
         # whose coswt stays 0.0 until the first device commit inside the
@@ -2164,7 +2241,8 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
     cycle' trailer only appears inside the time loop (ref:
     ludwig.c:961)."""
     res = jax.device_get(stats_fn(sys_.state, u, prev,
-                                  1.0 if in_loop else 0.0))
+                                  1.0 if in_loop else 0.0,
+                                  jnp.asarray(tstep, jnp.float32)))
 
     if "vcol" in res and in_loop:
         vmin, vmax = res["vcol"]

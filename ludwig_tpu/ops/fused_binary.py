@@ -255,6 +255,57 @@ def make_fused_binary_step(bcfg, plan: BinaryPlan = BinaryPlan(),
     return step
 
 
+def make_fused_binary_le_step(lecfg, plan: BinaryPlan = BinaryPlan(),
+                              lb_plan=None, interpret: bool = False):
+    """Fused binary step under Lees-Edwards shear:
+    (fpad, ppad, u) -> state.
+
+    Same pattern as the sheared LC path (ops/fused_lc.py
+    make_fused_lc_le_step): the two Pallas kernels run plain-periodic;
+    LE enters as O(surface) column work — binary_le.
+    make_binary_le_column_fix rewrites the plane-adjacent columns of
+    phi' and force, then the f-side reprojection/displacement runs as
+    the streaming-conjugated column post-pass (ref: model_le.c:57 +
+    phi_ch_le_fix_fluxes)."""
+    from ludwig_tpu.binary_le import make_binary_le_column_fix
+    from ludwig_tpu.ops.fused import (FusedPlan, fused_force_step,
+                                      _pad_refresh)
+    from ludwig_tpu.ops.fused import HX as FHX, HY as FHY
+    from ludwig_tpu.ops.fused_lc import pad_q
+    from ludwig_tpu.ops.lees_edwards import apply_le_fused
+
+    if lb_plan is None:
+        lb_plan = FusedPlan()
+    bcfg = lecfg.binary
+    le = lecfg.le
+    model = bcfg.lb.model
+    params = bcfg.lb.collision_params()
+    fix = make_binary_le_column_fix(lecfg)
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, t=0):
+        fpad, ppad, u = state
+        phi = unpad_phi(ppad)
+        upad = pad_q(u)
+        ppad_new, force = binary_phi_force_step(
+            ppad, upad, bcfg.fe, bcfg.mobility, bcfg.advection_order,
+            plan, interpret=interpret)
+        Y = ppad.shape[1] - 2 * HY
+        pcols, fcols = fix(phi, u, t)
+        for col, v in pcols.items():
+            ppad_new = ppad_new.at[HX + col, HY:HY + Y, :].set(
+                v.astype(ppad_new.dtype))
+        for col, v in fcols.items():
+            force = force.at[:, col].set(v.astype(force.dtype))
+        ppad_new = _refresh1(ppad_new)
+        fpad, u_new = fused_force_step(fpad, force, model, params,
+                                       lb_plan, interpret=interpret)
+        fpad = apply_le_fused(fpad, model, le, t, pad=(FHX, FHY))
+        return (_pad_refresh(fpad), ppad_new, u_new)
+
+    return step
+
+
 def initial_fused_binary(bcfg, phi0):
     from ludwig_tpu.lb import initial_rest
     from ludwig_tpu.ops.fused import pad_state

@@ -297,6 +297,54 @@ def make_fused_lc_step(lcfg, plan: LCPlan = LCPlan(), lb_plan=None,
     return step
 
 
+def make_fused_lc_le_step(lcfg, le, plan: LCPlan = LCPlan(),
+                          lb_plan=None, interpret: bool = False):
+    """Fused LC step under Lees-Edwards shear: (fpad, qpad, u) -> state.
+
+    The sheared blue phase is the reference's production configuration
+    (ref: model_le.c:57 with the q-tensor branch of ludwig.c).  The two
+    Pallas kernels run unmodified with plain-periodic x; LE enters as
+    O(surface) column work: (1) lc.make_lc_le_column_fix rewrites the
+    plane-adjacent columns of q5' and force with the LE-aware formulas,
+    (2) the f-side reprojection/displacement runs as the streaming-
+    conjugated column post-pass (ops/lees_edwards.apply_le_fused)."""
+    from ludwig_tpu.lc import make_lc_le_column_fix
+    from ludwig_tpu.ops.fused import (FusedPlan, fused_force_step,
+                                      _pad_refresh)
+    from ludwig_tpu.ops.fused import HX as FHX, HY as FHY
+    from ludwig_tpu.ops.lees_edwards import apply_le_fused
+
+    if lb_plan is None:
+        lb_plan = FusedPlan()
+    model = lcfg.lb.model
+    params = lcfg.lb.collision_params()
+    fe = lcfg.fe
+    fix = make_lc_le_column_fix(lcfg, le)
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, t=0):
+        fpad, qpad, u = state
+        q5 = unpad_q(qpad)
+        upad = pad_q(u)
+        qpad_new, force = lc_q_force_step(qpad, upad, fe, lcfg.gamma,
+                                          fe.xi, plan,
+                                          interpret=interpret)
+        Y = qpad.shape[2] - 2 * HY
+        qcols, fcols = fix(q5, u, t)
+        for col, v in qcols.items():
+            qpad_new = qpad_new.at[:, HX + col, HY:HY + Y, :].set(
+                v.astype(qpad_new.dtype))
+        for col, v in fcols.items():
+            force = force.at[:, col].set(v.astype(force.dtype))
+        qpad_new = _refresh(qpad_new)
+        fpad, u_new = fused_force_step(fpad, force, model, params,
+                                       lb_plan, interpret=interpret)
+        fpad = apply_le_fused(fpad, model, le, t, pad=(FHX, FHY))
+        return (_pad_refresh(fpad), qpad_new, u_new)
+
+    return step
+
+
 def initial_fused_lc(lcfg, q0_field):
     from ludwig_tpu.lb import initial_rest
     from ludwig_tpu.ops.fused import pad_state

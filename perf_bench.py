@@ -68,10 +68,12 @@ def bench_suspension():
     holder = {"s": state}
 
     def once():
-        holder["s"], _ = step(holder["s"], 1)
+        # amortise relay dispatch (~28 ms RTT) over 10 steps
+        for _ in range(10):
+            holder["s"], _ = step(holder["s"], 1)
         return holder["s"].f
 
-    dt = measure(once)
+    dt = measure(once) / 10.0
     nsites = float(np.prod(size))
     return {
         "metric": f"suspension N={N} a0=2.3 64^3 full step (move+rebuild"
@@ -111,10 +113,12 @@ def bench_electro():
     holder = {"s": state}
 
     def once():
-        holder["s"], _ = step(holder["s"], 1)
+        # amortise relay dispatch (~28 ms RTT) over 10 steps
+        for _ in range(10):
+            holder["s"], _ = step(holder["s"], 1)
         return holder["s"][1]
 
-    dt = measure(once)
+    dt = measure(once) / 10.0
 
     # SOR iteration count on the converged state (probe once)
     psi_up, psi_dn = make_psi_neighbours(size, cfg.e0, lb.dtype)
@@ -131,10 +135,11 @@ def bench_electro():
     holder2 = {"s": tuple(jnp.array(x) for x in holder["s"])}
 
     def once_fft():
-        holder2["s"], _ = step_fft(holder2["s"], 1)
+        for _ in range(10):
+            holder2["s"], _ = step_fft(holder2["s"], 1)
         return holder2["s"][1]
 
-    dt_fft = measure(once_fft)
+    dt_fft = measure(once_fft) / 10.0
     nsites = float(np.prod(size))
     return {
         "metric": "Gouy-Chapman 64^3 full step (SOR Poisson + "

@@ -313,3 +313,96 @@ def test_fusedn_matches_n_single_steps(nsteps):
     fb = fusedn_step(fb, model, params, nsteps, plan, interpret=True)
     np.testing.assert_array_equal(np.asarray(unpad_staten(fb, nsteps)),
                                   np.asarray(unpad_state(fa)))
+
+
+def test_fused_lc_le_step_matches_jnp_path():
+    """The fused LC step with LE column fixes (ops/fused_lc.py
+    make_fused_lc_le_step) reproduces the jnp sheared blue-phase step
+    (lc.make_lc_le_step) -- the reference's production configuration
+    (ref: model_le.c:57 + the q-tensor branch of ludwig.c)."""
+    from ludwig_tpu.fe import lc_init
+    from ludwig_tpu.fe.blue_phase import BluePhaseFE
+    from ludwig_tpu.lb import LBConfig
+    from ludwig_tpu.lc import LCConfig, make_lc_le_step
+    from ludwig_tpu.ops.fused import FusedPlan, pad_state, \
+        unpad_state as unpad_f
+    from ludwig_tpu.ops.fused_lc import (LCPlan, make_fused_lc_le_step,
+                                         pad_q, unpad_q)
+    from ludwig_tpu.ops.lees_edwards import (LeesEdwardsConfig,
+                                             le_init_shear_profile)
+
+    N = (16, 8, 16)
+    cfg = LBConfig(size=N, nvel=19, eta_shear=0.1, dtype="float64")
+    fe = BluePhaseFE(a0=0.01, gamma=3.0, q0=0.19635, kappa0=0.000648456,
+                     kappa1=0.000648456, xi=0.7)
+    lcfg = LCConfig(lb=cfg, fe=fe, gamma=0.5, keep_grads=False)
+    le = LeesEdwardsConfig(nplanes=2, uy=0.04, nx=N[0])
+    q5 = jnp.asarray(lc_init.lc_init_o8m(N, fe.q0, -0.2), cfg.jdtype)
+    f0 = le_init_shear_profile(cfg, le)
+    u0 = jnp.zeros((3,) + N, cfg.jdtype)
+
+    sf = (pad_state(f0), pad_q(q5), u0)
+
+    sx = (jnp.array(f0), jnp.array(q5), jnp.array(u0))
+    stepx = make_lc_le_step(lcfg, le)
+    for t in range(3):
+        sx, _ = stepx(sx, t)
+    stepf = make_fused_lc_le_step(lcfg, le, plan=LCPlan(4, 8),
+                                  lb_plan=FusedPlan(4, 8),
+                                  interpret=True)
+    for t in range(3):
+        sf = stepf(sf, t)
+
+    np.testing.assert_allclose(np.asarray(unpad_q(sf[1])),
+                               np.asarray(sx[1]), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(unpad_f(sf[0])),
+                               np.asarray(sx[0]), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sf[2]), np.asarray(sx[2]),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_fused_binary_le_step_matches_jnp_path():
+    """The fused binary step with LE column fixes reproduces the jnp
+    sheared-binary step (binary_le.make_binary_le_step) -- ref:
+    model_le.c:57 + phi_cahn_hilliard.c LE flux fixes."""
+    from ludwig_tpu.binary import BinaryConfig, spinodal_phi
+    from ludwig_tpu.binary_le import BinaryLEConfig, make_binary_le_step
+    from ludwig_tpu.fe.symmetric import SymmetricFE
+    from ludwig_tpu.lb import LBConfig
+    from ludwig_tpu.ops.fused import FusedPlan, pad_state, \
+        unpad_state as unpad_f
+    from ludwig_tpu.ops.fused_binary import (BinaryPlan,
+                                             make_fused_binary_le_step,
+                                             pad_phi, unpad_phi)
+    from ludwig_tpu.ops.lees_edwards import (LeesEdwardsConfig,
+                                             le_init_shear_profile)
+
+    N = (16, 8, 16)
+    cfg = LBConfig(size=N, nvel=19, eta_shear=0.1, dtype="float64")
+    bcfg = BinaryConfig(lb=cfg, fe=SymmetricFE(-6.25e-3, 6.25e-3, 4e-3),
+                        mobility=1.25, advection_order=1)
+    le = LeesEdwardsConfig(nplanes=2, uy=0.04, nx=N[0])
+    lecfg = BinaryLEConfig(binary=bcfg, le=le)
+    phi0 = jnp.asarray(spinodal_phi(N, seed=8361235), cfg.jdtype)
+    f0 = le_init_shear_profile(cfg, le)
+    u0 = jnp.zeros((3,) + N, cfg.jdtype)
+
+    sf = (pad_state(f0), pad_phi(phi0), u0)
+
+    sx = (jnp.array(f0), jnp.array(phi0), jnp.array(u0))
+    stepx = make_binary_le_step(lecfg)
+    for t in range(3):
+        sx, _ = stepx(sx, t)
+
+    stepf = make_fused_binary_le_step(lecfg, plan=BinaryPlan(4, 8),
+                                      lb_plan=FusedPlan(4, 8),
+                                      interpret=True)
+    for t in range(3):
+        sf = stepf(sf, t)
+
+    np.testing.assert_allclose(np.asarray(unpad_phi(sf[1])),
+                               np.asarray(sx[1]), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(unpad_f(sf[0])),
+                               np.asarray(sx[0]), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sf[2]), np.asarray(sx[2]),
+                               rtol=1e-10, atol=1e-12)

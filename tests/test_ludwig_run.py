@@ -224,6 +224,52 @@ freq_statistics 3
 """
 
 
+BINARY_LE_FUSED_INPUT = """
+N_cycles 4
+size 16_8_16
+viscosity 0.00625
+free_energy symmetric
+A -0.00625
+B 0.00625
+K 0.004
+phi0 0.0
+phi_initialisation spinodal
+mobility 1.25
+fd_gradient_calculation 3d_7pt_fluid
+fd_advection_scheme_order 1
+N_LE_plane 2
+LE_plane_vel 0.04
+LE_init_profile 1
+periodicity 1_1_1
+freq_statistics 2
+random_seed 8361235
+"""
+
+LC_LE_FUSED_INPUT = """
+N_cycles 4
+size 16_8_16
+viscosity 0.1
+free_energy lc_blue_phase
+fd_gradient_calculation 3d_7pt_fluid
+fd_advection_scheme_order 1
+lc_a0 0.01
+lc_gamma 3.0
+lc_q0 0.19635
+lc_kappa0 0.000648456
+lc_kappa1 0.000648456
+lc_xi 0.7
+lc_Gamma 0.5
+lc_q_initialisation o8m
+lc_q_init_amplitude -0.2
+lc_init_redshift 1.0
+N_LE_plane 2
+LE_plane_vel 0.04
+LE_init_profile 1
+periodicity 1_1_1
+freq_statistics 2
+colloid_init no_colloids
+"""
+
 LE_FUSED_INPUT = """
 N_cycles 6
 size 16_16_32
@@ -240,9 +286,11 @@ freq_statistics 3
                                   BINARY_FUSED_INPUT,
                                   DROPLET_FUSED_INPUT, WALL_FUSED_INPUT,
                                   COUETTE_FUSED_INPUT, DUCT_FUSED_INPUT,
-                                  LE_FUSED_INPUT],
+                                  LE_FUSED_INPUT, LC_LE_FUSED_INPUT,
+                                  BINARY_LE_FUSED_INPUT],
                          ids=["plain", "lc", "binary", "droplet",
-                              "wall", "couette", "duct", "le"])
+                              "wall", "couette", "duct", "le",
+                              "lc_le", "binary_le"])
 def test_tpu_fused_cli_path_matches_jnp(text):
     """'tpu_fused interpret' runs the Pallas production kernels through
     the input-file surface and reproduces the jnp path's statistics."""
