@@ -2494,6 +2494,43 @@ def run_text(text: str, out=sys.stdout) -> System:
                 sys_.step_nfn = nstep
                 sys_.fused_unpadded = True
                 sys_.state = (unpad_state(sys_.state[0]),)
+            elif (sys_.fused_mode in ("lc", "binary")
+                    and sys_.le_cfg is None):
+                # fused LC / binary + sharded: shard_map'd two-kernel
+                # steps (q/u radius-2 pads exchanged by ppermute)
+                if g[2] != 1:
+                    raise ValueError(
+                        f"tpu_fused needs grid Pz == 1, got {g}")
+                local = (size[0] // g[0], size[1] // g[1], size[2])
+                plan = _fused_plan(local)
+                if plan is None:
+                    raise ValueError(
+                        f"no fused block plan for local shard {local}")
+                interp = rt.string("tpu_fused", "off") == "interpret"
+                mesh = make_mesh(g)
+                from ludwig_tpu.ops.fused import unpad_state
+                if sys_.fused_mode == "lc":
+                    from ludwig_tpu.ops.fused_lc import (
+                        LCPlan, make_fused_lc_sharded_step, unpad_q)
+                    sys_.step_fn = make_fused_lc_sharded_step(
+                        sys_.lc_cfg, mesh,
+                        LCPlan(min(8, plan.BX), plan.BY),
+                        lb_plan=plan, interpret=interp)
+                    sys_.state = (unpad_state(sys_.state[0]),
+                                  unpad_q(sys_.state[1]),
+                                  sys_.state[2])
+                else:
+                    from ludwig_tpu.ops.fused_binary import (
+                        BinaryPlan, make_fused_binary_sharded_step,
+                        unpad_phi)
+                    sys_.step_fn = make_fused_binary_sharded_step(
+                        sys_.binary_cfg, mesh,
+                        BinaryPlan(min(8, plan.BX), plan.BY),
+                        lb_plan=plan, interpret=interp)
+                    sys_.state = (unpad_state(sys_.state[0]),
+                                  unpad_phi(sys_.state[1]),
+                                  sys_.state[2])
+                sys_.fused_unpadded = True
             elif sys_.fused_mode is not None:
                 raise ValueError(
                     f"sharding not supported with the fused "
@@ -2752,6 +2789,8 @@ def run_text(text: str, out=sys.stdout) -> System:
             return (f, state[1]), u
         if sys_.fused_mode == "binary":
             from ludwig_tpu.ops.fused_binary import unpad_phi
+            if sys_.fused_unpadded:
+                return (state, state[2] if u is None else u)
             return ((unpad_state(state[0]), unpad_phi(state[1]),
                      state[2]), state[2] if u is None else u)
         if sys_.fused_mode == "droplet":
@@ -2761,6 +2800,8 @@ def run_text(text: str, out=sys.stdout) -> System:
                      unpad_q(state[2]), state[3]),
                     state[3] if u is None else u)
         from ludwig_tpu.ops.fused_lc import unpad_q
+        if sys_.fused_unpadded:
+            return (state, state[2] if u is None else u)
         return ((unpad_state(state[0]), unpad_q(state[1]), state[2]),
                 state[2] if u is None else u)
 
@@ -2768,9 +2809,13 @@ def run_text(text: str, out=sys.stdout) -> System:
         # copies: the step donates its input buffers
         if sys_.fused_mode == "lc":
             from ludwig_tpu.ops.fused_lc import unpad_q
+            if sys_.fused_unpadded:
+                return (jnp.array(state[1]),)
             return (jnp.array(unpad_q(state[1])),)   # pre-update q
         if sys_.fused_mode == "binary":
             from ludwig_tpu.ops.fused_binary import unpad_phi
+            if sys_.fused_unpadded:
+                return (jnp.array(state[1]),)
             return (jnp.array(unpad_phi(state[1])),)   # pre-update phi
         if sys_.fused_mode == "droplet":
             from ludwig_tpu.ops.fused_binary import unpad_phi
@@ -3103,7 +3148,7 @@ def _timer_detail(sys_, state, stats_fn, reps: int = 3):
                                                 interp)), fpad)))
             rows.append(("Pad refresh", _time(
                 _jax.jit(_pad_refresh), fpad)))
-        elif sys_.fused_mode == "binary":
+        elif sys_.fused_mode == "binary" and not sys_.fused_unpadded:
             from ludwig_tpu.ops.fused_binary import binary_phi_force_step
             from ludwig_tpu.ops.fused_lc import pad_q
             bcfg = sys_.binary_cfg

@@ -864,11 +864,15 @@ def _fused_force_kernel(model: LatticeModel, params: CollisionParams,
 def fused_force_step(fpad: jnp.ndarray, force: jnp.ndarray,
                      model: LatticeModel, params: CollisionParams,
                      plan: FusedPlan = FusedPlan(),
-                     interpret: bool = False):
+                     interpret: bool = False, pad_force_fn=None,
+                     refresh_fn=None):
     """(fpad', u): fused collide+stream with a per-site body force.
 
     force is unpadded (3, X, Y, Z); u returned at (3, X, Y, Z) is the
-    post-collision hydrodynamic velocity (half-force corrected)."""
+    post-collision hydrodynamic velocity (half-force corrected).
+    pad_force_fn/refresh_fn override the single-shard periodic force
+    padding / output pad refresh (the sharded path substitutes
+    ppermute face exchanges)."""
     nvel, Xp, Yp, Z = fpad.shape
     X, Y = Xp - 2 * HX, Yp - 2 * HY
     BX = min(plan.BX, X)
@@ -876,8 +880,11 @@ def fused_force_step(fpad: jnp.ndarray, force: jnp.ndarray,
     if X % BX or Y % BY or BY % 8:
         raise ValueError(
             f"blocks ({BX},{BY}) must divide lattice ({X},{Y}), BY%8==0")
-    fpad_force = jnp.pad(force, ((0, 0), (HX, HX), (HY, HY), (0, 0)),
-                         mode="wrap")
+    if pad_force_fn is None:
+        fpad_force = jnp.pad(force, ((0, 0), (HX, HX), (HY, HY), (0, 0)),
+                             mode="wrap")
+    else:
+        fpad_force = pad_force_fn(force)
 
     kernel = partial(_fused_force_kernel, model, params, X, Y, Z, BX, BY)
     out, u = pl.pallas_call(
@@ -902,7 +909,7 @@ def fused_force_step(fpad: jnp.ndarray, force: jnp.ndarray,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(fpad, fpad_force)
-    return _pad_refresh(out), u
+    return (_pad_refresh if refresh_fn is None else refresh_fn)(out), u
 
 
 def _pad_exchange(fpad: jnp.ndarray, nx: int, ny: int,

@@ -188,11 +188,13 @@ class BinaryPlan:
 
 def binary_phi_force_step(ppad, upad, fe, mobility, order,
                           plan: BinaryPlan = BinaryPlan(),
-                          interpret: bool = False):
+                          interpret: bool = False, refresh_fn=None):
     """(ppad', force): one fused phi-side update.
 
     ppad (X+4, Y+16, Z), upad (3, X+4, Y+16, Z) with current pads;
-    returns the refreshed-padded new phi and the (3, X, Y, Z) force."""
+    returns the refreshed-padded new phi and the (3, X, Y, Z) force.
+    refresh_fn overrides the single-shard periodic pad refresh (the
+    sharded path substitutes a ppermute face exchange)."""
     Xp, Yp, Z = ppad.shape
     X, Y = Xp - 2 * HX, Yp - 2 * HY
     BX, BY = min(plan.BX, X), min(plan.BY, Y)
@@ -222,7 +224,7 @@ def binary_phi_force_step(ppad, upad, fe, mobility, order,
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(ppad, upad)
-    return _refresh1(pout), force
+    return (_refresh1 if refresh_fn is None else refresh_fn)(pout), force
 
 
 def make_fused_binary_step(bcfg, plan: BinaryPlan = BinaryPlan(),
@@ -251,6 +253,66 @@ def make_fused_binary_step(bcfg, plan: BinaryPlan = BinaryPlan(),
         fpad, u_new = fused_force_step(fpad, force, model, params,
                                        lb_plan, interpret=interpret)
         return (fpad, ppad, u_new)
+
+    return step
+
+
+def make_fused_binary_sharded_step(bcfg, mesh,
+                                   plan: BinaryPlan = BinaryPlan(),
+                                   lb_plan=None, interpret: bool = False):
+    """Multi-chip fused binary step: shard_map over a 2-D ('x', 'y')
+    device mesh (the binary analogue of fused_lc.
+    make_fused_lc_sharded_step; ref: src/halo_swap.c:709).
+
+    Takes and returns UNPADDED (f, phi, u) global arrays sharded
+    P(None, 'x', 'y', None) / P('x', 'y', None) for phi."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ludwig_tpu.ops.fused import (FusedPlan, fused_force_step,
+                                      _pad_exchange)
+    from ludwig_tpu.ops.fused import HX as FHX, HY as FHY
+    from ludwig_tpu.ops.fused_lc import _pad_exchange_q, pad_q
+
+    if lb_plan is None:
+        lb_plan = FusedPlan()
+    model = bcfg.lb.model
+    params = bcfg.lb.collision_params()
+    nx = int(mesh.shape.get("x", 1))
+    ny = int(mesh.shape.get("y", 1))
+    spec = P(None, "x", "y", None)
+    spec_phi = P("x", "y", None)
+
+    def exq(xp):
+        return _pad_exchange_q(xp, nx, ny)
+
+    def exf(xp):
+        return _pad_exchange(xp, nx, ny)
+
+    def padf(x):
+        return jnp.pad(x, ((0, 0), (FHX, FHX), (FHY, FHY), (0, 0)))
+
+    def local_step(f, phi, u):
+        from ludwig_tpu.ops.fused import unpad_state
+        ppad = exq(pad_phi(phi)[None])[0]
+        upad = exq(pad_q(u))
+        fpad = exf(padf(f))
+        ppad, force = binary_phi_force_step(
+            ppad, upad, bcfg.fe, bcfg.mobility, bcfg.advection_order,
+            plan, interpret=interpret, refresh_fn=lambda x: x)
+        fpad, u_new = fused_force_step(
+            fpad, force, model, params, lb_plan, interpret=interpret,
+            pad_force_fn=lambda x: exf(padf(x)),
+            refresh_fn=lambda x: x)
+        return unpad_state(fpad), unpad_phi(ppad), u_new
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, t=0):
+        f, phi, u = state
+        return shard_map(local_step, mesh=mesh,
+                         in_specs=(spec, spec_phi, spec),
+                         out_specs=(spec, spec_phi, spec),
+                         check_vma=False)(f, phi, u)
 
     return step
 

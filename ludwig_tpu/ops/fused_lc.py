@@ -232,11 +232,14 @@ class LCPlan:
 
 
 def lc_q_force_step(qpad, upad, fe, be_gamma, xi,
-                    plan: LCPlan = LCPlan(), interpret: bool = False):
+                    plan: LCPlan = LCPlan(), interpret: bool = False,
+                    refresh_fn=None):
     """(qpad', force): one fused Q-side update.
 
     qpad (5, X+4, Y+16, Z), upad (3, X+4, Y+16, Z) with current pads;
-    returns the refreshed-padded new q and the (3, X, Y, Z) force."""
+    returns the refreshed-padded new q and the (3, X, Y, Z) force.
+    refresh_fn overrides the single-shard periodic pad refresh (the
+    sharded path substitutes a ppermute face exchange)."""
     _, Xp, Yp, Z = qpad.shape
     X, Y = Xp - 2 * HX, Yp - 2 * HY
     BX, BY = min(plan.BX, X), min(plan.BY, Y)
@@ -266,7 +269,7 @@ def lc_q_force_step(qpad, upad, fe, be_gamma, xi,
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(qpad, upad)
-    return _refresh(qout), force
+    return (_refresh if refresh_fn is None else refresh_fn)(qout), force
 
 
 def make_fused_lc_step(lcfg, plan: LCPlan = LCPlan(), lb_plan=None,
@@ -293,6 +296,96 @@ def make_fused_lc_step(lcfg, plan: LCPlan = LCPlan(), lb_plan=None,
         fpad, u_new = fused_force_step(fpad, force, model, params,
                                        lb_plan, interpret=interpret)
         return (fpad, qpad, u_new)
+
+    return step
+
+
+def _pad_exchange_q(xp: jnp.ndarray, nx: int, ny: int,
+                    ax: str = "x", ay: str = "y") -> jnp.ndarray:
+    """Refresh the radius-2 halo pads of a LOCAL padded block by
+    ppermute face exchange over the device mesh (the q/u analogue of
+    ops.fused._pad_exchange; ref: src/halo_swap.c:709).
+
+    y rows first (full padded-x extent), then x planes (full padded-y
+    extent) so corner pads relay the diagonal neighbour's values.  With
+    a 1-device axis the permutation is the identity = periodic wrap."""
+    X = xp.shape[1] - 2 * HX
+    Y = xp.shape[2] - 2 * HY
+    fwd_y = [(i, (i + 1) % ny) for i in range(ny)]
+    bwd_y = [(i, (i - 1) % ny) for i in range(ny)]
+    lo = jax.lax.ppermute(xp[:, :, Y + HY - 2:Y + HY, :], ay, fwd_y)
+    hi = jax.lax.ppermute(xp[:, :, HY:HY + 2, :], ay, bwd_y)
+    xp = xp.at[:, :, HY - 2:HY, :].set(lo)
+    xp = xp.at[:, :, Y + HY:Y + HY + 2, :].set(hi)
+    fwd_x = [(i, (i + 1) % nx) for i in range(nx)]
+    bwd_x = [(i, (i - 1) % nx) for i in range(nx)]
+    lo = jax.lax.ppermute(xp[:, X:X + HX, :, :], ax, fwd_x)
+    hi = jax.lax.ppermute(xp[:, HX:2 * HX, :, :], ax, bwd_x)
+    xp = xp.at[:, 0:HX, :, :].set(lo)
+    xp = xp.at[:, X + HX:, :, :].set(hi)
+    return xp
+
+
+def make_fused_lc_sharded_step(lcfg, mesh, plan: LCPlan = LCPlan(),
+                               lb_plan=None, interpret: bool = False):
+    """Multi-chip fused LC step: shard_map over a 2-D ('x', 'y') device
+    mesh, each device running the two single-shard Pallas kernels on
+    its local block with pads refreshed by ppermute face exchanges
+    (q/u radius-2 via `_pad_exchange_q`, f/force radius-1 via
+    ops.fused._pad_exchange); z stays whole per device (in-register
+    lane rolls remain globally periodic).
+
+    Takes and returns UNPADDED (f, q5, u) global arrays sharded
+    P(None, 'x', 'y', None); pads are rebuilt locally each step (one
+    extra copy per array — the correctness-first v1 of the multi-chip
+    LC path; face-only exchange on carried padded state is the known
+    optimisation)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ludwig_tpu.ops.fused import (FusedPlan, fused_force_step,
+                                      _pad_exchange)
+    from ludwig_tpu.ops.fused import HX as FHX, HY as FHY
+
+    if lb_plan is None:
+        lb_plan = FusedPlan()
+    model = lcfg.lb.model
+    params = lcfg.lb.collision_params()
+    fe = lcfg.fe
+    nx = int(mesh.shape.get("x", 1))
+    ny = int(mesh.shape.get("y", 1))
+    spec = P(None, "x", "y", None)
+
+    def exq(xp):
+        return _pad_exchange_q(xp, nx, ny)
+
+    def exf(xp):
+        return _pad_exchange(xp, nx, ny)
+
+    def padf(x):
+        return jnp.pad(x, ((0, 0), (FHX, FHX), (FHY, FHY), (0, 0)))
+
+    def local_step(f, q5, u):
+        from ludwig_tpu.ops.fused import unpad_state
+        qpad = exq(pad_q(q5))
+        upad = exq(pad_q(u))
+        fpad = exf(padf(f))
+        qpad, force = lc_q_force_step(qpad, upad, fe, lcfg.gamma,
+                                      fe.xi, plan, interpret=interpret,
+                                      refresh_fn=lambda x: x)
+        fpad, u_new = fused_force_step(
+            fpad, force, model, params, lb_plan, interpret=interpret,
+            pad_force_fn=lambda x: exf(padf(x)),
+            refresh_fn=lambda x: x)
+        return unpad_state(fpad), unpad_q(qpad), u_new
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, t=0):
+        f, q5, u = state
+        return shard_map(local_step, mesh=mesh,
+                         in_specs=(spec, spec, spec),
+                         out_specs=(spec, spec, spec),
+                         check_vma=False)(f, q5, u)
 
     return step
 

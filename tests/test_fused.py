@@ -406,3 +406,104 @@ def test_fused_binary_le_step_matches_jnp_path():
                                np.asarray(sx[0]), rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(sf[2]), np.asarray(sx[2]),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_fused_lc_sharded_matches_single():
+    """shard_map'd fused LC step over a 4x2 ('x','y') CPU mesh ==
+    single-device fused LC result (q/u radius-2 pads via ppermute)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ludwig_tpu.fe import lc_init
+    from ludwig_tpu.fe.blue_phase import BluePhaseFE
+    from ludwig_tpu.lb import LBConfig, initial_rest
+    from ludwig_tpu.lc import LCConfig
+    from ludwig_tpu.ops.fused import unpad_state as unpad_f
+    from ludwig_tpu.ops.fused_lc import (LCPlan, initial_fused_lc,
+                                         make_fused_lc_sharded_step,
+                                         make_fused_lc_step, unpad_q)
+
+    N = (16, 16, 32)
+    cfg = LBConfig(size=N, nvel=19, eta_shear=0.1, dtype="float64")
+    fe = BluePhaseFE(a0=0.01, gamma=3.0, q0=0.19635, kappa0=0.000648456,
+                     kappa1=0.000648456, xi=0.7)
+    lcfg = LCConfig(lb=cfg, fe=fe, gamma=0.5, keep_grads=False)
+    q5 = lc_init.lc_init_o8m(N, fe.q0, -0.2)
+
+    sf = initial_fused_lc(lcfg, q5)
+    stepf = make_fused_lc_step(lcfg, plan=LCPlan(4, 8),
+                               lb_plan=FusedPlan(4, 8), interpret=True)
+    for t in range(3):
+        sf = stepf(sf, t)
+    ref = (np.asarray(unpad_f(sf[0])), np.asarray(unpad_q(sf[1])),
+           np.asarray(sf[2]))
+
+    devs = np.array(jax.devices("cpu")[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    sh = NamedSharding(mesh, P(None, "x", "y", None))
+    f0 = jax.device_put(initial_rest(cfg), sh)
+    q0 = jax.device_put(jnp.asarray(q5, cfg.jdtype), sh)
+    u0 = jax.device_put(jnp.zeros((3,) + N, cfg.jdtype), sh)
+    steps = make_fused_lc_sharded_step(lcfg, mesh, plan=LCPlan(4, 8),
+                                       lb_plan=FusedPlan(4, 8),
+                                       interpret=True)
+    st = (f0, q0, u0)
+    for t in range(3):
+        st = steps(st, t)
+
+    np.testing.assert_allclose(np.asarray(st[0]), ref[0], rtol=0,
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(st[1]), ref[1], rtol=0,
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(st[2]), ref[2], rtol=0,
+                               atol=1e-13)
+
+
+def test_fused_binary_sharded_matches_single():
+    """shard_map'd fused binary step over a 4x2 ('x','y') CPU mesh ==
+    single-device fused binary result."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ludwig_tpu.binary import BinaryConfig, spinodal_phi
+    from ludwig_tpu.fe.symmetric import SymmetricFE
+    from ludwig_tpu.lb import LBConfig, initial_rest
+    from ludwig_tpu.ops.fused import unpad_state as unpad_f
+    from ludwig_tpu.ops.fused_binary import (
+        BinaryPlan, initial_fused_binary, make_fused_binary_sharded_step,
+        make_fused_binary_step, unpad_phi)
+
+    N = (16, 16, 32)
+    cfg = LBConfig(size=N, nvel=19, eta_shear=6.25e-3, dtype="float64")
+    bcfg = BinaryConfig(lb=cfg, fe=SymmetricFE(-6.25e-3, 6.25e-3, 4e-3),
+                        mobility=1.25, advection_order=1)
+    phi0 = spinodal_phi(N, seed=11)
+
+    sf = initial_fused_binary(bcfg, phi0)
+    stepf = make_fused_binary_step(bcfg, plan=BinaryPlan(4, 8),
+                                   lb_plan=FusedPlan(4, 8),
+                                   interpret=True)
+    for t in range(3):
+        sf = stepf(sf, t)
+    ref = (np.asarray(unpad_f(sf[0])), np.asarray(unpad_phi(sf[1])),
+           np.asarray(sf[2]))
+
+    devs = np.array(jax.devices("cpu")[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    shv = NamedSharding(mesh, P(None, "x", "y", None))
+    shp = NamedSharding(mesh, P("x", "y", None))
+    f0 = jax.device_put(initial_rest(cfg), shv)
+    p0 = jax.device_put(jnp.asarray(phi0, cfg.jdtype), shp)
+    u0 = jax.device_put(jnp.zeros((3,) + N, cfg.jdtype), shv)
+    steps = make_fused_binary_sharded_step(bcfg, mesh,
+                                           plan=BinaryPlan(4, 8),
+                                           lb_plan=FusedPlan(4, 8),
+                                           interpret=True)
+    st = (f0, p0, u0)
+    for t in range(3):
+        st = steps(st, t)
+
+    np.testing.assert_allclose(np.asarray(st[0]), ref[0], rtol=0,
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(st[1]), ref[1], rtol=0,
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(st[2]), ref[2], rtol=0,
+                               atol=1e-13)
