@@ -2494,7 +2494,7 @@ def run_text(text: str, out=sys.stdout) -> System:
                 sys_.step_nfn = nstep
                 sys_.fused_unpadded = True
                 sys_.state = (unpad_state(sys_.state[0]),)
-            elif (sys_.fused_mode in ("lc", "binary")
+            elif (sys_.fused_mode in ("lc", "binary", "droplet")
                     and sys_.le_cfg is None):
                 # fused LC / binary + sharded: shard_map'd two-kernel
                 # steps (q/u radius-2 pads exchanged by ppermute)
@@ -2519,6 +2519,19 @@ def run_text(text: str, out=sys.stdout) -> System:
                     sys_.state = (unpad_state(sys_.state[0]),
                                   unpad_q(sys_.state[1]),
                                   sys_.state[2])
+                elif sys_.fused_mode == "droplet":
+                    from ludwig_tpu.ops.fused_binary import unpad_phi
+                    from ludwig_tpu.ops.fused_droplet import (
+                        DropletPlan, make_fused_droplet_sharded_step)
+                    from ludwig_tpu.ops.fused_lc import unpad_q
+                    sys_.step_fn = make_fused_droplet_sharded_step(
+                        sys_.droplet_cfg, mesh,
+                        DropletPlan(min(8, plan.BX), plan.BY),
+                        lb_plan=plan, interpret=interp)
+                    sys_.state = (unpad_state(sys_.state[0]),
+                                  unpad_phi(sys_.state[1]),
+                                  unpad_q(sys_.state[2]),
+                                  sys_.state[3])
                 else:
                     from ludwig_tpu.ops.fused_binary import (
                         BinaryPlan, make_fused_binary_sharded_step,
@@ -2796,6 +2809,8 @@ def run_text(text: str, out=sys.stdout) -> System:
         if sys_.fused_mode == "droplet":
             from ludwig_tpu.ops.fused_binary import unpad_phi
             from ludwig_tpu.ops.fused_lc import unpad_q
+            if sys_.fused_unpadded:
+                return (state, state[3] if u is None else u)
             return ((unpad_state(state[0]), unpad_phi(state[1]),
                      unpad_q(state[2]), state[3]),
                     state[3] if u is None else u)
@@ -2820,6 +2835,8 @@ def run_text(text: str, out=sys.stdout) -> System:
         if sys_.fused_mode == "droplet":
             from ludwig_tpu.ops.fused_binary import unpad_phi
             from ludwig_tpu.ops.fused_lc import unpad_q
+            if sys_.fused_unpadded:
+                return (jnp.array(state[1]), jnp.array(state[2]))
             return (jnp.array(unpad_phi(state[1])),
                     jnp.array(unpad_q(state[2])))
         if sys_.fused_mode is not None:
@@ -3158,7 +3175,7 @@ def _timer_detail(sys_, state, stats_fn, reps: int = 3):
                     bcfg.advection_order)[0]),
                 state[1], state[2])))
             rows.append(("Full step", _step_probe()))
-        elif sys_.fused_mode == "droplet":
+        elif sys_.fused_mode == "droplet" and not sys_.fused_unpadded:
             from ludwig_tpu.ops.fused_droplet import \
                 droplet_phi_q_force_step
             from ludwig_tpu.ops.fused_lc import pad_q

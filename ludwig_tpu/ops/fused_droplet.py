@@ -285,11 +285,14 @@ class DropletPlan:
 
 def droplet_phi_q_force_step(ppad, qpad, upad, fe, be_gamma, mobility,
                              order, plan: DropletPlan = DropletPlan(),
-                             interpret: bool = False):
+                             interpret: bool = False, refresh_fn=None):
     """(ppad', qpad', force_raw): one fused order-parameter update.
 
     force_raw is the uncorrected body force + stress divergence; the
-    caller subtracts the global mean (hydro_correct_momentum)."""
+    caller subtracts the global mean (hydro_correct_momentum).
+    refresh_fn = (phi_refresh, q_refresh) overrides the single-shard
+    periodic pad refreshes (the sharded path substitutes ppermute
+    face exchanges)."""
     Xp, Yp, Z = ppad.shape
     X, Y = Xp - 2 * HX, Yp - 2 * HY
     BX, BY = min(plan.BX, X), min(plan.BY, Y)
@@ -323,6 +326,8 @@ def droplet_phi_q_force_step(ppad, qpad, upad, fe, be_gamma, mobility,
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(ppad, qpad, upad)
+    if refresh_fn is not None:
+        return refresh_fn[0](pout), refresh_fn[1](qout), force
     return _refresh1(pout), _refresh(qout), force
 
 
@@ -358,6 +363,74 @@ def make_fused_droplet_step(dcfg, plan: DropletPlan = DropletPlan(),
         fpad, u_new = fused_force_step(fpad, force, model, params,
                                        lb_plan, interpret=interpret)
         return (fpad, ppad, qpad, u_new)
+
+    return step
+
+
+def make_fused_droplet_sharded_step(dcfg, mesh,
+                                    plan: DropletPlan = DropletPlan(),
+                                    lb_plan=None,
+                                    interpret: bool = False):
+    """Multi-chip fused LC-droplet step: shard_map over a 2-D
+    ('x', 'y') device mesh (the droplet analogue of fused_lc.
+    make_fused_lc_sharded_step).  The hydro_correct_momentum mean
+    becomes a cross-device pmean.
+
+    Takes and returns UNPADDED (f, phi, q5, u) global arrays sharded
+    P(None, 'x', 'y', None) (phi: P('x', 'y', None))."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ludwig_tpu.ops.fused import (FusedPlan, fused_force_step,
+                                      _pad_exchange)
+    from ludwig_tpu.ops.fused import HX as FHX, HY as FHY
+    from ludwig_tpu.ops.fused_lc import _pad_exchange_q, unpad_q
+
+    if lb_plan is None:
+        lb_plan = FusedPlan()
+    model = dcfg.lb.model
+    params = dcfg.lb.collision_params()
+    nx = int(mesh.shape.get("x", 1))
+    ny = int(mesh.shape.get("y", 1))
+    spec = P(None, "x", "y", None)
+    spec_phi = P("x", "y", None)
+
+    def exq(xp):
+        return _pad_exchange_q(xp, nx, ny)
+
+    def exf(xp):
+        return _pad_exchange(xp, nx, ny)
+
+    def padf(x):
+        return jnp.pad(x, ((0, 0), (FHX, FHX), (FHY, FHY), (0, 0)))
+
+    def local_step(f, phi, q5, u):
+        from ludwig_tpu.ops.fused import unpad_state
+        ppad = exq(pad_phi(phi)[None])[0]
+        qpad = exq(pad_q(q5))
+        upad = exq(pad_q(u))
+        fpad = exf(padf(f))
+        ppad, qpad, force = droplet_phi_q_force_step(
+            ppad, qpad, upad, dcfg.fe, dcfg.gamma, dcfg.mobility,
+            dcfg.advection_order, plan, interpret=interpret,
+            refresh_fn=(lambda x: x, lambda x: x))
+        mean = jnp.mean(force, axis=(1, 2, 3), keepdims=True)
+        mean = jax.lax.pmean(jax.lax.pmean(mean, "x"), "y")
+        force = force - mean
+        fpad, u_new = fused_force_step(
+            fpad, force, model, params, lb_plan, interpret=interpret,
+            pad_force_fn=lambda x: exf(padf(x)),
+            refresh_fn=lambda x: x)
+        return (unpad_state(fpad), unpad_phi(ppad), unpad_q(qpad),
+                u_new)
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, t=0):
+        f, phi, q5, u = state
+        return shard_map(local_step, mesh=mesh,
+                         in_specs=(spec, spec_phi, spec, spec),
+                         out_specs=(spec, spec_phi, spec, spec),
+                         check_vma=False)(f, phi, q5, u)
 
     return step
 

@@ -386,12 +386,15 @@ def test_tpu_shard_composes_with_fused_binary():
     np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-14)
 
 
-def test_tpu_shard_with_fused_droplet_warns_and_runs():
-    """Sharding is not wired for the droplet fused kernels; the run
-    must say so and fall back to unsharded rather than silently
-    ignoring the mesh (round-2 advisory)."""
-    _, log = _run("tpu_fused interpret\ntpu_shard on\ngrid 4_2_1\n"
-                  + DROPLET_FUSED_INPUT)
-    assert "running unsharded" in log
-    assert "Decomposition" not in log
-    assert "Completed cycle 4" in log
+def test_tpu_shard_composes_with_fused_droplet():
+    """Ditto for the fused LC-droplet kernels (hydro_correct_momentum
+    becomes a cross-device pmean)."""
+    text = DROPLET_FUSED_INPUT.replace("size 8_8_16", "size 16_16_32")
+    _, log0 = _run("tpu_fused interpret\n" + text)
+    sysobj, log1 = _run("tpu_fused interpret\ntpu_shard on\ngrid 4_2_1\n"
+                        + text)
+    assert sysobj.fused_unpadded
+    assert "Decomposition:  4 2 1 (device mesh)" in log1
+    a, b = _stat_floats(log0), _stat_floats(log1)
+    assert a.size == b.size and a.size > 0
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-14)
