@@ -116,6 +116,20 @@ class System:
         return jnp.logical_not(self.solid)
 
 
+_FORCE_METHODS = ("no_force", "stress_divergence", "phi_gradmu",
+                  "phi_gradmu_correction", "relaxation_symmetric",
+                  "relaxation_antisymmetric")
+
+
+def _force_method(rt: RunTime, default: str) -> str:
+    """Validated fe_force_method (ref: fe_force_method.h enum;
+    fe_force_method_rt.c 'not recognised')."""
+    m = rt.string("fe_force_method", default)
+    if m not in _FORCE_METHODS:
+        raise ValueError(f"fe_force_method '{m}' not recognised")
+    return m
+
+
 def _relaxation(rt: RunTime) -> RelaxationScheme:
     name = rt.string("lb_relaxation_scheme", "m10").lower()
     return {"m10": RelaxationScheme.M10, "bgk": RelaxationScheme.BGK,
@@ -751,7 +765,7 @@ def build_system(rt: RunTime) -> System:
             advection_order=rt.int("fd_advection_scheme_order", 1),
             gradient=rt.string("fd_gradient_calculation", "3d_7pt_fluid"),
             hydrodynamics=rt.switch("hydrodynamics", True),
-            force_method=rt.string("fe_force_method", default_method))
+            force_method=_force_method(rt, default_method))
         tinit = (_ternary_init(rt, size) if fe_name == "ternary"
                  else None)
         if tinit is not None:
@@ -876,7 +890,7 @@ def build_system(rt: RunTime) -> System:
             advection_order=rt.int("fd_advection_scheme_order", 1),
             gradient=rt.string("fd_gradient_calculation", default_grad),
             hydrodynamics=rt.switch("hydrodynamics", True),
-            force_method=rt.string("fe_force_method", "stress_divergence"),
+            force_method=_force_method(rt, "stress_divergence"),
             gradmu_ex=tuple(rt.double_vector("grad_mu", (0.0, 0.0, 0.0))),
             visc_model=visc_model,
             wetting=(pm_wetting if pm_wetting is not None
@@ -1060,7 +1074,7 @@ def build_system(rt: RunTime) -> System:
             gamma=rt.double("lc_Gamma", 0.5),
             advection_order=rt.int("fd_advection_scheme_order", 1),
             gradient=rt.string("fd_gradient_calculation", "3d_7pt_fluid"),
-            force_method=rt.string("fe_force_method", "stress_divergence"))
+            force_method=_force_method(rt, "stress_divergence"))
         phi0 = _phi_init(rt, size, symm)
         amp = rt.double("lc_q_init_amplitude", lcfe.amplitude0)
         mode = rt.string("lc_q_initialisation", "nematic")
@@ -1344,7 +1358,7 @@ def build_system(rt: RunTime) -> System:
                 force_fn=force_fn,
                 # the v0.2.19-era default for psi runs was the Maxwell
                 # stress divergence (serial-elec-ep1.log:38)
-                force_method=rt.string("fe_force_method",
+                force_method=_force_method(rt,
                                        "stress_divergence"))
             return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
                           solid=None, state=state, step_fn=step,
@@ -1372,7 +1386,7 @@ def build_system(rt: RunTime) -> System:
                 gradient=rt.string("fd_gradient_calculation",
                                    "3d_7pt_fluid"),
                 e0=e0, hydrodynamics=rt.switch("hydrodynamics", True),
-                force_method=rt.string("fe_force_method",
+                force_method=_force_method(rt,
                                        "stress_divergence"))
             phi0 = _phi_init(rt, size, fe_s)
             f = _distribution_init(rt, lb_cfg)
