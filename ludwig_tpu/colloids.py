@@ -1118,8 +1118,12 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
     has_walls = wallspec is not None and wallspec.any
     # segment-sum suspension path (passive, periodic; ref: VERDICT
     # round-1 'rescale colloids to suspensions')
+    any_active = any(params.is_active(n) for n in range(params.n))
+    # squirmers ride the MXU segment-sum path in f32 production (slip
+    # terms are elementwise owner gathers, colloids_fast.bbl_step_mxu);
+    # f64 golden runs keep the reference-bitwise per-particle path
     fast = (params.n > 4 and not has_walls
-            and not any(params.is_active(n) for n in range(params.n)))
+            and not (any_active and cfg.dtype == "float64"))
     # Within the fast path, the per-particle link sums come in two
     # flavours: reference-order sequential reductions (bitwise vs the
     # reference's bbl.c pass1 accumulation - required for f64 golden

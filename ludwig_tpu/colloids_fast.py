@@ -994,6 +994,58 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
     d = _min_image(coords - jnp.moveaxis(R[own], -1, 0),
                    L[:, None, None, None])
 
+    # squirmer (active) slip terms (ref: bbl.c pass1 squirmer section,
+    # bbl_active_conservation): per-site owner gathers of the swim
+    # direction and b1/b2 make the slip dm_a elementwise at the inside
+    # site, so activity costs 4 extra reduction columns per velocity
+    any_active = any(params.is_active(n) for n in range(N))
+    if any_active:
+        b1_np = np.zeros(N)
+        b1_np[:len(params.b1)] = np.asarray(params.b1, np.float64)
+        b2_np = np.zeros(N)
+        b2_np[:len(params.b2)] = np.asarray(params.b2, np.float64)
+        if M is None:
+            m_np = np.asarray(params.m, np.float64)
+            m_np = m_np / np.linalg.norm(m_np, axis=1, keepdims=True)
+            Muse = jnp.asarray(m_np, dtype)
+        else:
+            Muse = M
+        mvj = jnp.moveaxis(Muse[own], -1, 0)              # (3, size)
+        b1j = jnp.asarray(b1_np, dtype)[own]
+        b2j = jnp.asarray(b2_np, dtype)[own]
+
+        def squirm_dma(rbj, c, delta):
+            """Slip dm_a at the inside site (same arithmetic as the
+            per-particle _squirm_dma in colloids.py)."""
+            rbmod = jnp.sqrt(rbj[0] ** 2 + rbj[1] ** 2 + rbj[2] ** 2)
+            mmod = jnp.sqrt(mvj[0] ** 2 + mvj[1] ** 2 + mvj[2] ** 2)
+            mod = rbmod * mmod
+            rmod = jnp.where(mod == 0.0, 0.0,
+                             1.0 / jnp.where(mod == 0.0, 1.0, mod))
+            rdotm = (rbj[0] * mvj[0] + rbj[1] * mvj[1]
+                     + rbj[2] * mvj[2])
+            cost = rmod * rdotm
+            cost = jnp.where(cost * cost > 1.0, 1.0, cost)
+            sint = jnp.sqrt(1.0 - cost * cost)
+            v1 = [rbj[1] * mvj[2] - rbj[2] * mvj[1],
+                  rbj[2] * mvj[0] - rbj[0] * mvj[2],
+                  rbj[0] * mvj[1] - rbj[1] * mvj[0]]
+            tans = [v1[1] * rbj[2] - v1[2] * rbj[1],
+                    v1[2] * rbj[0] - v1[0] * rbj[2],
+                    v1[0] * rbj[1] - v1[1] * rbj[0]]
+            tmod = jnp.sqrt(tans[0] ** 2 + tans[1] ** 2
+                            + tans[2] ** 2)
+            rtmod = jnp.where(tmod == 0.0, 0.0,
+                              1.0 / jnp.where(tmod == 0.0, 1.0, tmod))
+            pleg = -sint * (b2j * cost + b1j)
+            dma = 0.0
+            for a in range(3):
+                if c[a]:
+                    dma = dma + ((-delta) * pleg * rtmod * tans[a]
+                                 * float(c[a]))
+            return dma if not isinstance(dma, float) \
+                else jnp.zeros_like(b1j)
+
     # per-q columns at the inside site j (value of the link whose
     # fluid end is at j - c):  [S0, Sr(3), Sf, Sfr(3), Srr(6),
     # Scc, Sccr(3)] -> 18 columns
@@ -1001,6 +1053,7 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
     percol = []          # bookkeeping: (q, kind) per column block
     rbxcs = []
     masks = []
+    dmas = []
     for q in range(1, nvel):
         c = model.cv[q]
         shift = tuple(int(v) for v in c)
@@ -1022,6 +1075,12 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
                for ia in range(3) for ib in range(ia, 3)]
         qc.append(mcc * dmcc)
         qc += [mcc * dmcc * rbxc[a] for a in range(3)]
+        if any_active:
+            w = float(model.wv[q])
+            dma = squirm_dma(rbj, c, 2.0 * rcs2 * w * rho0) * mj
+            qc.append(dma)
+            qc += [dma * rbxc[a] for a in range(3)]
+            dmas.append(dma)
         cols.append(jnp.stack(qc))
         rbxcs.append(rbxc)
         masks.append(mj)
@@ -1036,6 +1095,9 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
     Srr = red[:, 8:14]                         # sym pairs 00,01,02,11,12,22
     Scc = red[:, 14]
     Sccr = red[:, 15:18]
+    if any_active:
+        Sdma = red[:, 18]                      # (q, N) slip sums
+        Sdmar = red[:, 19:22]                  # (q, 3, N)
 
     cq = np.asarray(model.cv[1:], np.float64)  # (q, 3)
     wq = np.asarray(model.wv[1:], np.float64)
@@ -1062,6 +1124,15 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
     # solid-solid virtual links
     f0 = f0 + jnp.einsum("qa,qn->na", cqj, Scc)
     t0 = t0 + jnp.moveaxis(Sccr, -1, 0).sum(axis=1)
+    if any_active:
+        # squirmer slip contributions + active mass conservation
+        # (ref: bbl.c pass1 active terms; bbl_active_conservation:
+        # fc0 = -sump_n sum w c, tc0 = -sump_n sum w rb x c)
+        f0 = f0 + jnp.einsum("qa,qn->na", cqj, Sdma)
+        t0 = t0 + jnp.moveaxis(Sdmar, -1, 0).sum(axis=1)
+        sump_n = jnp.sum(Sdma, axis=0) * rsumw             # (N,)
+        fc0 = -(sump_n[None] * cbar).T                     # (N, 3)
+        tc0 = -(sump_n[None] * rxcbar).T
 
     # zeta from raw moments; w6 = (c0, c1, c2, rbxc0, rbxc1, rbxc2),
     # B = (cbarn, rxcbarn)
@@ -1108,6 +1179,9 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
         fe = fe + f0_corr
     if t0_corr is not None:
         te = te + t0_corr
+    if any_active:
+        fe = fe + fc0
+        te = te + tc0
     b = jnp.concatenate(
         [mass[:, None] * V + f0 + fe,
          moment[:, None] * W + t0 + te], axis=1)
@@ -1122,6 +1196,7 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
     Wj = jnp.moveaxis(Wn[own], -1, 0)
     dmn_j = dmn[own]
     dms_j = dms[own]
+    sump_j = sump_n[own] if any_active else None
     fout = f
     for iq, q in enumerate(range(1, nvel)):
         c = model.cv[q]
@@ -1135,8 +1210,17 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
         vdotc = sum((Vj[a] + wxrb[a]) * float(c[a]) for a in range(3))
         w = float(model.wv[q])
         df = (rho0 * 2.0 * rcs2 * w * vdotc + w * dmn_j - w * dms_j)
+        if any_active:
+            # slip applied to the outgoing distribution
+            # (ref: pass1 fdist += dm_a) and the pass2 mass term
+            # (ref: pass2 df += wv sump)
+            df = df + w * sump_j
         qr = int(model.reverse[q])
         val_at_j = roll3(f[q], shift) - df
+        if any_active:
+            val_at_j = val_at_j + dmas[iq]
+            inv = tuple(-int(v) for v in c)
+            fout = fout.at[q].add(roll3(dmas[iq], inv))
         fout = fout.at[qr].set(jnp.where(mj, val_at_j, fout[qr]))
 
     return fout, Vn, Wn, Mn, jnp.zeros((3,), dtype)

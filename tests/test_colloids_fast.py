@@ -156,3 +156,44 @@ def test_rr_fast_consolidated_matches_seeds():
         np.testing.assert_allclose(np.asarray(f2),
                                    np.asarray(fs).astype(dt),
                                    rtol=tol, atol=tol)
+
+
+def test_bbl_mxu_squirmers_match_oracle():
+    """Active (squirmer) suspensions on the MXU path: slip, active
+    mass conservation (sump/fc0/tc0) and the pass-2 terms match the
+    per-particle oracle (ref: bbl.c squirmer sections)."""
+    from ludwig_tpu.colloids_fast import bbl_step_mxu
+    size = (16, 16, 16)
+    cfg = LBConfig(size=size, nvel=19, eta_shear=0.1, dtype="float64")
+    rng = np.random.RandomState(5)
+    n = 3
+    R = jnp.asarray(rng.uniform(3, 13, (n, 3)))
+    V = jnp.asarray(0.01 * rng.standard_normal((n, 3)))
+    W = jnp.asarray(0.005 * rng.standard_normal((n, 3)))
+    m = rng.standard_normal((n, 3))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    params = ColloidParams(a0=(2.3,) * n, ah=(2.3,) * n,
+                           b1=(0.02, 0.01, 0.0), b2=(0.01, -0.005, 0.03),
+                           m=tuple(map(tuple, m)),
+                           types=("active",) * n)
+    model = cfg.model
+    f = initial_rest(cfg)
+    f = f + 1e-3 * jnp.asarray(rng.standard_normal(f.shape))
+    pid, inside = build_map(R, params, cfg.size)
+    from ludwig_tpu.colloids_fast import solid_body_u as sbu
+    ub = sbu(R, V, W, pid, inside, cfg.size, f.dtype)
+    f = refresh_inside(f, model, inside, ub)
+    M = jnp.asarray(m)
+
+    fa, Va, Wa, Ma, _ = bbl_step(f, R, V, W, model, params, cfg.size,
+                                 M=M)
+    fb, Vb, Wb, Mb, _ = bbl_step_mxu(f, R, V, W, model, params,
+                                     cfg.size, M=M)
+    np.testing.assert_allclose(np.asarray(Vb), np.asarray(Va),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(Wb), np.asarray(Wa),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(Mb), np.asarray(Ma),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(fa),
+                               rtol=1e-10, atol=1e-13)
