@@ -307,8 +307,9 @@ def make_binary_colloid_step(bcfg: BinaryConfig, params: ColloidParams,
         return (f, R, V, W, dr, Rmap, Msw, phi, u_new,
                 sg, sd), (rho, u_new)
 
-    def step(state, t=0):
-        return _step(state, t, int(t) % rebuild_freq == 0)
+    def step(state, t=0, rebuild=None):
+        return _step(state, t, int(t) % rebuild_freq == 0 if rebuild is None
+                     else rebuild)
 
     return step
 

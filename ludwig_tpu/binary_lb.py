@@ -329,8 +329,9 @@ def make_binary_lb_colloid_step(cfg: BinaryLBConfig, params,
         return (f, R, V, W, dr, Rmap, Msw, g, u_new, dphi,
                 sg, sd), (rho, u_new)
 
-    def step(state, t=0):
-        return _step(state, t, int(t) % rebuild_freq == 0)
+    def step(state, t=0, rebuild=None):
+        return _step(state, t, int(t) % rebuild_freq == 0 if rebuild is None
+                     else rebuild)
 
     return step
 

@@ -1304,7 +1304,7 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
     else:
         _call = jax.jit(_step, static_argnums=2, donate_argnums=0)
 
-    def step(state, t=0):
+    def step(state, t=0, rebuild=None):
         if len(state) == 6:   # legacy tuple without swim directions
             mm = (np.array(params.m, np.float64) if params.m
                   else np.tile([1.0, 0.0, 0.0], (params.n, 1)))
@@ -1317,7 +1317,8 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         if has_walls and state.gwall is None:
             state = state._replace(
                 gwall=jnp.zeros((3,), state.f.dtype))
-        return _call(state, t, int(t) % rebuild_freq == 0)
+        return _call(state, t, int(t) % rebuild_freq == 0 if rebuild is None
+                     else rebuild)
 
     return step
 

@@ -307,8 +307,9 @@ def make_electro_colloid_step(cfg: ElectroSimConfig, params: ColloidParams,
         return (f, R, V, W, dr, Rmap, Msw, psi, rho, u_new,
                 deltaq), (rho_lb, u_new)
 
-    def step(state, t=0):
-        return _step(state, t, int(t) % rebuild_freq == 0)
+    def step(state, t=0, rebuild=None):
+        return _step(state, t, int(t) % rebuild_freq == 0 if rebuild is None
+                     else rebuild)
 
     return step
 

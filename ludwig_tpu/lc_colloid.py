@@ -231,8 +231,9 @@ def make_lc_colloid_step(lcfg: LCConfig, params: ColloidParams,
             out = out + (gwall,)
         return out, (rho, u_new)
 
-    def step(state, t=0):
-        return _step(state, t, int(t) % rebuild_freq == 0)
+    def step(state, t=0, rebuild=None):
+        return _step(state, t, int(t) % rebuild_freq == 0 if rebuild is None
+                     else rebuild)
 
     return step
 

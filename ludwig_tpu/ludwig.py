@@ -3000,6 +3000,43 @@ def run_text(text: str, out=sys.stdout) -> System:
 
     _chunk_cache = {}
 
+    # non-fused production chaining: batch the steps between output
+    # events into one scanned program (same motivation as _fused_chain;
+    # per-step dispatch over the remote relay costs ~28 ms).  Colloid
+    # runs chain only with rebuild_freq == 1 (the rebuild branch is
+    # resolved statically per step otherwise).
+    _plain_state1 = (sys_.fused_mode is None and not sys_.is_colloid
+                     and sys_.wallspec is None and not sys_.is_electro
+                     and not sys_.is_binary_lb
+                     and not (sys_.is_binary or sys_.is_lc
+                              or sys_.is_two_field or sys_.is_droplet
+                              or sys_.is_polar)
+                     and not sys_.has_kiss)
+    _chain_ok = (sys_.fused_mode is None
+                 and (not sys_.is_colloid
+                      or rt.int("colloid_rebuild_freq", 1) == 1)
+                 and ahydro is None)
+    _jnp_chain_cache = {}
+
+    def _jnp_chain(state, n, t0):
+        fn = _jnp_chain_cache.get(n)
+        if fn is None:
+            from functools import partial as _p
+
+            @_p(jax.jit, donate_argnums=0)
+            def fn(st, t0_):
+                def body(s, tt):
+                    if sys_.is_colloid:
+                        return sys_.step_fn(s, tt, True)[0], ()
+                    if _plain_state1:
+                        return (sys_.step_fn(s[0], tt)[0],), ()
+                    return sys_.step_fn(s, tt)[0], ()
+                st, _ = jax.lax.scan(body, st, t0_ + jnp.arange(n))
+                return st
+
+            _jnp_chain_cache[n] = fn
+        return fn(state, jnp.asarray(t0))
+
     def _fused_chain(state, n, t0):
         """n fused steps as ONE scanned program (per-step dispatch over
         the remote relay costs ~0.2 s; production throughput needs the
@@ -3052,6 +3089,12 @@ def run_text(text: str, out=sys.stdout) -> System:
             _loop_outputs(t, state, u, prev)
             t += 1
             continue
+        if _chain_ok:
+            k = _event_gap(t)
+            if k > 1:
+                state = _jnp_chain(state, k - 1, t)
+                sys_.state = state
+                t += k - 1
         prev = _op_fields(state)
         if sys_.is_colloid:
             state, (rho, u) = sys_.step_fn(state, t)
