@@ -9,10 +9,13 @@ so the cost is O(nvel) lattice passes independent of N (ref: the same
 pass0/1/2 algorithm, bbl.c bbl_pass1/bbl_update_colloids/bbl_pass2;
 VERDICT round-1 'rescale colloids to suspensions').
 
-Scope: passive (non-squirmer) particles, periodic boundaries (no wall
-links), same corrections interface as colloids.bbl_step.  The slow path
-remains the reference-bitwise oracle for small N; equivalence is tested
-against it (tests/test_colloids_fast.py).
+Scope: the MXU flavour (bbl_step_mxu) covers passive AND active
+(squirmer) particles and wall-bounded suspensions (colloid-wall
+virtual links, lubrication drag diagonal); the plain segment-sum
+flavour (bbl_step_fast) covers passive periodic.  Same corrections
+interface as colloids.bbl_step.  The slow path remains the
+reference-bitwise oracle for small N; equivalence is tested against
+it (tests/test_colloids_fast.py).
 """
 
 from __future__ import annotations
@@ -962,7 +965,8 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
                  params: ColloidParams, size,
                  ext_force=None, ext_torque=None, rho0: float = 1.0,
                  deltam=None, f0_corr=None, t0_corr=None, M=None,
-                 pid_inside=None):
+                 pid_inside=None, walls=(False, False, False),
+                 wall_drag=None):
     """bbl_step_fast restructured for the MXU (same contract/values to
     f32 rounding; ref: bbl.c pass1/pass2, bbl_update_colloids:750-880).
 
@@ -1049,15 +1053,37 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
     # per-q columns at the inside site j (value of the link whose
     # fluid end is at j - c):  [S0, Sr(3), Sf, Sfr(3), Srr(6),
     # Scc, Sccr(3)] -> 18 columns
+    # colloid-wall links (LINK_BOUNDARY): a link whose fluid end sits
+    # on a walled face and wraps is a virtual momentum transfer with
+    # dm = w rho0 + f(j, ji) and no pass-2 write (ref: build.c:547,
+    # bbl.c pass1 'else'; same construction as colloids.build_links)
+    has_walls = any(walls)
+    crossq = {}
+    if has_walls:
+        for q in range(1, nvel):
+            c = model.cv[q]
+            crossnp = np.zeros(tuple(size), bool)
+            for a in range(3):
+                if walls[a] and int(c[a]) != 0:
+                    sel = [slice(None)] * 3
+                    sel[a] = (size[a] - 1) if int(c[a]) > 0 else 0
+                    crossnp[tuple(sel)] = True
+            crossq[q] = (jnp.asarray(crossnp) if crossnp.any()
+                         else None)
+
     cols = []
     percol = []          # bookkeeping: (q, kind) per column block
     rbxcs = []
     masks = []
     dmas = []
+    gw_acc = [jnp.zeros((), dtype) for _ in range(3)]
     for q in range(1, nvel):
         c = model.cv[q]
         shift = tuple(int(v) for v in c)
-        mj = jnp.logical_and(inside, roll3(fluid, shift)).astype(dtype)
+        fl_ok = fluid
+        if has_walls and crossq[q] is not None:
+            fl_ok = jnp.logical_and(fluid, jnp.logical_not(crossq[q]))
+        mj = jnp.logical_and(inside, roll3(fl_ok, shift)).astype(dtype)
         rbj = [d[a] - 0.5 * float(c[a]) for a in range(3)]
         rbxc = [rbj[1] * float(c[2]) - rbj[2] * float(c[1]),
                 rbj[2] * float(c[0]) - rbj[0] * float(c[2]),
@@ -1067,6 +1093,20 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
             jnp.logical_and(inside, roll3(inside, shift)),
             roll3(pid, shift) != pid).astype(dtype)
         dmcc = fqr + f[int(model.reverse[q])]
+        if has_walls and crossq[q] is not None:
+            # fold the colloid-wall virtual links into the cc columns
+            # (same downstream treatment: f0/t0 only, no zeta)
+            w_ = float(model.wv[q])
+            mw = jnp.logical_and(inside,
+                                 roll3(crossq[q], shift)).astype(dtype)
+            dmw = w_ * rho0 + f[int(model.reverse[q])]
+            mcc = mcc + mw
+            dmcc = jnp.where(mw > 0.0, dmw, dmcc)
+            for a in range(3):
+                ca = float(model.cv[q][a])
+                if ca:
+                    gw_acc[a] = gw_acc[a] - ca * jnp.sum(
+                        mw * (dmw - 2.0 * w_))
         qc = [mj]
         qc += [mj * rbxc[a] for a in range(3)]
         qc.append(mj * fqr)
@@ -1172,6 +1212,12 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
     A = zeta + jax.vmap(jnp.diag)(
         jnp.concatenate([jnp.tile(mass[:, None], (1, 3)),
                          jnp.tile(moment[:, None], (1, 3))], axis=1))
+    if wall_drag is not None:
+        # wall lubrication correction on the translational diagonal
+        # (ref: bbl.c:789-805 a[i][i] = mass + zeta - dwall)
+        A = A - jax.vmap(jnp.diag)(
+            jnp.concatenate([wall_drag,
+                             jnp.zeros((N, 3), dtype)], axis=1))
     fe = (jnp.zeros((N, 3), dtype) if ext_force is None else ext_force)
     te = (jnp.zeros((N, 3), dtype) if ext_torque is None
           else ext_torque)
@@ -1223,4 +1269,4 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
             fout = fout.at[q].add(roll3(dmas[iq], inv))
         fout = fout.at[qr].set(jnp.where(mj, val_at_j, fout[qr]))
 
-    return fout, Vn, Wn, Mn, jnp.zeros((3,), dtype)
+    return fout, Vn, Wn, Mn, jnp.stack(gw_acc)

@@ -197,3 +197,45 @@ def test_bbl_mxu_squirmers_match_oracle():
                                rtol=1e-10, atol=1e-13)
     np.testing.assert_allclose(np.asarray(fb), np.asarray(fa),
                                rtol=1e-10, atol=1e-13)
+
+
+def test_bbl_mxu_walls_match_oracle():
+    """Wall-bounded suspensions on the MXU path: colloid-wall virtual
+    links, wall momentum account and the lubrication drag diagonal
+    match the per-particle oracle (ref: bbl.c pass1 'else' branch,
+    :789-805 wall drag)."""
+    from ludwig_tpu.colloids_fast import bbl_step_mxu
+    size = (16, 16, 16)
+    cfg = LBConfig(size=size, nvel=19, eta_shear=0.1, dtype="float64")
+    rng = np.random.RandomState(9)
+    n = 3
+    # one particle close to the x wall so wall links exist
+    R = jnp.asarray(np.array([[2.6, 8.0, 8.0],
+                              [13.4, 5.0, 11.0],
+                              [8.0, 12.0, 4.0]]))
+    V = jnp.asarray(0.01 * rng.standard_normal((n, 3)))
+    W = jnp.asarray(0.005 * rng.standard_normal((n, 3)))
+    params = ColloidParams(a0=(2.3,) * n, ah=(2.3,) * n)
+    model = cfg.model
+    f = initial_rest(cfg)
+    f = f + 1e-3 * jnp.asarray(rng.standard_normal(f.shape))
+    pid, inside = build_map(R, params, cfg.size)
+    from ludwig_tpu.colloids_fast import solid_body_u as sbu
+    ub = sbu(R, V, W, pid, inside, cfg.size, f.dtype)
+    f = refresh_inside(f, model, inside, ub)
+    walls = (True, False, False)
+    dwall = jnp.asarray(rng.uniform(-0.2, 0.0, (n, 3)))
+
+    fa, Va, Wa, _, gwa = bbl_step(f, R, V, W, model, params, cfg.size,
+                                  walls=walls, wall_drag=dwall)
+    fb, Vb, Wb, _, gwb = bbl_step_mxu(f, R, V, W, model, params,
+                                      cfg.size, walls=walls,
+                                      wall_drag=dwall)
+    np.testing.assert_allclose(np.asarray(Vb), np.asarray(Va),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(Wb), np.asarray(Wa),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(gwb), np.asarray(gwa),
+                               rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(fa),
+                               rtol=1e-10, atol=1e-13)
