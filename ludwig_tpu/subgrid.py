@@ -154,7 +154,10 @@ def make_subgrid_step(cfg, params, al, force_fn=None, rng0=None):
                 and rng0 is not None)
 
     @partial(jax.jit, donate_argnums=0)
-    def step(state, t=0):
+    def step(state, t=0, rebuild=None):
+        # rebuild accepted for chain-call uniformity (subgrid particles
+        # have no map/link rebuild); del: unused
+        del rebuild
         from ludwig_tpu.lb import _noise_terms
         f, R, V = state[0], state[1], state[2]
         if kiss_rho:
