@@ -199,10 +199,86 @@ def _bench_fused_cli(mode):
     }
 
 
+def bench_lc_le(n=128):
+    """Sheared blue phase: fused two-kernel LC step + LE column fixes
+    (the SC16 benchmark's scientific config, sheared; ref:
+    model_le.c:57 + the q-tensor branch of ludwig.c)."""
+    from ludwig_tpu.fe import lc_init
+    from ludwig_tpu.fe.blue_phase import BluePhaseFE
+    from ludwig_tpu.lb import LBConfig
+    from ludwig_tpu.lc import LCConfig
+    from ludwig_tpu.ops.fused import FusedPlan, pad_state
+    from ludwig_tpu.ops.fused_lc import (LCPlan, make_fused_lc_le_step,
+                                         pad_q)
+    from ludwig_tpu.ops.lees_edwards import (LeesEdwardsConfig,
+                                             le_init_shear_profile)
+    N = (n, n, n)
+    cfg = LBConfig(size=N, nvel=19, eta_shear=0.5, dtype="float32")
+    fe = BluePhaseFE(a0=0.0069, gamma=3.0, q0=0.19635,
+                     kappa0=0.02, kappa1=0.02, xi=0.7)
+    lcfg = LCConfig(lb=cfg, fe=fe, gamma=0.5, advection_order=1,
+                    gradient="3d_7pt_fluid")
+    le = LeesEdwardsConfig(nplanes=4, uy=0.05, nx=N[0])
+    q5 = jnp.asarray(lc_init.lc_init_o8m(N, 0.3, -0.2), cfg.jdtype)
+    holder = {"s": (pad_state(le_init_shear_profile(cfg, le)),
+                    pad_q(q5), jnp.zeros((3,) + N, cfg.jdtype))}
+    step = make_fused_lc_le_step(lcfg, le, LCPlan(8, 32),
+                                 lb_plan=FusedPlan(16, 32))
+    tt = {"t": 1}
+
+    def once():
+        for _ in range(10):
+            holder["s"] = step(holder["s"], tt["t"])
+            tt["t"] += 1
+        return holder["s"][2]
+
+    dt = measure(once) / 10.0
+    return {"metric": f"LC blue phase {n}^3 fused + LE (4 planes)",
+            "value": round(dt * 1e3, 2), "unit": "ms/step",
+            "mlups": round(float(np.prod(N)) / dt / 1e6, 1)}
+
+
+def bench_squirmers():
+    """Active suspension: N=1000 squirmers (b1=0.02) at 64^3, full
+    step on the MXU BBL path (ref: bbl.c squirmer sections)."""
+    from ludwig_tpu.colloids import (ColloidParams, ColloidState,
+                                     make_colloid_step)
+    from ludwig_tpu.lb import LBConfig, initial_rest
+    size = (64, 64, 64)
+    N = 1000
+    cfg = LBConfig(size=size, nvel=19, eta_shear=0.1, dtype="float32")
+    rng = np.random.RandomState(3)
+    m = rng.standard_normal((N, 3))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    params = ColloidParams(a0=(2.3,) * N, ah=(2.3,) * N,
+                           b1=(0.02,) * N, b2=(0.01,) * N,
+                           m=tuple(map(tuple, m)), types=("active",) * N)
+    g = (np.indices((10, 10, 10)).reshape(3, -1).T + 0.5) * 6.4
+    R = jnp.asarray(g + rng.uniform(-1.0, 1.0, g.shape), cfg.jdtype)
+    z3 = jnp.zeros((N, 3), cfg.jdtype)
+    holder = {"s": ColloidState(initial_rest(cfg), R, z3, z3, z3,
+                                jnp.array(R),
+                                jnp.asarray(m, cfg.jdtype))}
+    step = make_colloid_step(cfg, params, rebuild_freq=1)
+
+    def once():
+        for _ in range(10):
+            holder["s"], _ = step(holder["s"], 1)
+        return holder["s"].f
+
+    dt = measure(once) / 10.0
+    return {"metric": "squirmer suspension N=1000 b1=0.02 64^3 "
+                      "full step", "value": round(dt * 1e3, 2),
+            "unit": "ms/step"}
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "suspension"
     fn = {"suspension": bench_suspension,
           "electro": bench_electro,
+          "squirmers": bench_squirmers,
+          "lcle": bench_lc_le,
+          "lcle256": lambda: bench_lc_le(256),
           "wall": lambda: _bench_fused_cli("wall"),
           "le": lambda: _bench_fused_cli("le")}[which]
     print(json.dumps(fn()))
