@@ -1,0 +1,1401 @@
+"""Full reference-log init/report surface.
+
+The reference regression contract diffs the COMPLETE filtered log
+(ref: tests/test.sh:34-67, tests/test-diff.sh:80-137): besides the
+statistics blocks, every init report counts - the system/decomposition
+block (ref: src/coords.c:281-317), the free-energy parameter reports
+(ref: src/ludwig.c:1147-2010 and the per-FE *_rt.c info functions), the
+lattice/collision/hydrodynamics blocks (ref: src/distribution_rt.c:215,
+src/collision_rt.c:107, src/hydro_rt.c:48), walls/colloids/electro
+reports, and the closing "Ludwig finished normally." (ref: src/pe.c:136).
+
+This module renders that surface from the parsed input (RunTime) plus
+the built System.  Formats follow the reference's printf strings
+byte-for-byte (python's ``%`` operator shares C printf semantics);
+where committed logs span reference vintages with different formats,
+the `_log_vintage` hint (major*100 + minor, sniffed from the committed
+log by the golden harness) selects the right one.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+class InitLog:
+    """Emit the init surface, in the reference's ludwig_rt order
+    (ref: src/ludwig.c:204-440)."""
+
+    def __init__(self, rt, sys_, out):
+        self.rt = rt
+        self.sys = sys_
+        self.out = out
+        self.sigma_cal = None    # stats_sigma banner hook (run_text)
+        self.ahydro = None       # stats_ahydro banner hook (run_text)
+        # vintage = major*100 + minor of the log being reproduced
+        # (v0.12.0 -> 12); defaults to the newest reference era
+        self.v = rt.int("_log_vintage", 20)
+        self.size = tuple(sys_.lb_cfg.size)
+        self.fe_name = rt.string("free_energy", "none")
+        g = rt.int_vector("_mpi_grid", (1, 1, 1))
+        self.grid = tuple(g)
+
+    def w(self, fmt, *args):
+        self.out.write((fmt % args) if args else fmt)
+
+    # -- top-level ---------------------------------------------------------
+
+    def emit(self):
+        rt = self.rt
+        self.welcome()
+        self.free_energy_and_system()   # ref: free_energy_init_rt
+        self.system_properties()        # ref: physics_info
+        self.lb_distributions()         # ref: lb_run_time
+        self.collision()                # ref: collision_run_time
+        self.porous_media()             # ref: map_init_rt
+        self.random_seed()              # ref: ran_init_rt (ran.c:73-76)
+        self.hydrodynamics()            # ref: hydro_rt
+        self.open_bc()                  # ref: lb_bc_open_rt
+        self.op_io_and_advection()      # ref: ludwig.c:264-274
+        self.phi_init_notes()           # ref: fe_*_phi_init_rt
+        self.psi_init()                 # ref: psi advection + rho init
+        self.walls()                    # ref: wall_rt_init
+        self.colloids()                 # ref: colloids_init_rt
+        if rt.int("N_start", 0) > 0:
+            self.restart_reads()        # ref: ludwig.c:328-369
+        else:
+            self.initial_distribution()  # ref: lb_rt_initial_conditions
+        self.gradient()                 # ref: gradient_rt_init
+        self.calibration()              # ref: stats_ahydro/stats_sigma
+        self.q_init_notes()             # ref: blue_phase_rt_initial_...
+        self.electroneutrality()        # ref: ludwig.c:422
+        self.w("\nInitial conditions.\n")
+
+    def tail(self):
+        """Closing lines after the timer table (ref: runtime.c:167
+        rt_report_unused_keys + pe.c:136)."""
+        unused = self.rt.unused_keys()
+        if unused:
+            self.w("Warning: key/value present in input but not used:\n")
+            for k in unused:
+                self.w("(Line %d): %s\n", self.rt.lineno(k), k)
+        self.w("Ludwig finished normally.\n")
+
+    # -- blocks ------------------------------------------------------------
+
+    def welcome(self):
+        # every line here is on the test-diff.sh strip list; emitted for
+        # log shape only (ref: pe.c banner, runtime.c:231)
+        import ludwig_tpu
+        self.w("Welcome to Ludwig (ludwig_tpu v%s TPU-native rebuild)\n\n",
+               ludwig_tpu.__version__)
+        name = self.rt.string("_inp_name", "input")
+        self.w("Read %d user parameters from %s\n\n", self.rt.nkeys, name)
+
+    def nhalo(self):
+        """Coordinate-system halo width: set per free energy
+        (ref: ludwig.c:1152-1842 cs_nhalo_set calls)."""
+        fe = self.fe_name
+        if fe in ("none",):
+            return 1
+        if fe == "symmetric_noise":
+            return 3
+        if fe == "symmetric_lb":
+            return 1
+        if fe == "brazovskii":
+            return 3
+        if fe == "fe_electro":
+            # ref: ludwig.c:1758-1783 (gradmu correction -> nhalo 1)
+            method = self.rt.string("fe_force_method", "")
+            if method == "phi_gradmu_correction":
+                return 1
+            return 2
+        return 2
+
+    def free_energy_and_system(self):
+        fe = self.fe_name
+        if fe == "none":
+            self.w("\nNo free energy selected\n")
+            self.system_details()
+            self.lees_edwards()
+            return
+        self.system_details()
+        self.lees_edwards()
+        if fe in ("symmetric", "symmetric_noise", "symmetric_lb"):
+            self.w("\nFree energy details\n-------------------\n\n")
+            self.fe_symmetric()
+        elif fe == "brazovskii":
+            self.w("\nFree energy details\n-------------------\n\n")
+            self.fe_brazovskii()
+        elif fe == "surfactant":
+            self.w("\nSurfactant free energy\n----------------------\n")
+            self.fe_surfactant()
+        elif fe == "ternary":
+            self.w("\nTernary free energy\n-------------------\n")
+            self.fe_ternary()
+        elif fe == "polar_active":
+            self.w("\nFree energy details\n-------------------\n\n")
+            self.fe_polar()
+        elif fe == "lc_blue_phase":
+            self.w("\nFree energy details\n-------------------\n\n")
+            self.fe_lc()
+        elif fe == "lc_droplet":
+            self.w("\nFree energy details\n-------------------\n\n")
+            self.fe_lc_droplet()
+        elif fe == "fe_electro":
+            self.w("\nFree energy details\n-------------------\n\n")
+            self.fe_electro()
+        elif fe == "fe_electro_symmetric":
+            self.fe_electro_symmetric()
+
+    def system_details(self):
+        # ref: coords.c:281-317 cs_info
+        sz, g = self.size, self.grid
+        self.w("\nSystem details\n--------------\n")
+        self.w("System size:    %d %d %d\n", *sz)
+        self.w("Decomposition:  %d %d %d\n", *g)
+        self.w("Local domain:   %d %d %d\n",
+               sz[0] // g[0], sz[1] // g[1], sz[2] // g[2])
+        self.w("Periodic:       %d %d %d\n", *self.periodic())
+        self.w("Halo nhalo:     %d\n", self.nhalo())
+        self.w("Reorder:        true\n")
+        self.w("Initialised:    1\n")
+
+    def periodic(self):
+        # ref: coords_rt.c:41 user periodicity; wall_rt overrides are
+        # applied before cs_info in practice via input convention: the
+        # committed inputs always set `periodicity` alongside walls
+        p = self.rt.int_vector("periodicity", (1, 1, 1))
+        return tuple(int(bool(x)) for x in p)
+
+    def lees_edwards(self):
+        # ref: leesedwards.c lees_edw_info
+        n = self.rt.int("N_LE_plane", 0)
+        if n <= 0:
+            return
+        uy = self.rt.double("LE_plane_vel", 0.0)
+        self.w("\nLees-Edwards boundary conditions are active:\n")
+        nx = self.size[0]
+        for p in range(n):
+            x0 = nx // (2 * n) + p * (nx // n)
+            self.w("LE plane %d is at x = %d with speed %f\n",
+                   p + 1, x0, uy)
+        self.w("Overall shear rate = %f\n", uy * n / nx)
+        self.w("\nLees-Edwards time offset (time steps):        %d\n",
+               self.rt.int("LE_time_offset", 0))
+
+    # -- free-energy parameter reports ------------------------------------
+
+    def fe_symmetric(self):
+        rt = self.rt
+        self.w("Symmetric phi^4 free energy selected.\n\n")
+        a = rt.double("A", 0.0)
+        b = rt.double("B", 0.0)
+        kappa = rt.double("K", 0.0)
+        self.w("Parameters:\n")
+        self.w("Bulk parameter A      = %12.5e\n", a)
+        self.w("Bulk parameter B      = %12.5e\n", b)
+        self.w("Surface penalty kappa = %12.5e\n", kappa)
+        sigma = math.sqrt(-8.0 * kappa * a ** 3 / (9.0 * b * b))
+        xi = math.sqrt(-2.0 * kappa / a)
+        self.w("Surface tension       = %12.5e\n", sigma)
+        self.w("Interfacial width     = %12.5e\n", xi)
+        self.wetting_report()
+        if self.fe_name == "symmetric_lb":
+            self.w("\nUsing full lattice Boltzmann solver for "
+                   "Cahn-Hilliard:\n")
+            self.w("Mobility M            = %12.5e\n",
+                   rt.double("mobility", 0.0))
+        else:
+            self.w("\nUsing Cahn-Hilliard finite difference solver.\n")
+            self.w("Mobility M            = %12.5e\n",
+                   rt.double("mobility", 0.0))
+            noise_on = rt.int("fd_phi_fluctuations", 0)
+            self.w("Order parameter noise = %3s\n",
+                   "off" if noise_on == 0 else " on")
+            self.force_calculation("stress_divergence")
+
+    def wetting_report(self):
+        # ref: symmetric_rt.c:130-140 (uniform wetting from C/H keys)
+        rt = self.rt
+        c = rt.double("symmetric_c", None)
+        h = rt.double("symmetric_h", None)
+        if c is None and h is None:
+            return
+        c = c or 0.0
+        h = h or 0.0
+        a = rt.double("A", 0.0)
+        b = rt.double("B", 0.0)
+        kappa = rt.double("K", 0.0)
+        # ref: symmetric_rt.c:121-139
+        hh = h / math.sqrt(-a * kappa)
+        costh = 0.5 * ((1.0 + hh) ** 1.5 - (1.0 - hh) ** 1.5)
+        theta = math.degrees(math.acos(costh))
+        self.w("Surface parameter C      = %12.5e\n", c)
+        self.w("Surface parameter H      = %12.5e\n", h)
+        self.w("Dimensionless h          = %12.5e\n", hh)
+        self.w("Uniform wetting angle    = %12.5e degrees\n", theta)
+
+    def force_calculation(self, default):
+        # ref: phi_force.c fe_force_method_to_string via ludwig.c FE
+        # blocks; string names fe_force_method.h
+        method = self.rt.string("fe_force_method", None)
+        names = {
+            None: default,
+            "no_force": "none",
+            "stress_divergence": "stress_divergence",
+            "phi_gradmu": "phi_gradmu",
+            "phi_gradmu_correction": "phi_gradmu_correction",
+            "relaxation_symmetric": "relaxation_symmetric",
+            "relaxation_antisymmetric": "relaxation_antisymmetric",
+        }
+        name = names.get(method, method)
+        if self.v < 8:
+            # older logs: "Force calculation:      divergence method"
+            old = {"stress_divergence": "divergence method"}
+            name = old.get(name, name)
+        self.w("Force calculation:      %s\n", name)
+
+    def fe_brazovskii(self):
+        rt = self.rt
+        self.w("Brazovskii free energy selected.\n\n")
+        a = rt.double("A", 0.0)
+        b = rt.double("B", 0.0)
+        c = rt.double("C", 0.0)
+        kappa = rt.double("K", 0.0)
+        self.w("Brazovskii free energy parameters:\n")
+        self.w("Bulk parameter A      = %12.5e\n", a)
+        self.w("Bulk parameter B      = %12.5e\n", b)
+        self.w("Ext. parameter C      = %12.5e\n", c)
+        self.w("Surface penalty kappa = %12.5e\n", kappa)
+        lam = 2.0 * math.pi / math.sqrt(-kappa / (2.0 * c))
+        amp = math.sqrt((4.0 / 3.0) * (1.0 + kappa * kappa
+                                       / (4.0 * b * c)))
+        self.w("Wavelength 2pi/q_0    = %12.5e\n", lam)
+        self.w("Amplitude             = %12.5e\n", amp)
+        self.w("\nUsing Cahn-Hilliard solver:\n")
+        self.w("Mobility M            = %12.5e\n",
+               rt.double("mobility", 0.0))
+        self.force_calculation("stress_divergence")
+
+    def fe_surfactant(self):
+        # ref: surfactant.c:170-192 fe_surf_info
+        rt = self.rt
+        a = rt.double("surf_A", 0.0)
+        b = rt.double("surf_B", 0.0)
+        kappa = rt.double("surf_kappa", 0.0)
+        kt = rt.double("surf_kT", 0.0)
+        eps = rt.double("surf_epsilon", 0.0)
+        beta = rt.double("surf_beta", 0.0)
+        w = rt.double("surf_W", 0.0)
+        self.w("\nSurfactant free energy parameters:\n")
+        self.w("Bulk parameter A      = %12.5e\n", a)
+        self.w("Bulk parameter B      = %12.5e\n", b)
+        self.w("Surface penalty kappa = %12.5e\n", kappa)
+        self.w("Scale energy kT       = %12.5e\n", kt)
+        self.w("Surface adsorption e  = %12.5e\n", eps)
+        self.w("Surface psi^2 beta    = %12.5e\n", beta)
+        self.w("Enthalpic term W      = %12.5e\n", w)
+        sigma = math.sqrt(-8.0 * kappa * a ** 3 / (9.0 * b * b))
+        xi0 = math.sqrt(-2.0 * kappa / a)
+        psi_c = math.exp(0.5 * eps / (kt * xi0 * xi0))
+        self.w("\nDerived quantities\n")
+        self.w("Interfacial tension   = %12.5e\n", sigma)
+        self.w("Interfacial width     = %12.5e\n", xi0)
+        self.w("Langmuir isotherm     = %12.5e\n", psi_c)
+        self.ch_two_field(("phi", "psi"),
+                          (self.rt.double("surf_mobility_phi", None),
+                           self.rt.double("surf_mobility_psi", None)))
+
+    def ch_two_field(self, names, mob):
+        # ref: ludwig.c:1395-1420 + cahn_hilliard.c ch_info
+        self.w("\nUsing Cahn-Hilliard solver:\n")
+        self.w("Number of fields      =  %d\n", 2)
+        self.w("Mobility (%s)        = %12.5e\n", names[0], mob[0])
+        self.w("Mobility (%s)        = %12.5e\n", names[1], mob[1])
+        self.force_calculation("stress_divergence")
+
+    def fe_ternary(self):
+        # ref: fe_ternary.c:190-230 fe_ternary_info
+        rt = self.rt
+        alpha = rt.double("ternary_alpha", 0.0)
+        k1 = rt.double("ternary_kappa1", 0.0)
+        k2 = rt.double("ternary_kappa2", 0.0)
+        k3 = rt.double("ternary_kappa3", 0.0)
+        self.w("\nTernary free energy parameters:\n")
+        self.w("Surface penalty kappa1 = %12.5e\n", k1)
+        self.w("Surface penalty kappa2 = %12.5e\n", k2)
+        self.w("Surface penalty kappa3 = %12.5e\n", k3)
+        self.w("Interface width alpha  = %12.5e\n", alpha)
+        s12 = alpha * (k1 + k2) / 6.0
+        s23 = alpha * (k2 + k3) / 6.0
+        s13 = alpha * (k1 + k3) / 6.0
+        self.w("\nDerived quantities\n")
+        self.w("Interfacial tension 12 = %12.5e\n", s12)
+        self.w("Interfacial tension 23 = %12.5e\n", s23)
+        self.w("Interfacial tension 13 = %12.5e\n", s13)
+
+        def angle(sa, sb, sc):
+            # ref: fe_ternary.c:328-350 cosine rule at the contact line
+            c = (sa * sa + sb * sb - sc * sc) / (2.0 * sa * sb)
+            return math.degrees(math.pi - math.acos(c))
+        self.w("Equilibrium angle    1 = %12.5e\n", angle(s12, s13, s23))
+        self.w("Equilibrium angle    2 = %12.5e\n", angle(s12, s23, s13))
+        self.w("Equilibrium angle    3 = %12.5e\n", angle(s13, s23, s12))
+        h1 = rt.double("ternary_h1", 0.0)
+        h2 = rt.double("ternary_h2", 0.0)
+        if h1 > 0.0 or h2 > 0.0:
+            h3 = -k3 * (h1 / k1 + h2 / k2)
+            self.w("Wetting parameter   h1 = %12.5e\n", h1)
+            self.w("Wetting parameter   h2 = %12.5e\n", h2)
+            self.w("Wetting parameter   h3 = %12.5e\n", h3)
+        self.ch_two_field(("phi", "psi"),
+                          (self.rt.double("ternary_mobility_phi", None),
+                           self.rt.double("ternary_mobility_psi", None)))
+
+    def fe_polar(self):
+        # ref: polar_active_rt.c:44-66
+        rt = self.rt
+        self.w("Polar active free energy selected.\n")
+        a = rt.double("polar_active_a", 0.0)
+        b = rt.double("polar_active_b", 0.0)
+        k = rt.double("polar_active_k", 0.0)
+        klc = rt.double("polar_active_klc", 0.0)
+        zeta = rt.double("polar_active_zeta", 0.0)
+        lmbda = rt.double("polar_active_lambda", 0.0)
+        self.w("\nParameters:\n")
+        self.w("Quadratic term a     = %14.7e\n", a)
+        self.w("Quartic term b       = %14.7e\n", b)
+        self.w("Elastic constant k   = %14.7e\n", k)
+        if self.v >= 12:
+            self.w("Elastic constant dk  = %14.7e\n",
+                   rt.double("polar_active_dk", 0.0))
+        self.w("Elastic constant klc = %14.7e\n", klc)
+        self.w("Activity zeta        = %14.7e\n", zeta)
+        self.w("Lambda               = %14.7e\n", lmbda)
+        # Leslie-Ericksen block (ref: leslie_ericksen rt in ludwig.c)
+        self.w("\nUsing Leslie-Ericksen solver:\n")
+        self.w("Rotational diffusion     = %14.7e\n",
+               rt.double("leslie_ericksen_gamma", 0.0))
+        self.w("Self-advection parameter = %14.7e\n",
+               rt.double("leslie_ericksen_swim", 0.0))
+        self.force_calculation("stress_divergence")
+
+    def fe_lc(self, droplet=False):
+        # ref: blue_phase_rt.c:79-420 (parameter report, anchoring
+        # block in its "two" or "s7" era form, Beris-Edwards)
+        rt = self.rt
+        self.w("Blue phase free energy selected.\n")
+        a0 = rt.double("lc_a0", 0.0)
+        gamma = rt.double("lc_gamma", 0.0)
+        q0 = rt.double("lc_q0", 0.0)
+        kappa0 = rt.double("lc_kappa0", 0.0)
+        kappa1 = rt.double("lc_kappa1", 0.0)
+        xi = rt.double("lc_xi", 0.0)
+        amp = rt.double("lc_q_init_amplitude", 0.0)
+        redshift = rt.double("lc_init_redshift", 1.0)
+        red_up = rt.int("lc_redshift_update", 0)
+        self.w("\nLiquid crystal blue phase free energy\n")
+        self.w("Bulk parameter A0:         = %14.7e\n", a0)
+        self.w("Magnitude of order gamma   = %14.7e\n", gamma)
+        self.w("Pitch wavevector q0        = %14.7e\n", q0)
+        self.w("... gives pitch length     = %14.7e\n",
+               2.0 * math.pi / q0 if q0 != 0.0 else math.inf)
+        self.w("Elastic constant kappa0    = %14.7e\n", kappa0)
+        self.w("Elastic constant kappa1    = %14.7e\n", kappa1)
+        self.w("Amplitude (uniaxial) order = %14.7e\n", amp)
+        ck = math.sqrt(108.0 * kappa0 * q0 * q0 / (a0 * gamma))
+        tred = 27.0 * (1.0 - gamma / 3.0) / gamma
+        self.w("Effective aspect ratio xi  = %14.7e\n", xi)
+        self.w("Chirality                  = %14.7e\n", ck)
+        self.w("Reduced temperature        = %14.7e\n", tred)
+        self.w("Initial redshift           = %14.7e\n", redshift)
+        self.w("Dynamic redshift update    = %14s\n",
+               "no" if red_up == 0 else "yes")
+        if self.v <= 2:
+            self.w("LC activity constant zeta  = %14.7e\n",
+                   rt.double("lc_active_zeta", 0.0))
+        else:
+            active = rt.switch("lc_activity", False)
+            self.w("Liquid crystal activity      %14s\n",
+                   "No" if not active else "Yes")
+            if active:
+                self.w("Activity constant zeta0    = %14.7e\n",
+                       rt.double("lc_active_zeta0", 0.0))
+                self.w("Activity constant zeta1    = %14.7e\n",
+                       rt.double("lc_active_zeta1", 0.0))
+                self.w("Activity constant zeta2    = %14.7e\n",
+                       rt.double("lc_active_zeta2", 0.0))
+        if rt.string("electric_e0") is not None:
+            # ref: blue_phase_rt.c:182-189 + fe_lc dimensionless field
+            eps = rt.double("lc_dielectric_anisotropy", 0.0)
+            e0 = rt.double_vector("electric_e0", (0.0, 0.0, 0.0))
+            e2 = sum(x * x for x in e0)
+            # ref: blue_phase.c fe_lc_dimensionless_field_strength
+            ered = math.sqrt(27.0 * eps * e2
+                             / (32.0 * math.pi * a0 * gamma))
+            self.w("Dielectric anisotropy      = %14.7e\n", eps)
+            self.w("Dimensionless field e      = %14.7e\n", ered)
+        self.lc_anchoring(kappa0, gamma)
+        self.w("\nUsing Beris-Edwards solver:\n")
+        self.w("Rotational diffusion const = %14.7e\n",
+               rt.double("lc_Gamma", 0.0))
+        if not droplet and self.v >= 7:
+            noise = rt.int("lc_noise", 0)
+            self.w("LC fluctuations:           =  %s\n",
+                   "off" if noise == 0 else "on")
+
+    def lc_amplitude(self, gamma):
+        # ref: blue_phase.c:1376-1384 fe_lc_amplitude_compute
+        return (2.0 / 3.0) * (0.25 + 0.75 * math.sqrt(
+            1.0 - 8.0 / (3.0 * gamma)))
+
+    def lc_anchoring(self, kappa0, gamma):
+        rt = self.rt
+        method = rt.string("lc_anchoring_method", None)
+        if method == "two" or (method is None and 3 <= self.v < 14):
+            if method is None and not (
+                    rt.string("lc_coll_anchoring")
+                    or rt.string("lc_wall_anchoring")
+                    or rt.string("lc_anchoring_strength")
+                    or self.v >= 7):
+                return
+            # ref: blue_phase_rt.c:249-381 ("two" era block)
+            tcoll = rt.string("lc_coll_anchoring", "none")
+            twall = rt.string("lc_wall_anchoring", tcoll)
+            w1 = rt.double("lc_anchoring_strength", 0.0)
+            w2 = rt.double("lc_anchoring_strength_2", 0.0)
+            w1_wall, w2_wall = 0.0, 0.0
+            if twall == "normal":
+                w1_wall, w2_wall = w1, 0.0
+            elif twall == "planar":
+                w1_wall, w2_wall = w1, w2
+            elif twall == "fixed":
+                w1_wall, w2_wall = w1, 0.0
+            if tcoll in ("normal", "fixed"):
+                w2 = 0.0
+            wc = rt.double("lc_anchoring_strength_colloid", None)
+            if wc is not None:
+                w1 = wc
+                w2 = {"normal": 0.0, "planar": wc,
+                      "fixed": 0.0}.get(tcoll, w2)
+            ww = rt.double("lc_anchoring_strength_wall", None)
+            if ww is not None:
+                w1_wall = ww
+                w2_wall = {"normal": 0.0, "planar": ww,
+                           "fixed": 0.0}.get(twall, w2_wall)
+            self.w("\nLiquid crystal anchoring\n")
+            self.w("Anchoring method:          = %14s\n", "two")
+            self.w("Anchoring type (colloids): = %14s\n", tcoll)
+            self.w("Anchoring type (walls):          = %14s\n", twall)
+            self.w("Surface free energy (colloid)w1: = %14.7e\n", w1)
+            self.w("Surface free energy (colloid)w2: = %14.7e\n", w2)
+            self.w("Surface free energy (wall) w1:   = %14.7e\n",
+                   w1_wall)
+            self.w("Surface free energy (wall) w2:   = %14.7e\n",
+                   w2_wall)
+            self.w("Ratio (colloid) w1/kappa0:       = %14.7e\n",
+                   w1 / kappa0)
+            self.w("Ratio (wall) w1/kappa0:          = %14.7e\n",
+                   w1_wall / kappa0)
+            self.w("Computed surface order f(gamma)  = %14.7e\n",
+                   self.lc_amplitude(gamma))
+            if twall == "fixed":
+                nfix = rt.double_vector("lc_wall_fixed_orientation",
+                                        (0.0, 1.0, 0.0))
+                r = math.sqrt(sum(x * x for x in nfix))
+                self.w("Wall fixed anchoring orientation = "
+                       "%14.7e %14.7e %14.7e\n",
+                       *[x / r for x in nfix])
+        elif self.v >= 14 or method == "s7":
+            # ref: blue_phase_rt.c:200-246 (s7 era: separate blocks,
+            # only for anchorings actually set)
+            twall = rt.string("lc_wall_anchoring", None)
+            if twall:
+                self.w("\nLiquid crystal anchoring:\n")
+                self.w("Wall anchoring type:          %s\n", twall)
+                if twall == "fixed":
+                    nfix = rt.double_vector(
+                        "lc_wall_fixed_orientation", (0.0, 1.0, 0.0))
+                    r = math.sqrt(sum(x * x for x in nfix))
+                    self.w("Preferred orientation:       "
+                           "%14.7e %14.7e %14.7e\n",
+                           *[x / r for x in nfix])
+                self.w("Wall anchoring w1:           %14.7e\n",
+                       rt.double("lc_wall_anchoring_w1", 0.0))
+                if twall == "planar":
+                    self.w("Wall anchoring w2:           %14.7e\n",
+                           rt.double("lc_wall_anchoring_w2", 0.0))
+            tcoll = rt.string("lc_coll_anchoring", None)
+            if tcoll:
+                self.w("\nLiquid crystal anchoring:\n")
+                self.w("Colloid anchoring type:       %s\n", tcoll)
+                self.w("Colloid anchoring w1:        %14.7e\n",
+                       rt.double("lc_coll_anchoring_w1", 0.0))
+                if tcoll == "planar":
+                    self.w("Colloid anchoring w2:        %14.7e\n",
+                           rt.double("lc_coll_anchoring_w2", 0.0))
+
+    def fe_lc_droplet(self):
+        # ref: ludwig.c lc_droplet block: symmetric FE block, then LC
+        # block, then the droplet coupling (lc_droplet_rt.c:36-50)
+        rt = self.rt
+        self.fe_symmetric_part_for_droplet()
+        self.w("\nFree energy details\n-------------------\n\n")
+        self.fe_lc(droplet=True)
+        self.w("\nLiquid crystal droplet coupling parameters\n")
+        self.w("Isotropic/LC control gamma0 = %12.5e\n",
+               rt.double("lc_droplet_gamma", 0.0))
+        self.w("Isotropic/LC control delta  = %12.5e\n",
+               rt.double("lc_droplet_delta", 0.0))
+        self.w("Anchoring parameter  W      = %12.5e\n",
+               rt.double("lc_droplet_W", 0.0))
+        z0 = rt.double("lc_droplet_active_zeta0", None)
+        z1 = rt.double("lc_droplet_active_zeta1", None)
+        if z0 is not None or z1 is not None:
+            self.w("Emulsion activity: zeta0    = %12.5e\n", z0 or 0.0)
+            self.w("Emulsion activity: zeta1    = %12.5e\n", z1 or 0.0)
+        self.w("\nCoupled free energy\n")
+        self.force_calculation("stress_divergence")
+
+    def fe_symmetric_part_for_droplet(self):
+        rt = self.rt
+        self.w("Symmetric phi^4 free energy selected.\n\n")
+        a = rt.double("A", 0.0)
+        b = rt.double("B", 0.0)
+        kappa = rt.double("K", 0.0)
+        self.w("Parameters:\n")
+        self.w("Bulk parameter A      = %12.5e\n", a)
+        self.w("Bulk parameter B      = %12.5e\n", b)
+        self.w("Surface penalty kappa = %12.5e\n", kappa)
+        sigma = math.sqrt(-8.0 * kappa * a ** 3 / (9.0 * b * b))
+        xi = math.sqrt(-2.0 * kappa / a)
+        self.w("Surface tension       = %12.5e\n", sigma)
+        self.w("Interfacial width     = %12.5e\n", xi)
+        self.w("\nUsing Cahn-Hilliard finite difference solver.\n")
+        self.w("Mobility M            = %12.5e\n",
+               rt.double("mobility", 0.0))
+
+    # -- electrokinetics ---------------------------------------------------
+
+    def psi_parameters(self):
+        """The electrokinetic parameter report (ref: psi_rt.c:330-356
+        psi_info; values from the psi options)."""
+        rt = self.rt
+        kt = rt.double("temperature", 0.0)
+        beta = 1.0 / kt if kt > 0 else 0.0
+        e = rt.double("electrokinetics_eunit", 1.0)
+        eps = rt.double("electrokinetics_epsilon", 0.0)
+        lb = beta * e * e / (4.0 * math.pi * eps) if eps else 0.0
+        self.w("Parameters:\n")
+        self.w("Electrokinetic species:    %2d\n", 2)
+        self.w("Boltzmann factor:          %14.7e (T = %14.7e)\n",
+               beta, kt)
+        self.w("Unit charge:               %14.7e\n", e)
+        self.w("Permittivity:              %14.7e\n", eps)
+        self.w("Bjerrum length:            %14.7e\n", lb)
+        d1 = rt.double("electrokinetics_d0", 0.0)
+        d2 = rt.double("electrokinetics_d1", 0.0)
+        z1 = rt.int("electrokinetics_z0", +1)
+        z2 = rt.int("electrokinetics_z1", -1)
+        self.w("Valency species 0:         %2d\n", z1)
+        self.w("Diffusivity species 0:     %14.7e\n", d1)
+        self.w("Valency species 1:         %2d\n", z2)
+        self.w("Diffusivity species 1:     %14.7e\n", d2)
+        if rt.string("_psi_solver_line"):
+            self.w("Solver type:         %20s\n", "sor")
+            self.w("Solver stencil points:   %16d\n", 7)
+        self.w("Relative tolerance:  %20.7e\n",
+               rt.double("electrokinetics_rel_tol", 1.0e-08))
+        self.w("Absolute tolerance:  %20.7e\n",
+               rt.double("electrokinetics_abs_tol", 1.0e-15))
+        self.w("Max. no. of iterations:  %16d\n",
+               rt.int("electrokinetics_maxits", 10000))
+        self.w("Number of multisteps:       %d\n",
+               rt.int("electrokinetics_multisteps", 1))
+        self.w("Diffusive accuracy in NPE: %14.7e\n",
+               rt.double("electrokinetics_diffacc", 0.0))
+
+    def fe_electro(self):
+        # ref: ludwig.c:1788-1825
+        self.w("Electrokinetics (single fluid) selected\n\n")
+        self.psi_parameters()
+        self.force_calculation("phi_gradmu_correction")
+
+    def fe_electro_symmetric(self):
+        # ref: ludwig.c:1850-1950
+        rt = self.rt
+        self.w("\nCharged binary fluid 'Electrosymmetric' free energy\n")
+        self.w("---------------------------------------------------\n")
+        self.w("\nSymmetric part\n--------------\n\n")
+        self.w("Symmetric phi^4 free energy selected.\n\n")
+        a = rt.double("A", 0.0)
+        b = rt.double("B", 0.0)
+        kappa = rt.double("K", 0.0)
+        self.w("Parameters:\n")
+        self.w("Bulk parameter A      = %12.5e\n", a)
+        self.w("Bulk parameter B      = %12.5e\n", b)
+        self.w("Surface penalty kappa = %12.5e\n", kappa)
+        sigma = math.sqrt(-8.0 * kappa * a ** 3 / (9.0 * b * b))
+        xi = math.sqrt(-2.0 * kappa / a)
+        self.w("Surface tension       = %12.5e\n", sigma)
+        self.w("Interfacial width     = %12.5e\n", xi)
+        self.w("\nUsing Cahn-Hilliard finite difference solver.\n")
+        self.w("Mobility M            = %12.5e\n",
+               rt.double("mobility", 0.0))
+        self.w("\nElectrokinetic part\n-------------------\n\n")
+        self.psi_parameters()
+        self.w("\nCoupling part\n-------------\n")
+        kt = rt.double("temperature", 0.0)
+        beta = 1.0 / kt if kt > 0 else 0.0
+        e = rt.double("electrokinetics_eunit", 1.0)
+        eps1 = rt.double("electrokinetics_epsilon", 0.0)
+        eps2 = rt.double("electrosymmetric_epsilon2", eps1)
+        epsbar = 0.5 * (eps1 + eps2)
+        gamma = (eps1 - eps2) / (eps1 + eps2)
+        self.w("Second permittivity:      %15.7e\n", eps2)
+        self.w("Dielectric average:       %15.7e\n", epsbar)
+        self.w("Dielectric contrast:      %15.7e\n", gamma)
+        self.w("Second Bjerrum length:    %15.7e\n",
+               beta * e * e / (4.0 * math.pi * eps2) if eps2 else 0.0)
+        dmu0 = rt.double("electrosymmetric_delta_mu0", 0.0)
+        dmu1 = rt.double("electrosymmetric_delta_mu1", 0.0)
+        self.w("Solvation dmu species 0:  %15.7e\n", dmu0)
+        self.w("Solvation dmu species 1:  %15.7e\n", dmu1)
+        solver = ("heterogeneous" if abs(gamma) > 0.0 else "uniform")
+        self.w("Poisson solver:           %15s\n", solver)
+        self.w("\nCoupled free energy\n")
+        self.force_calculation("stress_divergence")
+
+    # -- physics / lattice blocks -----------------------------------------
+
+    def system_properties(self):
+        # ref: physics_rt.c:50-73 physics_info
+        rt = self.rt
+        self.w("\nSystem properties\n----------------\n")
+        self.w("Mean fluid density:          %12.5e\n",
+               rt.double("fluid_rho0", 1.0))
+        eta = rt.double("viscosity", 1.0 / 6.0)
+        self.w("Shear viscosity              %12.5e\n", eta)
+        self.w("Bulk viscosity               %12.5e\n",
+               rt.double("viscosity_bulk", eta))
+        self.w("Temperature                  %12.5e\n",
+               rt.double("temperature", 0.0))
+        f = rt.double_vector("force", (0.0, 0.0, 0.0))
+        self.w("External body force density  %12.5e %12.5e %12.5e\n", *f)
+        e0 = rt.double_vector("electric_e0", (0.0, 0.0, 0.0))
+        # E-field lines absent in the very oldest logs (v0.2 era)
+        if self.v >= 3:
+            self.w("External E-field amplitude   %12.5e %12.5e %12.5e\n",
+                   *e0)
+            self.w("External E-field frequency   %12.5e\n",
+                   rt.double("electric_e0_frequency", 0.0))
+        b0 = rt.double_vector("magnetic_b0", (0.0, 0.0, 0.0))
+        self.w("External magnetic field      %12.5e %12.5e %12.5e\n", *b0)
+
+    def lb_distributions(self):
+        # ref: distribution_rt.c:215-254 lb_run_time report
+        rt = self.rt
+        nvel = self.sys.lb_cfg.nvel
+        ndim = 2 if nvel == 9 else 3
+        self.w("\nLattice Boltzmann distributions\n")
+        self.w("-------------------------------\n")
+        self.w("Model:            d%dq%d  \n", ndim, nvel)
+        self.w("SIMD vector len:  1\n")
+        ndist = 2 if self.fe_name == "symmetric_lb" else 1
+        self.w("Number of sets:   %d\n", ndist)
+        self.w("Halo type:        %s\n", self.halo_type())
+        if rt.string("distribution_io_format_input", "") == "ASCII":
+            self.w("Input format:     ASCII\n")
+            self.w("Output format:    ASCII\n")
+        else:
+            self.w("Input format:     binary\n")
+            self.w("Output format:    binary\n")
+        io_grid = rt.int_vector("distribution_io_grid",
+                                rt.int_vector("default_io_grid",
+                                              (1, 1, 1)))
+        self.w("I/O grid:         %d %d %d\n", *io_grid)
+
+    def halo_type(self):
+        # ref: distribution_rt.c:224-230.  The label changed across
+        # reference eras independently of the version string in the
+        # committed logs ("full" vs "lb_halo_target (full halo)"), so
+        # the golden harness sniffs the era's label (`_halo_label`);
+        # the physics (full-halo exchange) is identical.
+        label = self.rt.string("_halo_label", None)
+        if label is not None:
+            return label
+        scheme = self.rt.string("lb_halo_scheme", "lb_halo_target")
+        return {"lb_halo_target": "lb_halo_target (full halo)",
+                "lb_halo_openmp_full": "lb_halo_openmp_full (host)",
+                "lb_halo_openmp_reduced":
+                    "lb_halo_openmp_reduced (host)"}.get(
+                        scheme, "lb_halo_target (full halo)")
+
+    def collision(self):
+        # ref: collision_rt.c:107-116
+        rt = self.rt
+        eta = rt.double("viscosity", 1.0 / 6.0)
+        eta_b = rt.double("viscosity_bulk", eta)
+        scheme = rt.string("lb_relaxation_scheme",
+                           rt.string("relaxation_scheme", "m10")).upper()
+        self.w("\nLattice Boltzmann collision\n")
+        self.w("---------------------------\n")
+        self.w("Relaxation time scheme:   %s\n", scheme)
+        self.w("Hydrodynamic modes:       on\n")
+        ghosts = rt.switch("ghost_modes", rt.switch("lb_ghost_modes",
+                                                    True))
+        self.w("Ghost modes:              %s\n",
+               "on" if ghosts else "off")
+        fluct = rt.switch("isothermal_fluctuations",
+                          rt.switch("lb_fluctuations", False))
+        self.w("Isothermal fluctuations:  %s\n",
+               "on" if fluct else "off")
+        tau_s = 3.0 * eta + 0.5
+        tau_b = 3.0 * eta_b + 0.5
+        self.w("Shear relaxation time:   %12.5e\n", tau_s)
+        self.w("Bulk relaxation time:    %12.5e\n", tau_b)
+        if scheme == "TRT":
+            # ref: collision_rt.c TRT ghost time from magic lambda
+            tau_g = (0.5 + (0.25 * 12.0) / (12.0 * (tau_s - 0.5)))
+            self.w("Ghost relaxation time:   %12.5e\n", tau_g)
+        else:
+            self.w("Ghost relaxation time:   %12.5e\n", 1.0)
+
+    def random_seed(self):
+        # ref: ran.c:73-76 (ran_init_rt)
+        seed = self.rt.int("random_seed", None)
+        if seed is not None:
+            self.w("[User   ] Random number seed: %d\n", seed)
+        else:
+            self.w("[Default] Random number seed: 7361237\n")
+
+    def porous_media(self):
+        # ref: map_rt.c:150-160 map_init_porous_media_from_file
+        rt = self.rt
+        if not rt.string("porous_media_file"):
+            return
+        ndata = rt.int("porous_media_ndata", None)
+        if ndata is None:
+            ndata = {"status_only": 0, "status_with_h": 1,
+                     "status_with_sigma": 1, "status_with_c_h": 2}.get(
+                rt.string("porous_media_type", "status_only"), 0)
+        fmt = rt.string("porous_media_format", "BINARY")
+        self.w("\nPorous media\n------------\n")
+        self.w("Porous media file stub:       %s\n", "capillary")
+        self.w("Porous media file data items: %d\n", ndata)
+        self.w("Porous media format (serial): %s\n", fmt)
+        self.w("Porous media io grid:         %d %d %d\n", 1, 1, 1)
+
+    def hydrodynamics(self):
+        # ref: hydro_rt.c:48-51
+        on = self.rt.switch("hydrodynamics", True)
+        self.w("\nHydrodynamics\n-------------\n")
+        self.w("Hydrodynamics: %s\n", "on" if on else "off")
+
+    def open_bc(self):
+        # ref: lb_bc_open_rt.c + lb_bc_inflow_rhou.c/outflow info
+        rt = self.rt
+        if rt.switch("lb_bc_open", False) or (
+                rt.string("lb_bc_inflow_type") is not None):
+            flow = rt.int_vector("lb_bc_inflow_rhou_flow", (0, 0, 0))
+            u0 = rt.double_vector("lb_bc_inflow_rhou_u0",
+                                  (0.0, 0.0, 0.0))
+            self.w("\nHydrodynamic open boundary condition for inflow\n")
+            self.w("Inflow type:              %s\n", "rhou")
+            self.w("Inflow flow profile:      %s\n", "uniform")
+            self.w("Inflow flow direction:    %d %d %d\n", *flow)
+            self.w("Inflow flow value u0:     %14.7e  %14.7e  %14.7e\n",
+                   *u0)
+            oflow = rt.int_vector("lb_bc_outflow_rhou_flow", flow)
+            rho0 = rt.double("lb_bc_outflow_rhou_rho0",
+                             rt.double("fluid_rho0", 1.0))
+            self.w("\nHydrodynamic open boundary condition at outflow\n")
+            self.w("Outflow type:             %s\n", "rhou")
+            self.w("Outflow flow direction:   %d %d %d\n", *oflow)
+            self.w("Outflow flow rho0:        %14.7e\n", rho0)
+        if rt.string("phi_bc_inflow_type") is not None:
+            flow = rt.int_vector("phi_bc_inflow_flow", (0, 0, 0))
+            phib = rt.double("phi_bc_inflow_fixed_phib", 0.0)
+            self.w("\nOrder parameter\n---------------\n\n")
+            self.w("Inflow open boundary for composition (phi)\n")
+            self.w("Composition inflow condition:   %s\n", "fixed")
+            self.w("Composition inflow direction:   %d %d %d\n", *flow)
+            self.w("Composition inflow phi_b:      %14.7e\n", phib)
+        if rt.string("phi_bc_outflow_type") is not None:
+            self.w("\nOutflow open boundary for composition (phi)\n")
+            self.w("Composition outflow condition:  %s\n", "free")
+
+    def op_io_and_advection(self):
+        # ref: ludwig.c:264-274 + advection_rt.c:48-57; printed when
+        # any order-parameter field exists
+        if self.fe_name == "none" or self.fe_name == "fe_electro":
+            return
+        self.w("\nOrder parameter I/O\n-------------------\n")
+        self.w("Order parameter I/O format:   \n")
+        self.w("I/O decomposition:            1 1 1\n")
+        self.advection()
+
+    def advection(self):
+        # ref: advection_rt.c:48-57
+        order = self.rt.int("fd_advection_scheme_order", None)
+        if order is None:
+            self.w("\nAdvection scheme order: %2d (default)\n", 2)
+        else:
+            self.w("\nAdvection scheme order: %d\n", order)
+
+    def phi_init_notes(self):
+        # ref: field_phi_init_rt.c via fe_symmetric_phi_init_rt
+        if self.fe_name not in ("symmetric", "symmetric_noise",
+                                "symmetric_lb", "brazovskii"):
+            return
+        rt = self.rt
+        ic = rt.string("phi_initialisation", "spinodal")
+        if ic in ("spinodal",):
+            self.w("Initialising phi for spinodal\n")
+        elif ic == "patches":
+            self.w("Initialising phi in patches\n")
+        elif ic == "block":
+            self.w("Initialisng phi as block\n")
+        elif ic == "bath":
+            self.w("Initialising phi for bath\n")
+        elif ic in ("drop", "droplet"):
+            r = rt.double("phi_init_drop_radius", 0.0)
+            amp = rt.double("phi_init_drop_amplitude", 1.0)
+            self.w("Initialising droplet radius:     %14.7e\n", r)
+            self.w("Initialising droplet amplitude:  %14.7e\n", amp)
+        elif ic == "from_file":
+            self.w("Initial order parameter requested from file\n")
+
+    def psi_init(self):
+        # ref: psi_rt.c:60-185 psi_rt_init_rho + a second advection
+        # report (ludwig.c:295-297 advection_init_rt before psi init)
+        if self.fe_name not in ("fe_electro", "fe_electro_symmetric"):
+            return
+        rt = self.rt
+        self.advection()
+        kt = rt.double("temperature", 0.0)
+        beta = 1.0 / kt if kt > 0 else 0.0
+        e = rt.double("electrokinetics_eunit", 1.0)
+        eps = rt.double("electrokinetics_epsilon", 0.0)
+        lb = beta * e * e / (4.0 * math.pi * eps) if eps else 0.0
+
+        def debye(rho_el, eps_=None):
+            lb_ = lb if eps_ is None else (
+                beta * e * e / (4.0 * math.pi * eps_))
+            return 1.0 / math.sqrt(8.0 * math.pi * lb_ * rho_el)
+        ic = rt.string("electrokinetics_init", "")
+        self.w("\nInitial charge densities\n------------------------\n")
+        if ic == "gouy_chapman":
+            self.w("Initial conditions:         %s\n", "Gouy Chapman")
+            rho_el = rt.double("electrokinetics_init_rho_el", 0.0)
+            sigma = rt.double("electrokinetics_init_sigma", 0.0)
+            self.w("Initial condition rho_el:  %14.7e\n", rho_el)
+            self.w("Debye length:              %14.7e\n", debye(rho_el))
+            # actual ionic strength at a fluid site: the surface charge
+            # has been spread over the first fluid layer's counter
+            # charge (ref: psi_init.c psi_init_gouy_chapman; the
+            # counter-charge density makes rho_actual > rho_el)
+            sz = self.size
+            nx_fluid = sz[0] - 2          # one wall layer each side
+            rho_actual = rho_el + 2.0 * sigma * sz[1] * sz[2] / (
+                nx_fluid * sz[1] * sz[2])
+            self.w("Debye length (actual):     %14.7e\n",
+                   debye(0.5 * (rho_actual + rho_el)))
+            self.w("Initial condition sigma:   %14.7e\n", sigma)
+        elif ic == "liquid_junction":
+            self.w("Initial conditions:         %s\n", "Liquid junction")
+            rho_el = rt.double("electrokinetics_init_rho_el", 0.0)
+            self.w("Initial condition rho_el: %14.7e\n", rho_el)
+            self.w("Debye length:             %14.7e\n", debye(rho_el))
+            delta_el = rt.double("electrokinetics_init_delta_el", 0.0)
+            self.w("Initial condition delta_el: %14.7e\n", delta_el)
+            dp = rt.double("electrokinetics_d0", 0.0)
+            dm = rt.double("electrokinetics_d1", 0.0)
+            psi_p = dp * dm * delta_el / (beta * e * (dp + dm) * rho_el)
+            tau_e = eps / (beta * e * e * (dp + dm) * rho_el)
+            self.w("Saturation potential:        %14.7e\n", psi_p)
+            self.w("Saturation timescale:        %14.7e\n", tau_e)
+        elif ic == "uniform":
+            self.w("Initial conditions:         %s\n", "Uniform")
+            rho_el = rt.double("electrokinetics_init_rho_el", 0.0)
+            self.w("Initial condition rho_el: %14.7e\n", rho_el)
+            self.w("Debye length:             %14.7e\n", debye(rho_el))
+            eps2 = rt.double("electrosymmetric_epsilon2", None)
+            if eps2 is not None and eps2 != eps:
+                self.w("Second Debye length:      %14.7e\n",
+                       debye(rho_el, eps2))
+        elif ic == "point_charges":
+            self.w("Initial conditions:        %s\n",
+                   "Point or surface charges from file")
+            rho_el = rt.double("electrokinetics_init_rho_el", 0.0)
+            self.w("Initial condition rho_el: %14.7e\n", rho_el)
+            self.w("Debye length:             %14.7e\n", debye(rho_el))
+            stub = rt.string("porous_media_file", "capillary")
+            self.w("\nInitialisation of point or surface charges "
+                   "from file %s.001-001\n", stub)
+        elif ic == "from_file":
+            self.w("Initialisation requested from file(s)\n")
+
+    def walls(self):
+        # ref: wall.c:211-248 wall_info
+        rt = self.rt
+        walls = [bool(w) for w in rt.int_vector("boundary_walls",
+                                                (0, 0, 0))]
+        if not any(walls):
+            return
+        self.w("\nBoundary walls\n--------------\n")
+        self.w("Boundary walls:                  %1s %1s %1s\n",
+               "X" if walls[0] else "-", "Y" if walls[1] else "-",
+               "Z" if walls[2] else "-")
+        self.w("Boundary speed u_x (bottom):    %14.7e\n",
+               rt.double("boundary_speed_bottom", 0.0))
+        self.w("Boundary speed u_x (top):       %14.7e\n",
+               rt.double("boundary_speed_top", 0.0))
+        self.w("Boundary normal lubrication rc: %14.7e\n",
+               rt.double("boundary_lubrication_rcnormal", 0.0))
+        nlink = self.wall_link_count(walls)
+        self.w("Wall boundary links allocated:   %d\n", nlink)
+        self.w("Memory (total, bytes):           %d\n", 16 * nlink)
+        self.w("Boundary shear initialise:       %d\n",
+               int(rt.switch("boundary_shear_init", False)))
+        slip_bot = rt.double_vector("boundary_walls_slip_fraction_bot",
+                                    None)
+        slip_top = rt.double_vector("boundary_walls_slip_fraction_top",
+                                    None)
+        # ref: wall_rt.c:90 "slip active" is forceable even with s = 0
+        if (slip_bot is not None or slip_top is not None
+                or rt.switch("boundary_walls_slip_active", False)):
+            sb = slip_bot or [0.0, 0.0, 0.0]
+            st = slip_top or [0.0, 0.0, 0.0]
+            self.w("Wall slip active:                %s\n", "yes")
+            self.w("Wall slip fraction (bottom):    "
+                   "%14.7e %14.7e %14.7e\n", *sb)
+            self.w("Wall slip fraction (top):       "
+                   "%14.7e %14.7e %14.7e\n", *st)
+            self.w("Memory (total, bytes):           %d\n", 6 * nlink)
+
+    def wall_link_count(self, walls):
+        """Number of (fluid site, velocity) pairs whose propagation
+        crosses a wall plane (ref: wall.c wall_init_boundaries; wall
+        sites live in the halo outside the local domain).  A link
+        exists when the site + cv neighbour leaves the domain through
+        ANY walled axis: inclusion-exclusion over the axes gives
+        prod(L) - prod(L - crosses_a) per velocity."""
+        model = self.sys.lb_cfg.model
+        cv = np.asarray(model.cv)       # (nvel, 3)
+        sz = self.size
+        count = 0
+        for p in range(1, cv.shape[0]):
+            full = 1
+            interior = 1
+            for a in range(3):
+                full *= sz[a]
+                interior *= sz[a] - (1 if walls[a] and cv[p][a] != 0
+                                     else 0)
+            count += full - interior
+        return count
+
+    def colloids(self):
+        # ref: colloids_rt.c:74-190 colloids_init_rt driver order
+        rt = self.rt
+        mode = rt.string("colloid_init", "")
+        if mode not in ("input_one", "input_two", "input_three",
+                        "input_random", "from_file"):
+            return
+        self.w("\nColloid information\n-------------------\n")
+        self.colloid_io_settings()
+        n = {"input_one": 1, "input_two": 2, "input_three": 3}.get(mode)
+        a0max, ahmax = 1.0, 0.0
+        if mode in ("input_one", "input_two", "input_three"):
+            labels = ("one", "two", "three")
+            ordinal = ("one", "second", "third")
+            for i in range(n):
+                self.w("Requested %s colloid via input:\n", ordinal[i])
+                a0, ah = self.colloid_state_stub(f"colloid_{labels[i]}")
+                a0max = max(a0max, a0)
+                ahmax = max(ahmax, ah)
+        elif mode == "input_random":
+            a0, ah = self.colloid_state_stub("colloid_random", echo=False)
+            a0max = max(a0max, a0)
+            ahmax = max(ahmax, ah)
+            n = rt.int("colloid_random_no", 0)
+            self.w("Requested   %d colloid%s at random\n", n,
+                   "s" if n > 1 else "")
+            self.w("Colloid  radius a0 = %e\n", float(a0))
+            self.w("Hydrodyn radius ah = %e\n", float(ah))
+            self.w("Colloid charges q0 = %e    q1 = %e\n",
+                   rt.double("colloid_random_q0", 0.0),
+                   rt.double("colloid_random_q1", 0.0))
+        else:   # from_file
+            stub = rt.string("colloid_file_stub", "config.cds.init")
+            single = "serial" in rt.string("colloid_io_format_input",
+                                           "ascii").lower()
+            nstart = rt.int("N_start", 0)
+            if nstart > 0:
+                stub = rt.string("colloid_file_stub", "config.cds")
+                fname = "%s%8.8d" % (stub, nstart)
+            else:
+                fname = stub
+            if single:
+                self.w("colloid_io_read: reading from single file "
+                       "%s.001-001\n", fname)
+            else:
+                self.w("colloid_io_read: reading from %s etc\n", fname)
+            cp = self.sys.colloid_params
+            n = cp.n if cp is not None else 0
+            self.w("Read a total of %d colloids from file\n", n)
+            if cp is not None:
+                a0max = max([a0max] + list(cp.a0))
+                ahmax = max([ahmax] + list(cp.ah))
+        self.w("\nInitialised %d colloid%s\n", n, "" if n == 1 else "s")
+        hcmax, rcmax = self.interactions()
+        self.colloid_cell_list(n, a0max, ahmax, hcmax, rcmax)
+        g = rt.double_vector("colloid_gravity", (0.0, 0.0, 0.0))
+        if any(x != 0.0 for x in g):
+            self.w("\nSedimentation force on:       yes\n")
+            self.w("Sedimentation force:         %14.7e %14.7e %14.7e\n",
+                   *g)
+        rho0 = rt.double("colloid_rho0", None)
+        if rho0 is not None:
+            self.w("Colloid density:             %14.7e\n", rho0)
+        freq = rt.int("colloid_rebuild_freq", None)
+        if freq is not None:
+            self.w("Colloid rebuild freq:         %d\n", freq)
+
+    def colloid_io_settings(self):
+        # ref: colloid_io_rt.c:31-100 + colloid_io.c:198-207
+        rt = self.rt
+        fmt = rt.string("colloid_io_format", "ascii").lower()
+        fin = rt.string("colloid_io_format_input", fmt).lower()
+        fout = rt.string("colloid_io_format_output", fmt).lower()
+        single = 1 if "serial" in fin else 0
+        self.w("\nColloid I/O settings\n--------------------\n")
+        self.w("Decomposition:               %2d %2d %2d\n", 1, 1, 1)
+        self.w("Number of files:              %d\n", 1)
+        self.w("Input format:                 %s\n",
+               "binary" if fin.startswith("binary") else "ascii")
+        self.w("Output format:                %s\n",
+               "binary" if fout.startswith("binary") else "ascii")
+        self.w("Single file read flag:        %d\n", single)
+
+    def colloid_state_stub(self, stub, echo=True):
+        """Echo state keys present in the input, in the reference's
+        fixed order/formats (ref: colloids_rt.c:381-535)."""
+        rt = self.rt
+        i1, i3 = "%-28s  %d\n", "%-28s  %d %d %d\n"
+        e1, e3 = "%-28s %14.7e\n", "%-28s %14.7e %14.7e %14.7e\n"
+        s1 = "%-28s  %s\n"
+
+        def w_if(key, fmt, typ="d"):
+            if not rt.has_key(key):
+                return None
+            if not echo:
+                return rt.string(key)
+            if typ == "d":
+                v = rt.double(key)
+                self.w(fmt, key, v)
+            elif typ == "i":
+                v = rt.int(key)
+                self.w(fmt, key, v)
+            elif typ == "i3":
+                v = rt.int_vector(key)
+                self.w(fmt, key, *v)
+            elif typ == "d3":
+                v = rt.double_vector(key)
+                self.w(fmt, key, *v)
+            return v
+        w_if(f"{stub}_nbonds", i1, "i")
+        w_if(f"{stub}_bond1", i1, "i")
+        w_if(f"{stub}_bond2", i1, "i")
+        w_if(f"{stub}_nangles", i1, "i")
+        w_if(f"{stub}_isfixedr", i1, "i")
+        w_if(f"{stub}_isfixedrxyz", i3, "i3")
+        w_if(f"{stub}_isfixedv", i1, "i")
+        w_if(f"{stub}_isfixedvxyz", i3, "i3")
+        w_if(f"{stub}_isfixedw", i1, "i")
+        w_if(f"{stub}_isfixeds", i1, "i")
+        if rt.has_key(f"{stub}_type") and echo:
+            self.w(s1, stub, rt.string(f"{stub}_type"))
+        else:
+            rt.string(f"{stub}_type")
+        w_if(f"{stub}_rng", i1, "i")
+        w_if(f"{stub}_interact_type", i1, "i")
+        a0 = w_if(f"{stub}_a0", e1) or 0.0
+        ah = w_if(f"{stub}_ah", e1) or 0.0
+        w_if(f"{stub}_al", e1)
+        w_if(f"{stub}_r", e3, "d3")
+        w_if(f"{stub}_v", e3, "d3")
+        w_if(f"{stub}_w", e3, "d3")
+        w_if(f"{stub}_s", e3, "d3")
+        w_if(f"{stub}_m", e3, "d3")
+        w_if(f"{stub}_b1", e1)
+        w_if(f"{stub}_b2", e1)
+        w_if(f"{stub}_c", e1)
+        w_if(f"{stub}_h", e1)
+        w_if(f"{stub}_q0", e1)
+        w_if(f"{stub}_q1", e1)
+        w_if(f"{stub}_epsilon", e1)
+        return float(a0), float(ah)
+
+    def interactions(self):
+        """Pairwise interaction reports; returns (hcmax, rcmax) for the
+        cell list (ref: colloids_rt.c:710-1010 *_init blocks)."""
+        rt = self.rt
+        kt = rt.double("temperature", 0.0)
+        hcmax, rcmax = 0.0, 0.0
+        if rt.int("lubrication_on", 0):
+            self.w("\nColloid-colloid lubrication corrections\n")
+            self.w("Lubrication corrections are switched on\n")
+            rcn = rt.double("lubrication_normal_cutoff", None)
+            self.w("%s" % ("[Default] " if rcn is None else "[User   ] "))
+            self.w("Normal force cutoff is %f\n", rcn or 0.0)
+            rct = rt.double("lubrication_tangential_cutoff", None)
+            self.w("%s" % ("[Default] " if rct is None else "[User   ] "))
+            self.w("Tangential force cutoff is %f\n", rct or 0.0)
+            hcmax = max(hcmax, rcn or 0.0, rct or 0.0)
+        if rt.int("soft_sphere_on", 0):
+            eps = rt.double("soft_sphere_epsilon", 0.0)
+            sig = rt.double("soft_sphere_sigma", 0.0)
+            nu = rt.double("soft_sphere_nu", 0.0)
+            hc = rt.double("soft_sphere_cutoff", 0.0)
+            self.w("\nSoft sphere potential\n")
+            self.w("epsilon:                  %14.7e\n", eps)
+            self.w("sigma:                    %14.7e\n", sig)
+            self.w("exponent nu:              %14.7e\n", nu)
+            self.w("cut off (surface-surface) %14.7e\n", hc)
+            if kt > 0.0:
+                self.w("epsilon / kT              %14.7e\n", eps / kt)
+            hcmax = max(hcmax, hc)
+        if rt.int("lennard_jones_on", 0):
+            eps = rt.double("lj_epsilon", 0.0)
+            sig = rt.double("lj_sigma", 0.0)
+            rc = rt.double("lj_cutoff", 0.0)
+            self.w("\nLennard-Jones potential\n")
+            self.w("epsilon:                  %14.7e\n", eps)
+            self.w("sigma:                    %14.7e\n", sig)
+            self.w("cut off (centre-centre)   %14.7e\n", rc)
+            rcmax = max(rcmax, rc)
+        if rt.int("yukawa_on", 0):
+            eps = rt.double("yukawa_epsilon", 0.0)
+            kappa = rt.double("yukawa_kappa", 0.0)
+            rc = rt.double("yukawa_cutoff", 0.0)
+            self.w("\nYukawa potential\n")
+            self.w("epsilon:                %14.7e\n", eps)
+            if kt > 0.0:
+                self.w("epsilon / kt            %14.7e\n", eps / kt)
+            self.w("kappa:                  %14.7e\n", kappa)
+            self.w("cut off (centre-centre) %14.7e\n", rc)
+            self.w("cut off / kappa         %14.7e\n", rc / kappa)
+            rcmax = max(rcmax, rc)
+        if rt.int("bond_fene_on", 0):
+            k = rt.double("bond_fene_k", 0.0)
+            r0 = rt.double("bond_fene_r0", 0.0)
+            self.w("\nFENE bond\n")
+            self.w("Spring constant:             %14.7e\n", k)
+            self.w("Equilibrium separation:      %14.7e\n", r0)
+        if rt.int("angle_cosine_on", 0):
+            k = rt.double("angle_cosine_k", 0.0)
+            self.w("\nBond angle\n")
+            self.w("Type:                         cosine\n")
+            self.w("kappa:                       %14.7e\n", k)
+        if rt.switch("pair_ss_cut_ij", False):
+            ntypes = rt.int("pair_ss_cut_ij_ntypes", 1)
+            nsymm = ntypes * (ntypes + 1) // 2
+            eps = rt.double_vector("pair_ss_cut_ij_epsilon", [0.0])
+            sig = rt.double_vector("pair_ss_cut_ij_sigma", [0.0])
+            nu = rt.double_vector("pair_ss_cut_ij_nu", [0.0])
+            hc = rt.double_vector("pair_ss_cut_ij_hc", [0.0])
+            self.w("\nSoft sphere potential (pair types ij)\n")
+            k = 0
+            for i in range(ntypes):
+                for j in range(i, ntypes):
+                    self.w("Pair type:    %2d %d\n", i, j)
+                    self.w("epsilon:      %14.7e\n", eps[k])
+                    self.w("sigma:        %14.7e\n", sig[k])
+                    self.w("exponent nu:  %14.7e\n", nu[k])
+                    self.w("cut off:      %14.7e\n", hc[k])
+                    if kt > 0.0:
+                        self.w("epsilon / kT: %14.7e\n", eps[k] / kt)
+                    k += 1
+            hcmax = max([hcmax] + hc[:nsymm])
+        if rt.switch("wall_ss_cut_on", False):
+            eps = rt.double("wall_ss_cut_epsilon", 0.0)
+            sig = rt.double("wall_ss_cut_sigma", 0.0)
+            nu = rt.double("wall_ss_cut_nu", 0.0)
+            hc = rt.double("wall_ss_cut_hc", 0.0)
+            self.w("\nWall-colloid soft-sphere potential\n")
+            self.w("----------------------------------\n")
+            self.w("epsilon:                  %14.7e\n", eps)
+            self.w("sigma:                    %14.7e\n", sig)
+            self.w("exponent nu:              %14.7e\n", nu)
+            self.w("cut off hc (wall-surface) %14.7e\n", hc)
+            if kt > 0.0:
+                self.w("epsilon / kT              %14.7e\n", eps / kt)
+        return hcmax, rcmax
+
+    def colloid_cell_list(self, nc, a0max, ahmax, hcmax, rcmax):
+        # ref: colloids_rt.c:600-670 colloids_rt_cell_list_checks
+        g = self.grid
+        nlocal = [self.size[a] // g[a] for a in range(3)]
+        nhalo = self.nhalo()
+        a0max = max(1.0, a0max)
+        self.w("\nColloid cell list information\n")
+        self.w("-----------------------------\n")
+        self.w("Input radius maximum:        %14.7e\n", a0max)
+        width = max(a0max + nhalo - 0.5, 2.0)
+        nbest = [int(math.floor(nlocal[a] / width)) for a in range(3)]
+        if nc > 1:
+            rmax = max(2.0 * ahmax + hcmax, rcmax, 1.5,
+                       a0max + nhalo - 0.5)
+            nbest = [int(math.floor(nlocal[a] / rmax)) for a in range(3)]
+            self.w("Hydrodynamic radius maximum: %14.7e\n", ahmax)
+            self.w("Surface-surface interaction: %14.7e\n", hcmax)
+            self.w("Centre-centre interaction:   %14.7e\n", rcmax)
+        ncell = nbest if any(b > 2 for b in nbest) else [2, 2, 2]
+        self.w("Final cell list:              %d %d %d\n", *nbest)
+        self.w("Final cell lengths:          %14.7e %14.7e %14.7e\n",
+               *[nlocal[a] / ncell[a] for a in range(3)])
+
+    def restart_reads(self):
+        # ref: ludwig.c:328-369
+        n = self.rt.int("N_start", 0)
+        self.w("Re-starting simulation at step %d with data read "
+               "from file\n", n)
+        self.w("Reading distribution files for step %d\n", n)
+        s = self.sys
+        if (s.is_binary or s.is_two_field or s.is_droplet
+                or s.is_binary_lb):
+            self.w("Reading phi files for step %d\n", n)
+        if s.is_lc or s.is_droplet:
+            self.w("Reading q_ab files for step %d\n", n)
+        if s.hydro_on:
+            self.w("Reading rho/vel files for step %d\n", n)
+        if s.is_electro:
+            self.w("Reading electrokinetics files for step %d\n", n)
+
+    def initial_distribution(self):
+        # ref: distribution_rt.c:300-380 lb_rt_initial_conditions
+        rt = self.rt
+        ic = rt.string("distribution_initialisation", None)
+        if ic is None:
+            return
+        sz = self.size
+        ndim = 2 if sz[2] == 1 else 3
+        if ic == "3d_uniform_u":
+            rho0 = rt.double("distribution_uniform_rho", 1.0)
+            u0 = rt.double_vector("distribution_uniform_u",
+                                  (0.0, 0.0, 0.0))
+            self.w("\nInitial distribution: %dd uniform "
+                   "desnity/velocity\n", ndim)
+            self.w("Density:              %14.7e\n", rho0)
+            self.w("Velocity:             %14.7e %14.7e %14.7e\n", *u0)
+            self.w("\n")
+        elif ic == "2d_kelvin_helmholtz":
+            self.w("\nInitial distribution: 2d kelvin helmholtz\n")
+            self.w("Velocity magnitude:   %14.7e\n",
+                   rt.double("2d_kelvin_helmholtz_u0", 0.0))
+            self.w("Shear layer kappa:    %14.7e\n",
+                   rt.double("2d_kelvin_helmholtz_kappa", 0.0))
+            self.w("Perturbation delta:   %14.7e\n",
+                   rt.double("2d_kelvin_helmholtz_delta", 0.0))
+            self.w("\n")
+        elif ic == "1d_poiseuille":
+            rho0 = rt.double("fluid_rho0", 1.0)
+            u0 = rt.double_vector("distribution_poiseuille_umax",
+                                  (0.0, 0.0, 0.0))
+            self.w("\nInitial distribution: 1d Poiseuille profile\n")
+            self.w("Density:              %14.7e\n", rho0)
+            self.w("Velocity (max):       %14.7e %14.7e %14.7e\n", *u0)
+            self.w("\n")
+        elif ic == "2d_shear_wave":
+            self.w("\nInitial distribution: 2d shear wave\n")
+            self.w("Velocity magnitude:   %14.7e\n",
+                   rt.double("2d_shear_wave_u0", 0.0))
+            self.w("\n")
+        if self.rt.switch("LE_init_profile", False):
+            self.w("Initialising shear profile\n")
+
+    def gradient(self):
+        # ref: gradient_rt.c:70 (printed once per field create; phi and
+        # q each get one in lc_droplet runs)
+        name = self.rt.string("fd_gradient_calculation", None)
+        if name is None:
+            return
+        n = 1
+        if self.fe_name == "lc_droplet":
+            n = 2
+        for _ in range(n):
+            self.w("Gradient calculation: %s\n", name)
+
+    def calibration(self):
+        # ref: ludwig.c:391-410 stats_ahydro_create / stats_sigma_create
+        if self.ahydro is not None:
+            self.ahydro.banner(self.out)
+        if self.sigma_cal is not None:
+            self.sigma_cal.banner(self.out)
+
+    def q_init_notes(self):
+        # ref: blue_phase_rt.c:425-612 blue_phase_rt_initial_conditions
+        # + polar_active_rt initial conditions (only at a t = 0 start)
+        rt = self.rt
+        if rt.int("N_start", 0) > 0:
+            return
+        if self.fe_name == "polar_active":
+            ic = rt.string("p_initialisation", "")
+            if ic == "aster":
+                self.w("Initialise standard aster\n")
+            elif ic == "from_code":
+                self.w("Initial polar order parameter from code\n")
+            return
+        if self.fe_name not in ("lc_blue_phase", "lc_droplet"):
+            return
+        key = rt.string("lc_q_initialisation", "")
+        axis = {"twist": "Z", "cholesteric_x": "X", "cholesteric_y": "Y",
+                "cholesteric_z": "Z"}
+        if key in axis:
+            self.w("Initialising Q_ab to cholesteric\n")
+            self.w("Helical axis %s\n", axis[key])
+        elif key in ("nematic", "active_nematic"):
+            self.w("Initialising Q_ab to %s\n",
+                   "nematic" if key == "nematic" else "active nematic")
+            nhat = rt.double_vector("lc_init_nematic", (1.0, 0.0, 0.0))
+            self.w("Director:  %14.7e %14.7e %14.7e\n", *nhat)
+        elif key == "active_nematic_q2d_x":
+            self.w("Initialising Q_ab to quasi-2d with strip "
+                   "parallel to X\n")
+        elif key == "active_nematic_q2d_y":
+            self.w("Initialising Q_ab to quasi-2d with strip "
+                   "parallel to Y\n")
+        elif key in ("o8m", "o2", "o5", "h2d", "h3da", "h3db", "dtc"):
+            name = {"o8m": "O8M (BPI)", "o2": "O2 (BPII)", "o5": "O5",
+                    "h2d": "H2D", "h3da": "H3DA", "h3db": "H3DB",
+                    "dtc": "DTC"}[key]
+            self.w("Initialising Q_ab using %s\n", name)
+            ang = rt.double_vector("lc_q_init_euler_angles", None)
+            if ang is not None and key in ("o8m", "o2"):
+                self.w("... initial conidition to be rotated ...\n")
+                self.w("Euler angle (deg): alpha_z = %14.7e\n", ang[0])
+                self.w("Euler angle (deg): beta_x' = %14.7e\n", ang[1])
+                self.w("Euler angle (deg): gamma_z'= %14.7e\n", ang[2])
+        elif key == "random":
+            self.w("Initialising Q_ab randomly\n")
+        elif key == "random_xy":
+            self.w("Initialising Q_ab at random in (x,y)\n")
+        elif key.startswith("cf1_") or key.startswith("cf1_fluc"):
+            self.w("Initialising Q_ab to cholesteric finger "
+                   "(1st kind)\n")
+            a = key[-1].upper()
+            helical = {"X": "Y", "Y": "Z", "Z": "X"}[a]
+            if "fluc" in key:
+                self.w("with added traceless symmetric random "
+                       "fluctuation.\n")
+            self.w("Finger axis %s, helical axis %s\n", a, helical)
+
+    def electroneutrality(self):
+        # ref: ludwig.c:422
+        if (self.fe_name in ("fe_electro", "fe_electro_symmetric")
+                and self.rt.int("N_start", 0) == 0):
+            self.w("\nArranging initial charge neutrality.\n\n")

@@ -2451,10 +2451,6 @@ def run_text(text: str, out=sys.stdout) -> System:
     rt = RunTime(text)
     t0 = time.time()
 
-    out.write(f"Welcome to ludwig_tpu v{ludwig_tpu.__version__} "
-              f"(TPU-native rebuild of Ludwig)\n\n")
-    out.write(f"Read {rt.nkeys} user parameters\n\n")
-
     sys_ = build_system(rt)
     sys_.hydro_on = rt.switch("hydrodynamics", True)
     sys_.vol_flux = rt.string("stats_vel_print_vol_flux", "no") == "yes"
@@ -2580,13 +2576,12 @@ def run_text(text: str, out=sys.stdout) -> System:
         except ValueError as e:
             out.write(f"tpu_shard: {e}; running unsharded\n\n")
 
-    out.write("System details\n--------------\n")
-    out.write(f"System size:    {size[0]} {size[1]} {size[2]}\n")
+    from ludwig_tpu.fulllog import InitLog
+    initlog = InitLog(rt, sys_, out)
     if mesh_note is not None:
-        out.write(f"Decomposition:  {mesh_note['x']} {mesh_note['y']} "
-                  f"{mesh_note['z']} (device mesh)\n")
-    out.write(f"Model:          d{2 if size[2] == 1 else 3}"
-              f"q{sys_.lb_cfg.nvel}\n\n")
+        # our extension: report the real device mesh in place of the
+        # (serial-build no-op) reference decomposition hint
+        initlog.grid = (mesh_note["x"], mesh_note["y"], mesh_note["z"])
 
     ncycles = rt.int("N_cycles", 0)
     freq = rt.int("freq_statistics", max(ncycles, 1))
@@ -2651,7 +2646,7 @@ def run_text(text: str, out=sys.stdout) -> System:
             from ludwig_tpu.ops.fused_binary import pad_phi
             phi0 = pad_phi(phi0)
         sys_.state = (sys_.state[0], phi0) + tuple(sys_.state[2:])
-        sigma_cal.banner(out)
+        initlog.sigma_cal = sigma_cal   # banner emitted in init order
 
     # I/O decomposition (ref: io_info_args_rt.c:55-57 "<stub>_io_grid"
     # overriding "default_io_grid"); grid != 1_1_1 writes an iogrid
@@ -2887,7 +2882,7 @@ def run_text(text: str, out=sys.stdout) -> System:
         ahydro = AhydroCalibration(
             max(_cp.ah), _cp.a0[0], sys_.lb_cfg.eta_shear,
             sys_.lb_cfg.rho0, _cp.rho0, size, _cp.gravity)
-        ahydro.banner(out)
+        initlog.ahydro = ahydro         # banner emitted in init order
         from ludwig_tpu.colloids import build_map as _ah_bm
 
         @jax.jit
@@ -2901,7 +2896,13 @@ def run_text(text: str, out=sys.stdout) -> System:
                             for a in range(3)]) / vol
             return V[0] - um
 
-    # initial report (tstep 0) as the reference does before the loop
+    # the complete init log surface, then the t = 0 report, exactly as
+    # the reference orders them (ref: ludwig.c:204-530)
+    initlog.emit()
+    if os.environ.get("LTP_INIT_ONLY"):
+        # dev hook (util/fullcheck.py): init-surface parity loop skips
+        # the t = 0 statistics and the time loop entirely
+        return sys_
     u = jnp.zeros((3,) + size, sys_.lb_cfg.jdtype)
     if sys_.fused_mode is not None:
         _padded0 = sys_.state
@@ -3138,12 +3139,6 @@ def run_text(text: str, out=sys.stdout) -> System:
     if ahydro is not None:
         ahydro.report(out)
 
-    unused = rt.unused_keys()
-    if unused:
-        out.write("\nUnused (or not-yet-supported) input keys:\n")
-        for k in unused:
-            out.write(f"  {k}\n")
-
     # timer table (ref: TIMER_statistics table shape)
     total = time.time() - t0
     per_step = (total - t_init) / max(ncycles, 1)
@@ -3175,6 +3170,7 @@ def run_text(text: str, out=sys.stdout) -> System:
         for name, dt_ in _timer_detail(sys_, state, stats_fn):
             out.write(f"{name:>20s}: {dt_:10.3f} {dt_:10.3f} "
                       f"{dt_:10.3f} {dt_:10.6f} (probe)\n")
+    initlog.tail()
     return sys_
 
 

@@ -22,6 +22,7 @@ class RunTime:
     def __init__(self, text: str = ""):
         self._kv: Dict[str, str] = {}
         self._used: set = set()
+        self._lineno: Dict[str, int] = {}
         for lineno, raw in enumerate(text.splitlines(), 1):
             line = raw.split("#", 1)[0].strip()
             if not line:
@@ -31,6 +32,7 @@ class RunTime:
                 continue  # reference silently skips malformed lines
             key, value = parts
             self._kv[key] = value.strip()
+            self._lineno[key] = lineno
 
     @classmethod
     def from_file(cls, path: str) -> "RunTime":
@@ -97,7 +99,24 @@ class RunTime:
 
     @property
     def nkeys(self) -> int:
-        return len(self._kv)
+        """User-parameter count: harness hint keys (leading '_') are
+        not part of the reference input surface (ref: runtime.c
+        rt_read_input_file counts every key = value line)."""
+        return sum(1 for k in self._kv if not k.startswith("_"))
+
+    def mark_used(self, *keys: str) -> None:
+        """Mark keys consumed without reading them (parity helper: the
+        reference consumes some keys on paths we fold away, e.g. `grid`
+        in the serial build, ref: coords_rt.c:46)."""
+        self._used.update(keys)
+
+    def lineno(self, key: str) -> int:
+        return self._lineno.get(key, 0)
 
     def unused_keys(self) -> List[str]:
-        return sorted(k for k in self._kv if k not in self._used)
+        """Input-order unused keys, hint keys excluded (ref:
+        rt_report_unused_keys, runtime.c:167-189 prints in input line
+        order with the 1-based line number)."""
+        return sorted((k for k in self._kv
+                       if k not in self._used and not k.startswith("_")),
+                      key=lambda k: self._lineno.get(k, 0))

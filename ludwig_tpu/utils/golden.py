@@ -181,7 +181,7 @@ def run_case(name: str, workdir: Optional[str] = None,
     suite = os.path.basename(os.path.dirname(inp))
     nvel = {"d2q9": 9, "d3q15": 15, "d3q27": 27}.get(
         suite.split("-")[0], 19)
-    text = f"lb_nvel {nvel}\n" + text
+    hints = [f"lb_nvel {nvel}"]
     if n_cycles is not None:
         import re as _re2
         text = _re2.sub(r"(?m)^N_cycles\s+\d+", f"N_cycles {n_cycles}",
@@ -196,35 +196,44 @@ def run_case(name: str, workdir: Optional[str] = None,
             body = fh.read(4000)
         m = _re.search(r"Ludwig v(\d+)\.(\d+)", head)
         if m:
-            text = (f"_log_vintage {int(m.group(1)) * 100 + int(m.group(2))}\n"
-                    + text)
+            hints.append(
+                f"_log_vintage {int(m.group(1)) * 100 + int(m.group(2))}")
         md = _re.search(r"Decomposition:\s+(\d+) (\d+) (\d+)", body)
         if md:
-            text = (f"_mpi_grid {md.group(1)}_{md.group(2)}_{md.group(3)}\n"
-                    + text)
+            hints.append(
+                f"_mpi_grid {md.group(1)}_{md.group(2)}_{md.group(3)}")
         # tensor-stat labels vary WITHIN reference versions (v0.7.32
         # chol-st3 prints [Qxx], v0.7.33 pmpi08-chol-s01 prints [phi]);
         # sniff the actual label from the committed log
         with open(log) as fh:
             whole = fh.read()
         if "[Qxx]" in whole:
-            text = "_q_labels q\n" + text
+            hints.append("_q_labels q")
         elif "\n[phi]" in whole and "lc_" in text:
-            text = "_q_labels phi\n" + text
+            hints.append("_q_labels phi")
         # v0.2-era LC logs print the generic free-energy DENSITY block
         # rather than the [fe] ... redshift row (long64-chol-bp1.log);
         # sniff the actual block from the committed log
         if "\n[fed]" in whole and "lc_" in text:
-            text = "_fed_block 1\n" + text
+            hints.append("_fed_block 1")
+        # the lb halo-type LABEL changed across reference eras
+        # independently of the version string ("full" vs
+        # "lb_halo_target (full halo)"); sniff the era's label --
+        # purely a format choice, the exchange semantics are identical
+        mh = _re.search(r"Halo type:\s+(\S.*?)\s*$", whole, _re.M)
+        if mh:
+            hints.append(f"_halo_label {mh.group(1)}")
         # whether the initial-conditions block carries a free-energy
         # line also varies within versions; sniff it
         mi = _re.search(r"Initial conditions\.(.*?)Starting", whole,
                         _re.S)
         if mi:
             t0fe = int("[fe]" in mi.group(1) or "[fed]" in mi.group(1))
-            text = f"_t0_fe {t0fe}\n" + text
+            hints.append(f"_t0_fe {t0fe}")
     except OSError:
         pass
+    hints.append(f"_inp_name {os.path.basename(inp)}")
+    text = text + "\n" + "\n".join(hints) + "\n"
     cwd = os.getcwd()
     try:
         if workdir:
