@@ -980,7 +980,7 @@ def build_system(rt: RunTime) -> System:
                     step = make_fused_binary_le_step(
                         lecfg, BinaryPlan(min(8, plan.BX), plan.BY),
                         lb_plan=plan, interpret=interp)
-                    state = (pad_state(f), pad_phi(phi),
+                    state = (pad_state(f, zpad=False), pad_phi(phi),
                              jnp.zeros((3,) + size, jd))
                     return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=bcfg,
                                   solid=None, state=state, step_fn=step,
@@ -1232,7 +1232,8 @@ def build_system(rt: RunTime) -> System:
                     step = make_fused_lc_le_step(
                         lcfg, le, LCPlan(min(8, plan.BX), plan.BY),
                         lb_plan=plan, interpret=interp)
-                    state = (pad_state(f), pad_q(jnp.asarray(q5, jd)),
+                    state = (pad_state(f, zpad=False),
+                             pad_q(jnp.asarray(q5, jd)),
                              jnp.zeros((3,) + size, jd))
                     return System(rt=rt, lb_cfg=lb_cfg,
                                   binary_cfg=None, solid=None,
@@ -1614,8 +1615,8 @@ def build_system(rt: RunTime) -> System:
                 # (ref: wall.c:860-980; step order ludwig.c:802-860)
                 plan = _fused_plan(size)
                 interp = fused_req == "interpret"
-                if plan is not None and (interp or (size[2] % 128 == 0
-                                         and lb_cfg.dtype == "float32")):
+                if plan is not None and (interp
+                                         or lb_cfg.dtype == "float32"):
                     from ludwig_tpu.ops.fused import (make_fused_wall_step,
                                                       pad_state)
                     step = make_fused_wall_step(lb_cfg, ws, plan,
@@ -1652,8 +1653,8 @@ def build_system(rt: RunTime) -> System:
             # post-pass (ref: model_le.c:57; ludwig.c:811)
             plan = _fused_plan(size)
             interp = fused_req == "interpret"
-            if plan is not None and (interp or (size[2] % 128 == 0
-                                     and lb_cfg.dtype == "float32")):
+            if plan is not None and (interp
+                                     or lb_cfg.dtype == "float32"):
                 from ludwig_tpu.ops.fused import (make_fused_le_step,
                                                   pad_state)
                 step = make_fused_le_step(lb_cfg, le, plan,
@@ -1669,8 +1670,8 @@ def build_system(rt: RunTime) -> System:
             # in interpret mode for CPU tests)
             plan = _fused_plan(size)
             interp = fused_req == "interpret"
-            if plan is not None and (interp or (size[2] % 128 == 0
-                                     and lb_cfg.dtype == "float32")):
+            if plan is not None and (interp
+                                     or lb_cfg.dtype == "float32"):
                 from functools import partial as _p
 
                 from ludwig_tpu.ops.fused import fused_step, pad_state
@@ -1680,7 +1681,7 @@ def build_system(rt: RunTime) -> System:
                 @_p(jax.jit, donate_argnums=0)
                 def step(fpad, t=0):
                     return fused_step(fpad, model, params, plan,
-                                      interpret=interp)
+                                      interpret=interp, z=size[2])
 
                 return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
                               solid=None, state=(pad_state(f),),
@@ -2772,7 +2773,7 @@ def run_text(text: str, out=sys.stdout) -> System:
         collide computes from the pre-step state: (g + F/2)/rho."""
         from ludwig_tpu.lb import hydro_fields
         from ludwig_tpu.ops.fused import unpad_state
-        f = unpad_state(state[0])
+        f = unpad_state(state[0], z=size[2])
         rho_, g_ = hydro_fields(f, sys_.lb_cfg.model)
         fg = sys_.lb_cfg.collision_params().force_global
         g_ = g_ + 0.5 * jnp.asarray(
@@ -2786,7 +2787,7 @@ def run_text(text: str, out=sys.stdout) -> System:
         if sys_.fused_mode in ("plain", "le"):
             from ludwig_tpu.lb import hydro_fields
             f = (state[0] if sys_.fused_unpadded
-                 else unpad_state(state[0]))
+                 else unpad_state(state[0], z=size[2]))
             if u is None:
                 # the reference's hydro u is the collision-time
                 # force-shifted velocity (g_pre + F/2)/rho; after the
@@ -2799,7 +2800,7 @@ def run_text(text: str, out=sys.stdout) -> System:
             return (f,), u
         if sys_.fused_mode == "wall":
             from ludwig_tpu.lb import hydro_fields
-            f = unpad_state(state[0])
+            f = unpad_state(state[0], z=size[2])
             if u is None:
                 # fallback (t = 0 report passes zeros; the loop passes
                 # the pre-step collision-time u explicitly)

@@ -54,22 +54,95 @@ HX = 1   # x halo width (untiled dim: free alignment)
 HY = 8   # y pad width (sublane tile alignment); only the inner row is used
 
 
-def pad_state(f: jnp.ndarray) -> jnp.ndarray:
-    """(nvel, X, Y, Z) -> padded (nvel, X+2, Y+16, Z), periodic pads."""
-    return jnp.pad(f, ((0, 0), (HX, HX), (HY, HY), (0, 0)), mode="wrap")
+def zpad_len(Z: int, radius: int = 1) -> int:
+    """Lane-padded z extent: the kernel's z-periodic lane rolls need the
+    minor dim to be a multiple of 128 on hardware.  Lifts the
+    reference's any-extent support (ref: coords.c:639) onto the fused
+    path; sub-128 z extents pay a lane-occupancy cost instead of
+    falling back to the unfused pipeline.  Two schemes:
+
+    * 128 % Z == 0 ("tile"): the state holds 128/Z full copies of the
+      live z range.  A z-periodic array replicated k times is periodic
+      with period Z under every kernel operation (pointwise collide,
+      x/y window shifts, z lane rolls), so NO per-step refresh is
+      needed - the replication is an invariant of the step.
+    * otherwise ("ghost"): append ghost lane columns carrying the wrap
+      values (cols [Z, Z+r) = live [0, r), cols [Zp-r, Zp) = live
+      [Z-r, Z)), so rolls by up to `radius` stay periodic over the
+      live extent; the ghosts are rewritten each step.  Needs
+      Zp >= Z + 2r.
+    """
+    if Z % 128 == 0:
+        return Z
+    if 128 % Z == 0:
+        return 128
+    zp = ((Z + 127) // 128) * 128
+    if zp - Z < 2 * radius:
+        zp += 128
+    return zp
 
 
-def unpad_state(fpad: jnp.ndarray) -> jnp.ndarray:
-    return fpad[:, HX:-HX, HY:-HY, :]
+def _z_ghost_refresh(fpad: jnp.ndarray, Z: int,
+                     radius: int = 1) -> jnp.ndarray:
+    """(Re)write the z ghost lane columns from the live columns
+    (no-op in tile mode: replication is a step invariant)."""
+    Zp = fpad.shape[-1]
+    if Zp == Z or 128 % Z == 0:     # unpadded, or tile mode
+        return fpad
+    r = radius
+    fpad = fpad.at[..., Z:Z + r].set(fpad[..., 0:r])
+    fpad = fpad.at[..., Zp - r:].set(fpad[..., Z - r:Z])
+    return fpad
 
 
-def _pad_refresh(fpad: jnp.ndarray) -> jnp.ndarray:
+def _z_resync(fpad: jnp.ndarray, Z: int, radius: int = 1) -> jnp.ndarray:
+    """Restore the z lane padding after an O(surface) post-pass wrote
+    the live columns only (wall/LE fixes): re-tile the copies (tile
+    mode) or rewrite the ghost columns (ghost mode)."""
+    Zp = fpad.shape[-1]
+    if Zp == Z:
+        return fpad
+    if 128 % Z == 0:
+        live = fpad[..., :Z]
+        return jnp.concatenate([live] * (Zp // Z), axis=-1)
+    return _z_ghost_refresh(fpad, Z, radius)
+
+
+def pad_state(f: jnp.ndarray, zpad: bool = True) -> jnp.ndarray:
+    """(nvel, X, Y, Z) -> padded (nvel, X+2, Y+16, Zp), periodic pads.
+
+    Zp > Z (z lane padding, tiled or ghost) when Z is not a lane
+    multiple; see zpad_len.  zpad=False keeps z unpadded (callers whose
+    downstream kernels do not yet accept a lane-padded state).
+    """
+    fpad = jnp.pad(f, ((0, 0), (HX, HX), (HY, HY), (0, 0)), mode="wrap")
+    Z = f.shape[-1]
+    Zp = zpad_len(Z) if zpad else Z
+    if Zp == Z:
+        return fpad
+    if 128 % Z == 0:
+        return jnp.concatenate([fpad] * (Zp // Z), axis=-1)
+    ghost = jnp.broadcast_to(fpad[..., :1], fpad.shape[:-1] + (Zp - Z,))
+    return _z_ghost_refresh(jnp.concatenate([fpad, ghost], axis=-1), Z)
+
+
+def unpad_state(fpad: jnp.ndarray, z: int = None) -> jnp.ndarray:
+    """Strip pads; pass the live z extent `z` when it may be
+    lane-padded (callers that know the lattice size always should)."""
+    out = fpad[:, HX:-HX, HY:-HY, :]
+    if z is not None and z != out.shape[-1]:
+        out = out[..., :z]
+    return out
+
+
+def _pad_refresh(fpad: jnp.ndarray, z: int = None) -> jnp.ndarray:
     """Re-derive periodic pads from the live region (single-shard case).
 
     On a device mesh this is replaced by a ppermute of face slabs.  Only
     the inner pad row/plane is written; in-place dynamic-update-slices
     keep the cost at face traffic.  y rows first, then x columns, so the
-    corners pick up the correct doubly-periodic values.
+    corners pick up the correct doubly-periodic values; z ghost lanes
+    last so every row/plane carries valid wrap columns.
     """
     X = fpad.shape[1] - 2 * HX
     Y = fpad.shape[2] - 2 * HY
@@ -77,6 +150,8 @@ def _pad_refresh(fpad: jnp.ndarray) -> jnp.ndarray:
     fpad = fpad.at[:, :, Y + HY, :].set(fpad[:, :, HY, :])
     fpad = fpad.at[:, 0, :, :].set(fpad[:, X, :, :])
     fpad = fpad.at[:, X + 1, :, :].set(fpad[:, 1, :, :])
+    if z is not None:
+        fpad = _z_ghost_refresh(fpad, z)
     return fpad
 
 
@@ -328,10 +403,12 @@ class FusedPlan:
 
 def fused_step(fpad: jnp.ndarray, model: LatticeModel,
                params: CollisionParams, plan: FusedPlan = FusedPlan(),
-               interpret: bool = False) -> jnp.ndarray:
+               interpret: bool = False, z: int = None) -> jnp.ndarray:
     """One fused collide+stream step on a padded state; returns new padded
-    state (pads refreshed, single-shard periodic)."""
-    return _pad_refresh(_fused_call(fpad, model, params, plan, interpret))
+    state (pads refreshed, single-shard periodic).  `z` is the live z
+    extent when the state is lane-padded (zpad_len)."""
+    return _pad_refresh(_fused_call(fpad, model, params, plan, interpret),
+                        z=z)
 
 
 def _fused_call(fpad: jnp.ndarray, model: LatticeModel,
@@ -348,8 +425,8 @@ def _fused_call(fpad: jnp.ndarray, model: LatticeModel,
             f"blocks ({BX},{BY}) must divide lattice ({X},{Y}), BY%8==0")
     if not interpret and Z % 128:
         raise ValueError(
-            f"fused kernel needs Z % 128 == 0 on hardware (got {Z}); "
-            "use the jnp path (lb.make_nstep) for smaller lattices")
+            f"fused kernel state must be z lane-padded to a multiple of "
+            f"128 on hardware (got {Z}); pad with pad_state/zpad_len")
 
     kernel = partial(_fused_kernel, model, params, X, Y, Z, BX, BY)
     out = pl.pallas_call(
@@ -397,15 +474,20 @@ def make_fused_wall_step(cfg, spec, plan: FusedPlan = FusedPlan(),
         return jnp.concatenate([f[tuple(sl_lo)], f[tuple(sl_hi)]],
                                axis=1 + ax)
 
+    zlive = cfg.size[2]
+
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
         fpad, gwall = state
-        f = unpad_state(fpad)
+        f = unpad_state(fpad, z=zlive)
         fpost2 = {ax: collide(plane2(f, ax), params)[0]
                   for ax in range(3) if spec.walls[ax]}
         fpad = _fused_call(fpad, model, params, plan, interpret)
         fpad, gw = wall_bounce_back_fused(fpad, fpost2, model, spec,
-                                          rho0=cfg.rho0)
+                                          rho0=cfg.rho0, z=zlive)
+        # the surface fix wrote live z columns only: restore the lane
+        # padding first, then the x/y pads (which copy whole rows)
+        fpad = _z_resync(fpad, zlive)
         return (_pad_refresh(fpad), gwall + gw)
 
     return step
@@ -424,24 +506,29 @@ def make_fused_le_step(cfg, le, plan: FusedPlan = FusedPlan(),
     model = cfg.model
     params = cfg.collision_params()
 
+    zlive = cfg.size[2]
+
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
         fpad = _fused_call(state[0], model, params, plan, interpret)
-        fpad = apply_le_fused(fpad, model, le, t, pad=(HX, HY))
+        fpad = apply_le_fused(fpad, model, le, t, pad=(HX, HY), z=zlive)
+        fpad = _z_resync(fpad, zlive)
         return (_pad_refresh(fpad),)
 
     return step
 
 
 def make_fused_nstep(model: LatticeModel, params: CollisionParams,
-                     plan: FusedPlan = FusedPlan(), interpret: bool = False):
-    """Jitted n-step driver on padded state (donated, scanned)."""
+                     plan: FusedPlan = FusedPlan(), interpret: bool = False,
+                     z: int = None):
+    """Jitted n-step driver on padded state (donated, scanned).  `z` is
+    the live z extent for lane-padded states (zpad_len)."""
 
     @partial(jax.jit, static_argnums=1, donate_argnums=0)
     def nstep(fpad, n):
         def body(fp, _):
             return fused_step(fp, model, params, plan,
-                              interpret=interpret), ()
+                              interpret=interpret, z=z), ()
         fpad, _ = jax.lax.scan(body, fpad, None, length=n)
         return fpad
 

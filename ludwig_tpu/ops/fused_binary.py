@@ -374,4 +374,4 @@ def initial_fused_binary(bcfg, phi0):
     f = initial_rest(bcfg.lb)
     phi = jnp.asarray(phi0, bcfg.lb.jdtype)
     u = jnp.zeros((3,) + tuple(bcfg.lb.size), bcfg.lb.jdtype)
-    return (pad_state(f), pad_phi(phi), u)
+    return (pad_state(f, zpad=False), pad_phi(phi), u)

@@ -442,4 +442,4 @@ def initial_fused_droplet(dcfg, phi0, q0_field):
     phi = jnp.asarray(phi0, dcfg.lb.jdtype)
     q5 = jnp.asarray(q0_field, dcfg.lb.jdtype)
     u = jnp.zeros((3,) + tuple(dcfg.lb.size), dcfg.lb.jdtype)
-    return (pad_state(f), pad_phi(phi), pad_q(q5), u)
+    return (pad_state(f, zpad=False), pad_phi(phi), pad_q(q5), u)

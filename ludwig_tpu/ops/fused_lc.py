@@ -444,4 +444,4 @@ def initial_fused_lc(lcfg, q0_field):
     f = initial_rest(lcfg.lb)
     q5 = jnp.asarray(q0_field, lcfg.lb.jdtype)
     u = jnp.zeros((3,) + tuple(lcfg.lb.size), lcfg.lb.jdtype)
-    return (pad_state(f), pad_q(q5), u)
+    return (pad_state(f, zpad=False), pad_q(q5), u)

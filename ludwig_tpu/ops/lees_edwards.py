@@ -145,7 +145,8 @@ def apply_lb_le(f: jnp.ndarray, model: LatticeModel,
 
 def apply_le_fused(fpad: jnp.ndarray, model: LatticeModel,
                    cfg: LeesEdwardsConfig, t,
-                   pad: Tuple[int, int] = (1, 8)) -> jnp.ndarray:
+                   pad: Tuple[int, int] = (1, 8),
+                   z: int = None) -> jnp.ndarray:
     """LE boundary conditions conjugated through streaming, for the
     fused collide+stream kernel's PADDED output.
 
@@ -163,12 +164,13 @@ def apply_le_fused(fpad: jnp.ndarray, model: LatticeModel,
     nvel = model.nvel
     X = fpad.shape[1] - 2 * HX
     Y = fpad.shape[2] - 2 * HY
+    Z = fpad.shape[3] if z is None else z   # live z of lane-padded state
     tt = jnp.asarray(t, fpad.dtype)
     uy = cfg.uy_now(tt)
     dy = cfg.displacement(tt)
 
     def col_live(c, q):
-        return fpad[q, HX + (c % X), HY:HY + Y, :]
+        return fpad[q, HX + (c % X), HY:HY + Y, :Z]
 
     def gather_post(c):
         """Post-collision column c: un-stream every velocity from the
@@ -201,7 +203,7 @@ def apply_le_fused(fpad: jnp.ndarray, model: LatticeModel,
                     v = jnp.roll(v, cz, axis=1)
                 fixes.append((q, (c + cx) % X, v))
     for q, c, v in fixes:
-        fpad = fpad.at[q, HX + c, HY:HY + Y, :].set(v)
+        fpad = fpad.at[q, HX + c, HY:HY + Y, :Z].set(v)
     return fpad
 
 

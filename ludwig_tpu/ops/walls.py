@@ -148,7 +148,8 @@ def wall_bounce_back(f_new: jnp.ndarray, f_post: jnp.ndarray,
 def wall_bounce_back_fused(fpad: jnp.ndarray, fpost2: dict,
                            model: LatticeModel, spec: WallSpec,
                            rho0: float = 1.0,
-                           pad: Tuple[int, int, int] = (1, 8, 0)):
+                           pad: Tuple[int, int, int] = (1, 8, 0),
+                           z: int = None):
     """Wall fix for the fused collide+stream kernel's PADDED output.
 
     The fused kernel streams fully periodically; here the contaminated
@@ -169,7 +170,10 @@ def wall_bounce_back_fused(fpad: jnp.ndarray, fpost2: dict,
     wv = model.wv
     rev = model.reverse
     dtype = fpad.dtype
-    ext = tuple(fpad.shape[1 + a] - 2 * pad[a] for a in range(3))
+    ext = [fpad.shape[1 + a] - 2 * pad[a] for a in range(3)]
+    if z is not None:
+        ext[2] = z          # live z extent of a lane-padded state
+    ext = tuple(ext)
     gw = jnp.zeros((3,), dtype)
 
     for ax in range(3):

@@ -42,7 +42,8 @@ def test_fused_matches_reference(nvel, scheme):
 
     plan = FusedPlan(BX=4, BY=8)  # multiple blocks in both axes
     out = unpad_state(fused_step(pad_state(f), model, params, plan,
-                                 interpret=True))
+                                 interpret=True, z=shape[2]),
+                      z=shape[2])
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6,
                                atol=1e-8)
 
@@ -60,8 +61,9 @@ def test_fused_multi_step_chains():
     fp = pad_state(f)
     plan = FusedPlan(BX=4, BY=8)
     for _ in range(3):
-        fp = fused_step(fp, model, params, plan, interpret=True)
-    np.testing.assert_allclose(np.asarray(unpad_state(fp)),
+        fp = fused_step(fp, model, params, plan, interpret=True,
+                        z=shape[2])
+    np.testing.assert_allclose(np.asarray(unpad_state(fp, z=shape[2])),
                                np.asarray(expect), rtol=1e-6, atol=1e-8)
 
 
@@ -74,17 +76,18 @@ def test_fused_nstep_scan():
     for _ in range(2):
         expect = _ref_step(expect, params)
     nstep = make_fused_nstep(model, params, FusedPlan(BX=8, BY=16),
+                             z=shape[2],
                              interpret=True)
     fp = nstep(pad_state(f), 2)
-    np.testing.assert_allclose(np.asarray(unpad_state(fp)),
+    np.testing.assert_allclose(np.asarray(unpad_state(fp, z=shape[2])),
                                np.asarray(expect), rtol=1e-6, atol=1e-8)
 
 
 def test_pad_roundtrip():
     model = lb_model(19)
     f = _rand_f(model, (4, 8, 8))
-    np.testing.assert_array_equal(np.asarray(unpad_state(pad_state(f))),
-                                  np.asarray(f))
+    np.testing.assert_array_equal(
+        np.asarray(unpad_state(pad_state(f), z=8)), np.asarray(f))
 
 
 def test_fused_lc_step_matches_jnp_path():
@@ -138,8 +141,8 @@ def test_fused_sharded_matches_single():
         rng.standard_normal((19, 16, 16, 32)))
 
     plan = FusedPlan(BX=4, BY=8)
-    nstep = make_fused_nstep(model, params, plan, interpret=True)
-    ref = unpad_state(nstep(pad_state(f), 3))
+    nstep = make_fused_nstep(model, params, plan, interpret=True, z=32)
+    ref = unpad_state(nstep(pad_state(f), 3), z=32)
 
     devs = np.array(jax.devices("cpu")[:8]).reshape(4, 2)
     mesh = Mesh(devs, ("x", "y"))
@@ -265,8 +268,8 @@ def test_fused2_matches_two_single_steps():
     plan = FusedPlan(BX=4, BY=8)
     fa = pad_state(f0)
     for _ in range(2):
-        fa = fused_step(fa, model, params, plan, interpret=True)
-    ref2 = np.asarray(unpad_state(fa))
+        fa = fused_step(fa, model, params, plan, interpret=True, z=32)
+    ref2 = np.asarray(unpad_state(fa, z=32))
 
     fb = fused2_step(pad_state2(f0), model, params, plan, interpret=True)
     out2 = np.asarray(unpad_state2(fb))
@@ -274,10 +277,10 @@ def test_fused2_matches_two_single_steps():
 
     # and again (pads refreshed correctly between 2-step passes)
     for _ in range(2):
-        fa = fused_step(fa, model, params, plan, interpret=True)
+        fa = fused_step(fa, model, params, plan, interpret=True, z=32)
     fb = fused2_step(fb, model, params, plan, interpret=True)
     np.testing.assert_array_equal(np.asarray(unpad_state2(fb)),
-                                  np.asarray(unpad_state(fa)))
+                                  np.asarray(unpad_state(fa, z=32)))
 
 
 @pytest.mark.parametrize("nsteps", [2, 3, 4])
@@ -300,8 +303,8 @@ def test_fusedn_matches_n_single_steps(nsteps):
     plan = FusedPlan(BX=4, BY=8)
     fa = pad_state(f0)
     for _ in range(nsteps):
-        fa = fused_step(fa, model, params, plan, interpret=True)
-    ref = np.asarray(unpad_state(fa))
+        fa = fused_step(fa, model, params, plan, interpret=True, z=32)
+    ref = np.asarray(unpad_state(fa, z=32))
 
     fb = fusedn_step(pad_staten(f0, nsteps), model, params, nsteps, plan,
                      interpret=True)
@@ -309,10 +312,10 @@ def test_fusedn_matches_n_single_steps(nsteps):
 
     # chain once more (pads refreshed correctly between n-step passes)
     for _ in range(nsteps):
-        fa = fused_step(fa, model, params, plan, interpret=True)
+        fa = fused_step(fa, model, params, plan, interpret=True, z=32)
     fb = fusedn_step(fb, model, params, nsteps, plan, interpret=True)
     np.testing.assert_array_equal(np.asarray(unpad_staten(fb, nsteps)),
-                                  np.asarray(unpad_state(fa)))
+                                  np.asarray(unpad_state(fa, z=32)))
 
 
 def test_fused_lc_le_step_matches_jnp_path():
@@ -341,7 +344,7 @@ def test_fused_lc_le_step_matches_jnp_path():
     f0 = le_init_shear_profile(cfg, le)
     u0 = jnp.zeros((3,) + N, cfg.jdtype)
 
-    sf = (pad_state(f0), pad_q(q5), u0)
+    sf = (pad_state(f0, zpad=False), pad_q(q5), u0)
 
     sx = (jnp.array(f0), jnp.array(q5), jnp.array(u0))
     stepx = make_lc_le_step(lcfg, le)
@@ -387,7 +390,7 @@ def test_fused_binary_le_step_matches_jnp_path():
     f0 = le_init_shear_profile(cfg, le)
     u0 = jnp.zeros((3,) + N, cfg.jdtype)
 
-    sf = (pad_state(f0), pad_phi(phi0), u0)
+    sf = (pad_state(f0, zpad=False), pad_phi(phi0), u0)
 
     sx = (jnp.array(f0), jnp.array(phi0), jnp.array(u0))
     stepx = make_binary_le_step(lecfg)
@@ -507,3 +510,33 @@ def test_fused_binary_sharded_matches_single():
                                atol=1e-13)
     np.testing.assert_allclose(np.asarray(st[2]), ref[2], rtol=0,
                                atol=1e-13)
+
+
+@pytest.mark.parametrize("zext,mode", [(16, "tile"), (20, "ghost")])
+def test_fused_z_lane_padding(zext, mode):
+    """Z extents that are not lane (128) multiples run the fused kernel
+    via z lane padding (zpad_len: tiled copies when 128 % Z == 0, ghost
+    wrap columns otherwise) and match the jnp path (any-extent support,
+    ref: coords.c:639)."""
+    from ludwig_tpu.lb import LBConfig, initial_rest, make_step
+    from ludwig_tpu.ops.fused import zpad_len
+
+    size = (8, 16, zext)
+    cfg = LBConfig(size=size, nvel=19, eta_shear=0.1, eta_bulk=0.1,
+                   force_global=(1e-5, 2e-6, -1e-6), dtype="float64")
+    rng = np.random.default_rng(5)
+    f0 = jnp.asarray(initial_rest(cfg)
+                     * (1.0 + 0.01 * rng.random((19,) + size)))
+    assert zpad_len(zext) == 128
+    fp = pad_state(jnp.array(f0))
+    assert fp.shape[-1] == 128
+    step = make_step(cfg)
+    fj = f0
+    for t in range(4):
+        fj, _, _ = step(fj, t)
+    model, params = cfg.model, cfg.collision_params()
+    for t in range(4):
+        fp = fused_step(fp, model, params, FusedPlan(8, 16),
+                        interpret=True, z=zext)
+    np.testing.assert_allclose(np.asarray(unpad_state(fp, z=zext)),
+                               np.asarray(fj), rtol=1e-12, atol=1e-13)
