@@ -41,6 +41,7 @@ class InitLog:
         self.fe_name = rt.string("free_energy", "none")
         g = rt.int_vector("_mpi_grid", (1, 1, 1))
         self.grid = tuple(g)
+        self.is_device_mesh = False   # set by run_text under tpu_shard
 
     def w(self, fmt, *args):
         self.out.write((fmt % args) if args else fmt)
@@ -155,7 +156,8 @@ class InitLog:
         sz, g = self.size, self.grid
         self.w("\nSystem details\n--------------\n")
         self.w("System size:    %d %d %d\n", *sz)
-        self.w("Decomposition:  %d %d %d\n", *g)
+        self.w("Decomposition:  %d %d %d%s\n", g[0], g[1], g[2],
+               " (device mesh)" if self.is_device_mesh else "")
         self.w("Local domain:   %d %d %d\n",
                sz[0] // g[0], sz[1] // g[1], sz[2] // g[2])
         self.w("Periodic:       %d %d %d\n", *self.periodic())
@@ -252,7 +254,7 @@ class InitLog:
             "relaxation_antisymmetric": "relaxation_antisymmetric",
         }
         name = names.get(method, method)
-        if self.v < 8:
+        if self.v <= 2:
             # older logs: "Force calculation:      divergence method"
             old = {"stress_divergence": "divergence method"}
             name = old.get(name, name)
@@ -369,19 +371,15 @@ class InitLog:
         self.w("Quadratic term a     = %14.7e\n", a)
         self.w("Quartic term b       = %14.7e\n", b)
         self.w("Elastic constant k   = %14.7e\n", k)
-        if self.v >= 12:
-            self.w("Elastic constant dk  = %14.7e\n",
-                   rt.double("polar_active_dk", 0.0))
+        self.w("Elastic constant dk  = %14.7e\n",
+               rt.double("polar_active_dk", 0.0))
         self.w("Elastic constant klc = %14.7e\n", klc)
         self.w("Activity zeta        = %14.7e\n", zeta)
         self.w("Lambda               = %14.7e\n", lmbda)
-        # Leslie-Ericksen block (ref: leslie_ericksen rt in ludwig.c)
-        self.w("\nUsing Leslie-Ericksen solver:\n")
-        self.w("Rotational diffusion     = %14.7e\n",
+        self.w("Rotational diffusion     = %12.5e\n",
                rt.double("leslie_ericksen_gamma", 0.0))
-        self.w("Self-advection parameter = %14.7e\n",
+        self.w("Self-advection parameter = %12.5e\n",
                rt.double("leslie_ericksen_swim", 0.0))
-        self.force_calculation("stress_divergence")
 
     def fe_lc(self, droplet=False):
         # ref: blue_phase_rt.c:79-420 (parameter report, anchoring
@@ -433,12 +431,12 @@ class InitLog:
             eps = rt.double("lc_dielectric_anisotropy", 0.0)
             e0 = rt.double_vector("electric_e0", (0.0, 0.0, 0.0))
             e2 = sum(x * x for x in e0)
-            # ref: blue_phase.c fe_lc_dimensionless_field_strength
-            ered = math.sqrt(27.0 * eps * e2
+            # ref: blue_phase.c:1305-1325 (user eps carries a 1/12pi)
+            ered = math.sqrt(27.0 * (12.0 * math.pi * eps) * e2
                              / (32.0 * math.pi * a0 * gamma))
             self.w("Dielectric anisotropy      = %14.7e\n", eps)
             self.w("Dimensionless field e      = %14.7e\n", ered)
-        self.lc_anchoring(kappa0, gamma)
+        self.lc_anchoring(kappa0, gamma, droplet=droplet)
         self.w("\nUsing Beris-Edwards solver:\n")
         self.w("Rotational diffusion const = %14.7e\n",
                rt.double("lc_Gamma", 0.0))
@@ -452,15 +450,18 @@ class InitLog:
         return (2.0 / 3.0) * (0.25 + 0.75 * math.sqrt(
             1.0 - 8.0 / (3.0 * gamma)))
 
-    def lc_anchoring(self, kappa0, gamma):
+    def lc_anchoring(self, kappa0, gamma, droplet=False):
         rt = self.rt
         method = rt.string("lc_anchoring_method", None)
+        has_keys = bool(rt.string("lc_coll_anchoring")
+                        or rt.string("lc_wall_anchoring")
+                        or rt.string("lc_anchoring_strength"))
         if method == "two" or (method is None and 3 <= self.v < 14):
-            if method is None and not (
-                    rt.string("lc_coll_anchoring")
-                    or rt.string("lc_wall_anchoring")
-                    or rt.string("lc_anchoring_strength")
-                    or self.v >= 7):
+            # the "always print (with none)" behaviour is specific to
+            # the v0.7 era; later eras print only when anchoring was
+            # actually requested (sniffed across the committed logs)
+            if method is None and not has_keys and not (
+                    self.v == 7 and not droplet):
                 return
             # ref: blue_phase_rt.c:249-381 ("two" era block)
             tcoll = rt.string("lc_coll_anchoring", "none")
@@ -542,6 +543,7 @@ class InitLog:
         # ref: ludwig.c lc_droplet block: symmetric FE block, then LC
         # block, then the droplet coupling (lc_droplet_rt.c:36-50)
         rt = self.rt
+        self.w("Liquid crystal droplet free energy selected\n\n")
         self.fe_symmetric_part_for_droplet()
         self.w("\nFree energy details\n-------------------\n\n")
         self.fe_lc(droplet=True)
@@ -694,6 +696,10 @@ class InitLog:
                    rt.double("electric_e0_frequency", 0.0))
         b0 = rt.double_vector("magnetic_b0", (0.0, 0.0, 0.0))
         self.w("External magnetic field      %12.5e %12.5e %12.5e\n", *b0)
+        gm = rt.double_vector("grad_mu", None)
+        if gm is not None:
+            self.w("External chem. pot. grad.    %12.5e %12.5e %12.5e\n",
+                   *gm)
 
     def lb_distributions(self):
         # ref: distribution_rt.c:215-254 lb_run_time report
@@ -753,8 +759,9 @@ class InitLog:
                           rt.switch("lb_fluctuations", False))
         self.w("Isothermal fluctuations:  %s\n",
                "on" if fluct else "off")
-        tau_s = 3.0 * eta + 0.5
-        tau_b = 3.0 * eta_b + 0.5
+        rho0 = rt.double("fluid_rho0", 1.0)
+        tau_s = 0.5 + 3.0 * eta / rho0   # ref: collision.c:1207
+        tau_b = 0.5 + 3.0 * eta_b / rho0
         self.w("Shear relaxation time:   %12.5e\n", tau_s)
         self.w("Bulk relaxation time:    %12.5e\n", tau_b)
         if scheme == "TRT":
@@ -794,6 +801,15 @@ class InitLog:
         on = self.rt.switch("hydrodynamics", True)
         self.w("\nHydrodynamics\n-------------\n")
         self.w("Hydrodynamics: %s\n", "on" if on else "off")
+        if self.rt.string("viscosity_model", "") == "arrhenius":
+            self.w("\nViscosity model\n---------------\n")
+            self.w("Model:                       %14s\n", "Arrhenius")
+            self.w("Viscosity (eta -ve phase):   %14.7e\n",
+                   self.rt.double("viscosity_arrhenius_eta_minus", 0.0))
+            self.w("Viscosity (eta +ve phase):   %14.7e\n",
+                   self.rt.double("viscosity_arrhenius_eta_plus", 0.0))
+            self.w("Composition limit (phistar): %14.7e\n",
+                   self.rt.double("viscosity_arrhenius_phistar", 1.0))
 
     def open_bc(self):
         # ref: lb_bc_open_rt.c + lb_bc_inflow_rhou.c/outflow info
@@ -839,10 +855,12 @@ class InitLog:
         self.advection()
 
     def advection(self):
-        # ref: advection_rt.c:48-57
+        # ref: advection_rt.c:43-57 (none/symmetric_lb: no FD advection)
+        if self.fe_name in ("none", "symmetric_lb"):
+            return
         order = self.rt.int("fd_advection_scheme_order", None)
         if order is None:
-            self.w("\nAdvection scheme order: %2d (default)\n", 2)
+            self.w("\nAdvection scheme order: %2d (default)\n", 1)
         else:
             self.w("\nAdvection scheme order: %d\n", order)
 
@@ -956,6 +974,9 @@ class InitLog:
                rt.double("boundary_speed_top", 0.0))
         self.w("Boundary normal lubrication rc: %14.7e\n",
                rt.double("boundary_lubrication_rcnormal", 0.0))
+        dh = rt.double("boundary_lubrication_dhnormal", None)
+        if dh is not None:
+            self.w("Boundary normal lubrication dh: %14.7e\n", dh)
         nlink = self.wall_link_count(walls)
         self.w("Wall boundary links allocated:   %d\n", nlink)
         self.w("Memory (total, bytes):           %d\n", 16 * nlink)
@@ -1018,7 +1039,7 @@ class InitLog:
                 a0max = max(a0max, a0)
                 ahmax = max(ahmax, ah)
         elif mode == "input_random":
-            a0, ah = self.colloid_state_stub("colloid_random", echo=False)
+            a0, ah = self.colloid_state_stub("colloid_random")
             a0max = max(a0max, a0)
             ahmax = max(ahmax, ah)
             n = rt.int("colloid_random_no", 0)
@@ -1064,6 +1085,40 @@ class InitLog:
         freq = rt.int("colloid_rebuild_freq", None)
         if freq is not None:
             self.w("Colloid rebuild freq:         %d\n", freq)
+        if rt.int("ewald_sum", 0) and n >= 2:
+            mu = rt.double("ewald_mu", 0.0)
+            rc = rt.double("ewald_rc", 0.0)
+            kappa = 5.0 / (2.0 * rc)
+            L = float(self.size[0])
+            nk = int(math.ceil(kappa * kappa * rc * L / math.pi))
+            kmax = (2.0 * math.pi * nk / L) ** 2
+            eself = (-2.0 * mu * mu * kappa ** 3
+                     / (3.0 * math.sqrt(math.pi)) * n)
+            self.w("\nEwald sum\n---------\n")
+            self.w("Number of particles:                      %d\n", n)
+            self.w("Real space cut off:                      %14.7e\n",
+                   rc)
+            self.w("Dipole strength mu:                      %14.7e\n",
+                   mu)
+            self.w("Ewald parameter kappa:                   %14.7e\n",
+                   kappa)
+            self.w("Self energy (constant):                  %14.7e\n",
+                   eself)
+            self.w("Maximum square wavevector:               %14.7e\n",
+                   kmax)
+            # ref: ewald.c:776-806 (kz >= 0 half space, origin excluded)
+            fk = [2.0 * math.pi / float(self.size[a]) for a in range(3)]
+            nktot = 0
+            for kz in range(0, nk + 1):
+                for ky in range(-nk, nk + 1):
+                    for kx in range(-nk, nk + 1):
+                        k2 = ((fk[0] * kx) ** 2 + (fk[1] * ky) ** 2
+                              + (fk[2] * kz) ** 2)
+                        if 0.0 < k2 <= kmax:
+                            nktot += 1
+            self.w("Max. term retained in Fourier space sum:  %d\n", nk)
+            self.w("Total terms kept in Fourier space sum:    %d\n\n",
+                   nktot)
 
     def colloid_io_settings(self):
         # ref: colloid_io_rt.c:31-100 + colloid_io.c:198-207
@@ -1196,6 +1251,7 @@ class InitLog:
             self.w("\nFENE bond\n")
             self.w("Spring constant:             %14.7e\n", k)
             self.w("Equilibrium separation:      %14.7e\n", r0)
+            rcmax = max(rcmax, r0)   # ref: bond_fene.c:133
         if rt.int("angle_cosine_on", 0):
             k = rt.double("angle_cosine_k", 0.0)
             self.w("\nBond angle\n")
@@ -1281,6 +1337,8 @@ class InitLog:
         rt = self.rt
         ic = rt.string("distribution_initialisation", None)
         if ic is None:
+            if rt.switch("LE_init_profile", False):
+                self.w("Initialising shear profile\n")
             return
         sz = self.size
         ndim = 2 if sz[2] == 1 else 3
@@ -1314,6 +1372,8 @@ class InitLog:
             self.w("\nInitial distribution: 2d shear wave\n")
             self.w("Velocity magnitude:   %14.7e\n",
                    rt.double("2d_shear_wave_u0", 0.0))
+            self.w("Shear layer kappa:    %14.7e\n",
+                   rt.double("2d_shear_wave_kappa", 0.0))
             self.w("\n")
         if self.rt.switch("LE_init_profile", False):
             self.w("Initialising shear profile\n")

@@ -2504,7 +2504,36 @@ def run_text(text: str, out=sys.stdout) -> System:
                 sys_.step_fn = lambda f, t=0: nstep(f, 1)
                 sys_.step_nfn = nstep
                 sys_.fused_unpadded = True
-                sys_.state = (unpad_state(sys_.state[0]),)
+                sys_.state = (unpad_state(sys_.state[0], z=size[2]),)
+            elif sys_.fused_mode == "le":
+                # fused + sharded Lees-Edwards: owner-shard column
+                # fixes + all-gather y-shifted interpolation over the
+                # mesh (ref: model_le.c:399, leesedwards.c:700)
+                if g[2] != 1:
+                    raise ValueError(
+                        f"tpu_fused needs grid Pz == 1, got {g}")
+                local = (size[0] // g[0], size[1] // g[1], size[2])
+                plan = _fused_plan(local)
+                if plan is None:
+                    raise ValueError(
+                        f"no fused block plan for local shard {local}")
+                for col in sys_.le_cfg.plane_cols:
+                    if col % local[0] == local[0] - 1:
+                        raise ValueError(
+                            f"LE plane column {col} straddles an "
+                            f"x-shard boundary (local extent "
+                            f"{local[0]}); choose a different grid "
+                            "(ref: leesedwards.c:450)")
+                from ludwig_tpu.ops.fused import (
+                    make_fused_sharded_le_nstep, unpad_state)
+                mesh = make_mesh(g)
+                nstep = make_fused_sharded_le_nstep(
+                    sys_.lb_cfg.model, sys_.lb_cfg.collision_params(),
+                    sys_.le_cfg, mesh, plan,
+                    interpret=rt.string("tpu_fused", "off") == "interpret")
+                sys_.step_fn = lambda st, t=0: (nstep(st[0], t, 1),)
+                sys_.fused_unpadded = True
+                sys_.state = (unpad_state(sys_.state[0], z=size[2]),)
             elif (sys_.fused_mode in ("lc", "binary", "droplet")
                     and sys_.le_cfg is None):
                 # fused LC / binary + sharded: shard_map'd two-kernel
@@ -2583,6 +2612,7 @@ def run_text(text: str, out=sys.stdout) -> System:
         # our extension: report the real device mesh in place of the
         # (serial-build no-op) reference decomposition hint
         initlog.grid = (mesh_note["x"], mesh_note["y"], mesh_note["z"])
+        initlog.is_device_mesh = True
 
     ncycles = rt.int("N_cycles", 0)
     freq = rt.int("freq_statistics", max(ncycles, 1))
@@ -2877,8 +2907,7 @@ def run_text(text: str, out=sys.stdout) -> System:
     ahydro = None
     _cp = sys_.colloid_params
     if (rt.switch("calibration", False) and sys_.is_colloid
-            and _cp.n == 1
-            and (not _cp.types or _cp.types[0] != "subgrid")):
+            and _cp.n == 1):
         from ludwig_tpu.stats_extra import AhydroCalibration
         ahydro = AhydroCalibration(
             max(_cp.ah), _cp.a0[0], sys_.lb_cfg.eta_shear,

@@ -1066,3 +1066,50 @@ def make_fused_sharded_nstep(model: LatticeModel, params: CollisionParams,
                          check_vma=False)(f)
 
     return nstep
+
+
+def make_fused_sharded_le_nstep(model: LatticeModel,
+                                params: CollisionParams, le, mesh,
+                                plan: FusedPlan = FusedPlan(),
+                                interpret: bool = False):
+    """Multi-chip fused collide+stream with Lees-Edwards sliding
+    boundaries: the sharded analogue of make_fused_le_step.
+
+    Per step: local fused kernel -> pad exchange (fresh halos for the
+    un-streaming) -> sharded LE column fix (apply_le_fused_sharded:
+    owner-shard column work + all-gather y-shifted interpolation over
+    ICI; ref: model_le.c:399, leesedwards.c:700) -> pad exchange.
+    (f, n, t0) -> f after n steps starting at time t0.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ludwig_tpu.ops.lees_edwards import apply_le_fused_sharded
+
+    nx = int(mesh.shape.get("x", 1))
+    ny = int(mesh.shape.get("y", 1))
+    spec = P(None, "x", "y", None)
+
+    def local_nstep(f, t0, n):
+        xl, yl = f.shape[1], f.shape[2]
+        fp = jnp.pad(f, ((0, 0), (HX, HX), (HY, HY), (0, 0)))
+        fp = _pad_exchange(fp, nx, ny)
+
+        def body(fp, k):
+            fp = _fused_call(fp, model, params, plan, interpret)
+            fp = _pad_exchange(fp, nx, ny)
+            fp = apply_le_fused_sharded(fp, model, le, t0 + k, xl, yl,
+                                        pad=(HX, HY))
+            return _pad_exchange(fp, nx, ny), ()
+
+        fp, _ = jax.lax.scan(body, fp, jnp.arange(n))
+        return fp[:, HX:-HX, HY:-HY, :]
+
+    @partial(jax.jit, static_argnums=2, donate_argnums=0)
+    def nstep(f, t0, n):
+        t0 = jnp.asarray(t0, f.dtype)
+        return shard_map(partial(local_nstep, n=n), mesh=mesh,
+                         in_specs=(spec, P()), out_specs=spec,
+                         check_vma=False)(f, t0)
+
+    return nstep

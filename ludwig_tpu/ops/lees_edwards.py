@@ -301,3 +301,89 @@ def le_init_shear_profile(lb_cfg, cfg: LeesEdwardsConfig):
         f[p] = np.broadcast_to(np.asarray(fp).reshape(-1, 1, 1), size)
     import jax.numpy as jnp
     return jnp.asarray(f, lb_cfg.jdtype)
+
+
+def apply_le_fused_sharded(fpad: jnp.ndarray, model: LatticeModel,
+                           cfg: LeesEdwardsConfig, t, xl: int, yl: int,
+                           pad: Tuple[int, int] = (1, 8),
+                           ax: str = "x", ay: str = "y") -> jnp.ndarray:
+    """Sharded-lattice variant of apply_le_fused, for use INSIDE a
+    shard_map over an ('x', 'y') device mesh.
+
+    The reference's parallel LE comms (ref: model_le.c:399
+    le_displace_and_interpolate parallel path, leesedwards.c:700
+    y-shifted rank lookup) become: the x-shard owning a plane's column
+    pair un-streams the two adjacent columns from its local fused
+    output (x/y halo pads supply the off-shard neighbours), and the
+    y-displaced interpolation runs on the full-Y column assembled by an
+    all-gather along the y mesh axis - the TPU-native y-shifted
+    exchange, riding ICI.  Every shard executes the same SPMD program;
+    non-owners mask their writes.
+
+    Requires each plane's column pair inside one x-shard (col % xl
+    != xl - 1) - the analogue of the reference's "uniform number of
+    planes per process" constraint (ref: leesedwards.c:450-452).
+    fpad: the LOCAL padded block (nvel, xl+2, yl+2*HY, Z) with FRESH
+    pads.  Returns fpad with live columns fixed (pads stale).
+    """
+    import jax
+
+    HX, HY = pad
+    nvel = model.nvel
+    Z = fpad.shape[3]
+    tt = jnp.asarray(t, fpad.dtype)
+    uy = cfg.uy_now(tt)
+    dy = cfg.displacement(tt)
+    xi = jax.lax.axis_index(ax).astype(jnp.int32)
+    yi = jax.lax.axis_index(ay).astype(jnp.int32)
+    x0 = xi * jnp.int32(xl)
+    y0 = yi * jnp.int32(yl)
+
+    cvs = [(int(model.cv[q][0]), int(model.cv[q][1]), int(model.cv[q][2]))
+           for q in range(nvel)]
+
+    for col in cfg.plane_cols:
+        if col % xl == xl - 1:
+            raise ValueError(
+                f"LE plane column {col} straddles an x-shard boundary "
+                f"(local extent {xl}); choose a grid with the plane "
+                "pair inside one shard (ref: leesedwards.c:450)")
+        owner = jnp.logical_and(col >= x0, col < x0 + xl)
+        lc = jnp.clip(jnp.int32(col) - x0, 0, xl - 2)
+        zero = jnp.int32(0)
+        # padded-x window [lc-1 .. lc+2] covering both entries' reads
+        win = jax.lax.dynamic_slice(
+            fpad, (zero, lc, zero, zero), (nvel, 4, fpad.shape[2], Z))
+        for woff, cx, du, dd in ((1, +1, -uy, dy), (2, -1, uy, -dy)):
+            # un-stream the post-collision column c = col + (woff - 1)
+            rows = []
+            for q in range(nvel):
+                cqx, cqy, cqz = cvs[q]
+                src = win[q, woff + cqx, HY + cqy:HY + cqy + yl, :]
+                if cqz:
+                    src = jnp.roll(src, -cqz, axis=1)
+                rows.append(src)
+            slab = jnp.stack(rows)                      # (nvel, yl, Z)
+            slab = _boost_column(slab, model, cx, du)
+            # full-Y column via all-gather along the y mesh axis
+            full = jax.lax.all_gather(slab, ay, axis=1, tiled=True)
+            full = _displace_column(full, model, cx, dd)
+            # re-stream the crossing velocities back and write the
+            # column on the other side of the plane
+            lwc = lc + (woff - 1) + cx                  # local write col
+            for q in range(nvel):
+                cqx, cqy, cqz = cvs[q]
+                if cqx != cx:
+                    continue
+                v = full[q]
+                if cqy:
+                    v = jnp.roll(v, cqy, axis=0)        # global y shift
+                if cqz:
+                    v = jnp.roll(v, cqz, axis=1)
+                v = jax.lax.dynamic_slice(v, (y0, zero), (yl, Z))
+                idx = (jnp.int32(q), jnp.int32(HX) + lwc,
+                       jnp.int32(HY), zero)
+                cur = jax.lax.dynamic_slice(fpad, idx, (1, 1, yl, Z))
+                v = jnp.where(owner, v[None, None], cur)
+                fpad = jax.lax.dynamic_update_slice(fpad, v, idx)
+    return fpad

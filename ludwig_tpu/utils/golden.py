@@ -223,6 +223,10 @@ def run_case(name: str, workdir: Optional[str] = None,
         mh = _re.search(r"Halo type:\s+(\S.*?)\s*$", whole, _re.M)
         if mh:
             hints.append(f"_halo_label {mh.group(1)}")
+        # whether the era's psi report carries the "Solver type" lines
+        # also varies independently of the version string
+        if "Solver type:" in whole:
+            hints.append("_psi_solver_line 1")
         # whether the initial-conditions block carries a free-energy
         # line also varies within versions; sniff it
         mi = _re.search(r"Initial conditions\.(.*?)Starting", whole,

@@ -540,3 +540,41 @@ def test_fused_z_lane_padding(zext, mode):
                         interpret=True, z=zext)
     np.testing.assert_allclose(np.asarray(unpad_state(fp, z=zext)),
                                np.asarray(fj), rtol=1e-12, atol=1e-13)
+
+
+def test_fused_sharded_le_matches_single():
+    """shard_map'd fused LE over a 2x4 ('x','y') CPU mesh reproduces
+    the single-device fused LE step (the parallel Lees-Edwards comms,
+    ref: model_le.c:399, leesedwards.c:700, as owner-shard column fixes
+    + an all-gather y-shifted interpolation)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ludwig_tpu.lb import LBConfig, initial_rest
+    from ludwig_tpu.ops.fused import (make_fused_le_step,
+                                      make_fused_sharded_le_nstep,
+                                      pad_state, unpad_state)
+    from ludwig_tpu.ops.lees_edwards import LeesEdwardsConfig
+
+    cfg = LBConfig(size=(32, 32, 32), nvel=19, eta_shear=0.1,
+                   force_global=(0.0, 1e-5, 0.0))
+    le = LeesEdwardsConfig(nplanes=2, uy=0.04, nx=32)
+    model, params = cfg.model, cfg.collision_params()
+    rng = np.random.default_rng(9)
+    f = initial_rest(cfg) + 1e-3 * jnp.asarray(
+        rng.standard_normal((19, 32, 32, 32)))
+
+    plan = FusedPlan(BX=4, BY=8)
+    step = make_fused_le_step(cfg, le, plan, interpret=True)
+    st = (pad_state(jnp.array(f), zpad=False),)
+    for t in range(3):
+        st = step(st, t)
+    ref = np.asarray(unpad_state(st[0], z=32))
+
+    devs = np.array(jax.devices("cpu")[:8]).reshape(2, 4)
+    # local shards 16 x 8: LE plane columns 7 and 23 sit inside the
+    # x-shards (col % 16 != 15)
+    mesh = Mesh(devs, ("x", "y"))
+    fs = jax.device_put(f, NamedSharding(mesh, P(None, "x", "y", None)))
+    sh = make_fused_sharded_le_nstep(model, params, le, mesh, plan,
+                                     interpret=True)(fs, 0, 3)
+    np.testing.assert_allclose(np.asarray(sh), ref, rtol=0, atol=1e-13)

@@ -398,3 +398,23 @@ def test_tpu_shard_composes_with_fused_droplet():
     a, b = _stat_floats(log0), _stat_floats(log1)
     assert a.size == b.size and a.size > 0
     np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-14)
+
+
+def test_tpu_shard_composes_with_fused_le():
+    """`tpu_shard on` + `tpu_fused` + Lees-Edwards: the CLI routes to
+    the shard_map'd fused LE step (make_fused_sharded_le_nstep: owner-
+    shard column fixes + all-gather y-shifted interpolation; ref:
+    model_le.c:399, leesedwards.c:700) and reproduces the
+    single-device fused run's statistics."""
+    text = LE_FUSED_INPUT.replace("size 16_16_32", "size 32_32_32")
+    _, log0 = _run("tpu_fused interpret\n" + text)
+    sysobj, log1 = _run("tpu_fused interpret\ntpu_shard on\ngrid 2_4_1\n"
+                        + text)
+    assert sysobj.fused_unpadded
+    assert "Decomposition:  2 4 1 (device mesh)" in log1
+    a, b = _stat_floats(log0), _stat_floats(log1)
+    assert a.size == b.size and a.size > 0
+    # the sharded STATE is bit-identical (test_fused.py::
+    # test_fused_sharded_le_matches_single); the report's near-zero
+    # momentum cancellation sums see sharded-reduction roundoff only
+    np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12)
