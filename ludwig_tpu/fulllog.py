@@ -61,6 +61,7 @@ class InitLog:
         self.open_bc()                  # ref: lb_bc_open_rt
         self.op_io_and_advection()      # ref: ludwig.c:264-274
         self.phi_init_notes()           # ref: fe_*_phi_init_rt
+        self.ternary_init_notes()       # ref: fe_ternary_init_rt
         self.psi_init()                 # ref: psi advection + rho init
         self.walls()                    # ref: wall_rt_init
         self.colloids()                 # ref: colloids_init_rt
@@ -122,6 +123,9 @@ class InitLog:
             self.system_details()
             self.lees_edwards()
             return
+        if fe == "lc_droplet":
+            # printed before the coordinate system (ref: ludwig.c:1632)
+            self.w("Liquid crystal droplet free energy selected\n")
         self.system_details()
         self.lees_edwards()
         if fe in ("symmetric", "symmetric_noise", "symmetric_lb"):
@@ -134,7 +138,7 @@ class InitLog:
             self.w("\nSurfactant free energy\n----------------------\n")
             self.fe_surfactant()
         elif fe == "ternary":
-            self.w("\nTernary free energy\n-------------------\n")
+            self.w("\nTernary free energy\n----------------------\n")
             self.fe_ternary()
         elif fe == "polar_active":
             self.w("\nFree energy details\n-------------------\n\n")
@@ -143,7 +147,6 @@ class InitLog:
             self.w("\nFree energy details\n-------------------\n\n")
             self.fe_lc()
         elif fe == "lc_droplet":
-            self.w("\nFree energy details\n-------------------\n\n")
             self.fe_lc_droplet()
         elif fe == "fe_electro":
             self.w("\nFree energy details\n-------------------\n\n")
@@ -311,13 +314,13 @@ class InitLog:
                           (self.rt.double("surf_mobility_phi", None),
                            self.rt.double("surf_mobility_psi", None)))
 
-    def ch_two_field(self, names, mob):
+    def ch_two_field(self, names, mob, default_force="stress_divergence"):
         # ref: ludwig.c:1395-1420 + cahn_hilliard.c ch_info
         self.w("\nUsing Cahn-Hilliard solver:\n")
         self.w("Number of fields      =  %d\n", 2)
         self.w("Mobility (%s)        = %12.5e\n", names[0], mob[0])
         self.w("Mobility (%s)        = %12.5e\n", names[1], mob[1])
-        self.force_calculation("stress_divergence")
+        self.force_calculation(default_force)
 
     def fe_ternary(self):
         # ref: fe_ternary.c:190-230 fe_ternary_info
@@ -339,23 +342,41 @@ class InitLog:
         self.w("Interfacial tension 23 = %12.5e\n", s23)
         self.w("Interfacial tension 13 = %12.5e\n", s13)
 
-        def angle(sa, sb, sc):
-            # ref: fe_ternary.c:328-350 cosine rule at the contact line
-            c = (sa * sa + sb * sb - sc * sc) / (2.0 * sa * sb)
-            return math.degrees(math.pi - math.acos(c))
-        self.w("Equilibrium angle    1 = %12.5e\n", angle(s12, s13, s23))
-        self.w("Equilibrium angle    2 = %12.5e\n", angle(s12, s23, s13))
-        self.w("Equilibrium angle    3 = %12.5e\n", angle(s13, s23, s12))
+        # ref: fe_ternary.c:328-357
+        self.w("Equilibrium angle    1 = %12.5e\n", math.degrees(
+            math.acos((s23 * s23 - s12 * s12 - s13 * s13)
+                      / (2.0 * s12 * s13))))
+        self.w("Equilibrium angle    2 = %12.5e\n", math.degrees(
+            math.acos((s13 * s13 - s12 * s12 - s23 * s23)
+                      / (2.0 * s12 * s23))))
+        self.w("Equilibrium angle    3 = %12.5e\n", math.degrees(
+            math.acos((s12 * s12 - s23 * s23 - s13 * s13)
+                      / (2.0 * s23 * s13))))
         h1 = rt.double("ternary_h1", 0.0)
         h2 = rt.double("ternary_h2", 0.0)
-        if h1 > 0.0 or h2 > 0.0:
+        if h1 != 0.0 or h2 != 0.0:
             h3 = -k3 * (h1 / k1 + h2 / k2)
+            self.w("\nSolid wetting parameters:\n")
             self.w("Wetting parameter   h1 = %12.5e\n", h1)
             self.w("Wetting parameter   h2 = %12.5e\n", h2)
             self.w("Wetting parameter   h3 = %12.5e\n", h3)
+
+            def factor(k, h):
+                # ref: fe_ternary.c:368-397 wetting angles
+                return ((alpha * k + 4.0 * h) ** 1.5
+                        - (alpha * k - 4.0 * h) ** 1.5) \
+                    / math.sqrt(alpha * k)
+            f1, f2, f3 = factor(k1, h1), factor(k2, h2), factor(k3, h3)
+            self.w("Wetting angle theta_12 = %12.5e\n", math.degrees(
+                math.acos((f1 - f2) / (2.0 * (k1 + k2)))))
+            self.w("Wetting angle theta_23 = %12.5e\n", math.degrees(
+                math.acos((f2 - f3) / (2.0 * (k2 + k3)))))
+            self.w("Wetting angle theta_31 = %12.5e\n", math.degrees(
+                math.acos((f3 - f1) / (2.0 * (k3 + k1)))))
         self.ch_two_field(("phi", "psi"),
                           (self.rt.double("ternary_mobility_phi", None),
-                           self.rt.double("ternary_mobility_psi", None)))
+                           self.rt.double("ternary_mobility_psi", None)),
+                          default_force="phi_gradmu")
 
     def fe_polar(self):
         # ref: polar_active_rt.c:44-66
@@ -454,8 +475,7 @@ class InitLog:
         rt = self.rt
         method = rt.string("lc_anchoring_method", None)
         has_keys = bool(rt.string("lc_coll_anchoring")
-                        or rt.string("lc_wall_anchoring")
-                        or rt.string("lc_anchoring_strength"))
+                        or rt.string("lc_wall_anchoring"))
         if method == "two" or (method is None and 3 <= self.v < 14):
             # the "always print (with none)" behaviour is specific to
             # the v0.7 era; later eras print only when anchoring was
@@ -543,7 +563,7 @@ class InitLog:
         # ref: ludwig.c lc_droplet block: symmetric FE block, then LC
         # block, then the droplet coupling (lc_droplet_rt.c:36-50)
         rt = self.rt
-        self.w("Liquid crystal droplet free energy selected\n\n")
+        self.w("\nFree energy details\n-------------------\n\n")
         self.fe_symmetric_part_for_droplet()
         self.w("\nFree energy details\n-------------------\n\n")
         self.fe_lc(droplet=True)
@@ -816,7 +836,12 @@ class InitLog:
         rt = self.rt
         if rt.switch("lb_bc_open", False) or (
                 rt.string("lb_bc_inflow_type") is not None):
-            flow = rt.int_vector("lb_bc_inflow_rhou_flow", (0, 0, 0))
+            walls = [bool(w) for w in rt.int_vector("boundary_walls",
+                                                    (0, 0, 0))]
+            flow = [0 if walls[a] else 1 for a in range(3)]
+            if sum(flow) != 1:
+                flow = rt.int_vector("lb_bc_inflow_rhou_flow",
+                                     (0, 0, 0))
             u0 = rt.double_vector("lb_bc_inflow_rhou_u0",
                                   (0.0, 0.0, 0.0))
             self.w("\nHydrodynamic open boundary condition for inflow\n")
@@ -825,7 +850,7 @@ class InitLog:
             self.w("Inflow flow direction:    %d %d %d\n", *flow)
             self.w("Inflow flow value u0:     %14.7e  %14.7e  %14.7e\n",
                    *u0)
-            oflow = rt.int_vector("lb_bc_outflow_rhou_flow", flow)
+            oflow = flow
             rho0 = rt.double("lb_bc_outflow_rhou_rho0",
                              rt.double("fluid_rho0", 1.0))
             self.w("\nHydrodynamic open boundary condition at outflow\n")
@@ -867,7 +892,8 @@ class InitLog:
     def phi_init_notes(self):
         # ref: field_phi_init_rt.c via fe_symmetric_phi_init_rt
         if self.fe_name not in ("symmetric", "symmetric_noise",
-                                "symmetric_lb", "brazovskii"):
+                                "symmetric_lb", "brazovskii",
+                                "lc_droplet"):
             return
         rt = self.rt
         ic = rt.string("phi_initialisation", "spinodal")
@@ -887,6 +913,35 @@ class InitLog:
         elif ic == "from_file":
             self.w("Initial order parameter requested from file\n")
 
+    def ternary_init_notes(self):
+        # ref: fe_ternary_rt.c:104-158 (at t = 0 only)
+        if self.fe_name != "ternary" or self.rt.int("N_start", 0) > 0:
+            return
+        rt = self.rt
+        ic = rt.string("ternary_initialisation", "")
+        self.w("\nInitialising fields for ternary fluid\n")
+        if ic == "2d_double_emulsion":
+            xf1 = rt.double("2d_double_emulsion_xf1", 0.2)
+            xf2 = rt.double("2d_double_emulsion_xf2", 0.5)
+            xf3 = rt.double("2d_double_emulsion_xf3", 0.8)
+            yf1 = rt.double("2d_double_emulsion_yf1", 0.3)
+            yf2 = rt.double("2d_double_emulsion_yf2", 0.7)
+            self.w("Composition is 2d block double emulsion "
+                   "initialisation\n")
+            self.w("Interface at xf1 Lx (left)     %12.5e\n", xf1)
+            self.w("Interface at xf2 Lx (centre)   %12.5e\n", xf2)
+            self.w("Interface at xf3 Lx (right)    %12.5e\n", xf3)
+            self.w("Interface at yf1 Ly (bottom)   %12.5e\n", yf1)
+            self.w("Interface at yf2 Ly (top)      %12.5e\n", yf2)
+        elif ic == "2d_tee":
+            # ref: fe_ternary_rt.c:146-151 (note the input key typo
+            # "tarnary_2d_tee_yf1" is the reference's own)
+            xf1 = rt.double("ternary_2d_tee_xf1", 0.5)
+            yf1 = rt.double("tarnary_2d_tee_yf1", 0.33)
+            self.w("Composition is 2d T-shape initialisation\n")
+            self.w("Interface at xf1 Lx (vertical)   %12.5e\n", xf1)
+            self.w("Interface at yf1 Ly (horizontal) %12.5e\n", yf1)
+
     def psi_init(self):
         # ref: psi_rt.c:60-185 psi_rt_init_rho + a second advection
         # report (ludwig.c:295-297 advection_init_rt before psi init)
@@ -903,6 +958,8 @@ class InitLog:
         def debye(rho_el, eps_=None):
             lb_ = lb if eps_ is None else (
                 beta * e * e / (4.0 * math.pi * eps_))
+            if lb_ * rho_el <= 0.0:
+                return math.inf
             return 1.0 / math.sqrt(8.0 * math.pi * lb_ * rho_el)
         ic = rt.string("electrokinetics_init", "")
         self.w("\nInitial charge densities\n------------------------\n")
@@ -1064,7 +1121,8 @@ class InitLog:
                 self.w("colloid_io_read: reading from single file "
                        "%s.001-001\n", fname)
             else:
-                self.w("colloid_io_read: reading from %s etc\n", fname)
+                self.w("colloid_io_read: reading from %s.001-001 etc\n",
+                       fname)
             cp = self.sys.colloid_params
             n = cp.n if cp is not None else 0
             self.w("Read a total of %d colloids from file\n", n)
@@ -1116,7 +1174,8 @@ class InitLog:
                               + (fk[2] * kz) ** 2)
                         if 0.0 < k2 <= kmax:
                             nktot += 1
-            self.w("Max. term retained in Fourier space sum:  %d\n", nk)
+            self.w("Max. term retained in Fourier space sum:  %d\n",
+                   nk + 1)
             self.w("Total terms kept in Fourier space sum:    %d\n\n",
                    nktot)
 
@@ -1370,10 +1429,8 @@ class InitLog:
             self.w("\n")
         elif ic == "2d_shear_wave":
             self.w("\nInitial distribution: 2d shear wave\n")
-            self.w("Velocity magnitude:   %14.7e\n",
-                   rt.double("2d_shear_wave_u0", 0.0))
-            self.w("Shear layer kappa:    %14.7e\n",
-                   rt.double("2d_shear_wave_kappa", 0.0))
+            self.w("Velocity magnitude:   %14.7e\n", 0.04)
+            self.w("Shear layer kappa:    %14.7e\n", 2.0 * math.pi)
             self.w("\n")
         if self.rt.switch("LE_init_profile", False):
             self.w("Initialising shear profile\n")
@@ -1404,7 +1461,7 @@ class InitLog:
         if rt.int("N_start", 0) > 0:
             return
         if self.fe_name == "polar_active":
-            ic = rt.string("p_initialisation", "")
+            ic = rt.string("polar_active_initialisation", "")
             if ic == "aster":
                 self.w("Initialise standard aster\n")
             elif ic == "from_code":

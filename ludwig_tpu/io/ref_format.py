@@ -22,9 +22,15 @@ def field_filename(name: str, step: int, ifile: int = 1, nfile: int = 1):
 
 
 def write_ref_field(directory: str, name: str, step: int, arr,
-                    periodic=(1, 1, 1), lmin=(0.5, 0.5, 0.5)) -> str:
+                    periodic=(1, 1, 1), lmin=(0.5, 0.5, 0.5),
+                    le=None) -> str:
     """Write a (X,Y,Z) or (ncomp,X,Y,Z) array as a reference binary
-    field file + metadata sidecars.  Returns the data file path."""
+    field file + metadata sidecars.  Returns the data file path.
+
+    le: optional (nplanes, uy) recorded in both metadata vintages so
+    sheared-run output post-processes correctly (ref:
+    lees_edwards_options.c:75-86 JSON keys; extract.c:682-690 reads the
+    legacy .meta plane count/speed for le_unroll)."""
     arr = np.asarray(arr, np.float64)
     if arr.ndim == 3:
         data = arr
@@ -45,7 +51,10 @@ def write_ref_field(directory: str, name: str, step: int, arr,
                 "Periodic boundaries": list(int(v) for v in periodic),
                 "Left-end limit Lmin": list(float(v) for v in lmin),
             },
-            "lees_edwards": {"Number of planes": 0},
+            "lees_edwards": (
+                {"Number of planes": 0} if le is None else
+                {"Number of planes": int(le[0]),
+                 "Plane speed": float(le[1])}),
         },
         "io_options": {
             "Mode": "single", "Record format": "binary",
@@ -78,8 +87,10 @@ def write_ref_field(directory: str, name: str, step: int, arr,
         fh.write("Cartesian communicator topology: 1 1 1\n")
         fh.write(f"Total system size:               "
                  f"{size[0]} {size[1]} {size[2]}\n")
-        fh.write("Lees-Edwards planes:             0\n")
-        fh.write("Lees-Edwards plane speed         0.00000000000000\n")
+        np_, uy_ = (0, 0.0) if le is None else (int(le[0]),
+                                                float(le[1]))
+        fh.write(f"Lees-Edwards planes:             {np_}\n")
+        fh.write(f"Lees-Edwards plane speed         {uy_:.14f}\n")
         fh.write("Number of I/O groups (files):    1\n")
         fh.write("I/O communicator topology:       1 1 1\n")
         fh.write("Write order:\n")

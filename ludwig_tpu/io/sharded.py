@@ -95,7 +95,8 @@ def _grid_from_sharding(arr) -> Tuple[int, int, int]:
 
 def write_sharded(directory: str, name: str, step: int, arr,
                   grid: Optional[Sequence[int]] = None,
-                  periodic=(1, 1, 1), lmin=(0.5, 0.5, 0.5)) -> int:
+                  periodic=(1, 1, 1), lmin=(0.5, 0.5, 0.5),
+                  le=None) -> int:
     """Write `arr` as an iogrid set of subfiles; returns nfile.
 
     `arr` is (X, Y, Z) or (ncomp, X, Y, Z).  For a sharded jax.Array
@@ -124,7 +125,10 @@ def write_sharded(directory: str, name: str, step: int, arr,
                     "Periodic boundaries": [int(v) for v in periodic],
                     "Left-end limit Lmin": [float(v) for v in lmin],
                 },
-                "lees_edwards": {"Number of planes": 0},
+                "lees_edwards": (
+                    {"Number of planes": 0} if le is None else
+                    {"Number of planes": int(le[0]),
+                     "Plane speed": float(le[1])}),
             },
             "io_options": {
                 "Mode": "mpiio", "Record format": "binary",

@@ -2687,12 +2687,15 @@ def run_text(text: str, out=sys.stdout) -> System:
     def _write_field(name, step, arr):
         from ludwig_tpu.io.ref_format import write_ref_field
         grid = tuple(rt.int_vector(f"{name}_io_grid", _io_grid_default))
+        _le = (None if sys_.le_cfg is None
+               else (sys_.le_cfg.nplanes, sys_.le_cfg.uy))
         if grid != (1, 1, 1):
             from ludwig_tpu.io.sharded import write_sharded
             write_sharded(iodir, name, step, np.asarray(arr), grid=grid,
-                          periodic=_periodic)
+                          periodic=_periodic, le=_le)
         else:
-            write_ref_field(iodir, name, step, arr, periodic=_periodic)
+            write_ref_field(iodir, name, step, arr, periodic=_periodic,
+                            le=_le)
 
     def _ref_dump(step, state, u):
         if sys_.fused_mode is not None:

@@ -257,7 +257,14 @@ def run_case(name: str, workdir: Optional[str] = None,
         if pre is not None:
             kind, what = pre
             if kind == "case" and not os.path.exists(".pre_done"):
-                run_case(what, strict_fp=strict_fp)
+                # the predecessor must really run (it writes the
+                # restart files), even in the init-only dev loop
+                ionly = os.environ.pop("LTP_INIT_ONLY", None)
+                try:
+                    run_case(what, strict_fp=strict_fp)
+                finally:
+                    if ionly is not None:
+                        os.environ["LTP_INIT_ONLY"] = ionly
                 open(".pre_done", "w").write(what)
             elif kind == "script":
                 import importlib.util as ilu

@@ -32,6 +32,83 @@ def load(directory, field, step):
         return read_subfile_set(directory, field, step)
 
 
+def le_displacement_table(nx, nplanes, displace, speed):
+    """Per-x-column y displacement / u_y correction, relative to the
+    system centre (ref: util/extract.c:914-956 le_set_displacements)."""
+    dy = np.zeros(nx)
+    duy = np.zeros(nx)
+    di = nx // nplanes
+    d0 = -(nplanes / 2.0) * displace
+    u0 = -(nplanes / 2.0) * speed
+    dy[:di // 2] = d0
+    duy[:di // 2] = u0
+    d, u = d0 + displace, u0 + speed
+    for ic in range(di // 2 + 1, nx - di // 2 + 1):   # 1-based loop
+        dy[ic - 1] = d
+        duy[ic - 1] = u
+        if (ic - di // 2) % di == 0:
+            d += displace
+            u += speed
+    dy[nx - di // 2:] = d
+    duy[nx - di // 2:] = u
+    return dy, duy
+
+
+def le_unroll(arr, nplanes, speed, ntime, t0=0, is_velocity=False):
+    """Unroll Lees-Edwards plane displacements (cubic interpolation in
+    y about the system centre; ref: util/extract.c:977-1056 le_unroll).
+
+    arr: (X,Y,Z) or (ncomp,X,Y,Z); the velocity field also gets the
+    per-block u_y frame correction.  Returns the unrolled array.
+    """
+    arr = np.asarray(arr, np.float64)
+    squeeze = arr.ndim == 3
+    if squeeze:
+        arr = arr[None]
+    ncomp, nx, ny, nz = arr.shape
+    displace = speed * (ntime - t0)
+    dy, duy = le_displacement_table(nx, nplanes, displace, speed)
+    out = np.empty_like(arr)
+    jc = np.arange(1, ny + 1)                      # 1-based y index
+    for ic in range(nx):
+        jdy = int(np.floor(dy[ic]))
+        fr = 1.0 - (dy[ic] - jdy)
+        j0 = 1 + (jc - jdy - 3 + 1000 * ny) % ny   # 1-based
+        j1 = 1 + j0 % ny
+        j2 = 1 + j1 % ny
+        j3 = 1 + j2 % ny
+        plane = arr[:, ic]                         # (ncomp, Y, Z)
+        out[:, ic] = (
+            - (1.0 / 6.0) * fr * (fr - 1.0) * (fr - 2.0)
+            * plane[:, j0 - 1]
+            + 0.5 * (fr * fr - 1.0) * (fr - 2.0) * plane[:, j1 - 1]
+            - 0.5 * fr * (fr + 1.0) * (fr - 2.0) * plane[:, j2 - 1]
+            + (1.0 / 6.0) * fr * (fr * fr - 1.0) * plane[:, j3 - 1])
+        if is_velocity:
+            out[1, ic] += duy[ic]
+    return out[0] if squeeze else out
+
+
+def le_meta(directory, field):
+    """(nplanes, speed) from the metadata sidecars (JSON vintage first,
+    then the legacy .meta; ref: extract.c:682-690)."""
+    jpath = os.path.join(directory, f"{field}-metadata.001-001")
+    if os.path.exists(jpath):
+        with open(jpath) as fh:
+            le = json.load(fh)["coords"].get("lees_edwards", {})
+        return (int(le.get("Number of planes", 0)),
+                float(le.get("Plane speed", 0.0)))
+    mpath = os.path.join(directory, f"{field}.001-001.meta")
+    npl, uy = 0, 0.0
+    if os.path.exists(mpath):
+        for line in open(mpath):
+            if line.startswith("Lees-Edwards planes:"):
+                npl = int(line.split()[-1])
+            elif line.startswith("Lees-Edwards plane speed"):
+                uy = float(line.split()[-1])
+    return npl, uy
+
+
 def director(q5):
     """Largest-eigenvalue eigenvector of Q + scalar order parameter
     (ref: extract.c LC director diagonalisation)."""
@@ -87,9 +164,21 @@ def main():
     ap.add_argument("--vtk", default=None)
     ap.add_argument("--npy", default=None)
     ap.add_argument("--director", action="store_true")
+    ap.add_argument("--le-unroll", action="store_true",
+                    help="unroll Lees-Edwards plane displacements "
+                    "(plane count/speed from the metadata sidecars)")
+    ap.add_argument("--le-t0", type=int, default=0,
+                    help="time offset for the accumulated displacement")
     args = ap.parse_args()
 
     arr = load(args.dir, args.field, args.step)
+    if args.le_unroll:
+        npl, uy = le_meta(args.dir, args.field)
+        if npl > 0:
+            print(f"Unrolling LE planes from centre "
+                  f"(displacement {uy * (args.step - args.le_t0):f})")
+            arr = le_unroll(arr, npl, uy, args.step, t0=args.le_t0,
+                            is_velocity=args.field == "vel")
     if args.director:
         n, s = director(arr)
         np.save(f"{args.field}-director-{args.step:08d}.npy", n)
