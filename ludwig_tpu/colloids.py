@@ -53,6 +53,11 @@ class ColloidParams:
     types: Tuple[str, ...] = ()      # "default" | "active" | "subgrid"
     # pinned position axes, (N, 3) of 0/1 (colloid_*_isfixedr / _rxyz)
     isfixedr: Tuple[Tuple[int, int, int], ...] = ()
+    # bond/angle topology (0-based particle indices; ref:
+    # colloid.h bond[2] / nangles): bonds (i, j), angles (j, i, l)
+    # with i the centre particle
+    bonds: Tuple[Tuple[int, int], ...] = ()
+    angles: Tuple[Tuple[int, int, int], ...] = ()
 
     def fixedr_mask(self, dtype):
         """(N, 3) 0/1 multiplier applied to the deferred position move

@@ -50,6 +50,10 @@ class InitLog:
 
     def emit(self):
         rt = self.rt
+        # keys the reference consumes unconditionally on paths this
+        # build folds away (ref: coords_rt.c:46 grid, :52 reorder -
+        # the serial build reads and ignores them)
+        rt.mark_used("grid", "reorder")
         self.welcome()
         self.free_energy_and_system()   # ref: free_energy_init_rt
         self.system_properties()        # ref: physics_info
@@ -474,14 +478,15 @@ class InitLog:
     def lc_anchoring(self, kappa0, gamma, droplet=False):
         rt = self.rt
         method = rt.string("lc_anchoring_method", None)
+        fmt = rt.string("_lc_anchor_fmt", None)
+        if fmt == "none":
+            return
         has_keys = bool(rt.string("lc_coll_anchoring")
                         or rt.string("lc_wall_anchoring"))
-        if method == "two" or (method is None and 3 <= self.v < 14):
-            # the "always print (with none)" behaviour is specific to
-            # the v0.7 era; later eras print only when anchoring was
-            # actually requested (sniffed across the committed logs)
-            if method is None and not has_keys and not (
-                    self.v == 7 and not droplet):
+        if fmt == "two" or method == "two" or (
+                fmt is None and method is None and 3 <= self.v < 14):
+            if (fmt is None and method is None and not has_keys
+                    and droplet):
                 return
             # ref: blue_phase_rt.c:249-381 ("two" era block)
             tcoll = rt.string("lc_coll_anchoring", "none")
@@ -530,7 +535,7 @@ class InitLog:
                 self.w("Wall fixed anchoring orientation = "
                        "%14.7e %14.7e %14.7e\n",
                        *[x / r for x in nfix])
-        elif self.v >= 14 or method == "s7":
+        elif fmt == "s7" or self.v >= 14 or method == "s7":
             # ref: blue_phase_rt.c:200-246 (s7 era: separate blocks,
             # only for anchorings actually set)
             twall = rt.string("lc_wall_anchoring", None)
@@ -1020,6 +1025,22 @@ class InitLog:
         walls = [bool(w) for w in rt.int_vector("boundary_walls",
                                                 (0, 0, 0))]
         if not any(walls):
+            if self.sys.solid is not None:
+                # porous-media wall links (ref: wall.c:250-256)
+                solid = np.asarray(self.sys.solid, bool)
+                if solid.any():
+                    cv = np.asarray(self.sys.lb_cfg.model.cv)
+                    fluid = ~solid
+                    nlink = 0
+                    for p in range(1, cv.shape[0]):
+                        nb = np.roll(solid, tuple(-int(c) for c in
+                                                  cv[p]), (0, 1, 2))
+                        nlink += int(np.sum(fluid & nb))
+                    self.w("\nPorous Media\n------------\n")
+                    self.w("Wall boundary links allocated:   %d\n",
+                           nlink)
+                    self.w("Memory (total, bytes):           %d\n",
+                           16 * nlink)
             return
         self.w("\nBoundary walls\n--------------\n")
         self.w("Boundary walls:                  %1s %1s %1s\n",

@@ -477,7 +477,9 @@ def _parse_colloids(rt, size, rho0, eta):
     cparams = ColloidParams(a0=tuple(a0), ah=tuple(ah),
                             rho0=rho0, gravity=grav,
                             b1=tuple(b1), b2=tuple(b2), m=tuple(mm),
-                            types=tuple(typ), isfixedr=tuple(fixedr))
+                            types=tuple(typ), isfixedr=tuple(fixedr),
+                            bonds=tuple(tuple(b) for b in bonds),
+                            angles=tuple(tuple(a) for a in angles))
     # pairwise/bond interactions -> per-particle force callback
     # (ref: interact_compute, interaction.c:182)
     force_terms = []
@@ -2244,6 +2246,19 @@ def _make_stats_fn(sys_: System):
                     bsum = jnp.sum(jnp.where(mask, bulk, 0.0))
                     gsum = jnp.sum(jnp.where(mask, grad, 0.0))
                 res["fe_lc"] = (ftot, vol, bsum, gsum)
+        nz_ = sys_.lb_cfg.noise
+        if nz_ is not None and nz_.rho:
+            # isothermal-fluctuation temperature statistics
+            # (ref: collision.c:1030-1110 lb_collision_stats_kt)
+            from ludwig_tpu.lb import hydro_fields
+            rho_f, g_f = hydro_fields(f, model)
+            w_ = (1.0 if sys_.solid is None
+                  else jnp.logical_not(sys_.solid).astype(f.dtype))
+            nfl = (float(np.prod(sys_.lb_cfg.size)) if sys_.solid is None
+                   else jnp.sum(w_))
+            res["ktstats"] = tuple(
+                jnp.sum(w_ * g_f[a] * g_f[a] / rho_f) / nfl
+                for a in range(3))
         return res
 
     return compute
@@ -2261,8 +2276,17 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
 
     if "vcol" in res and in_loop:
         vmin, vmax = res["vcol"]
-        out.write("\nParticle statistics:\n\n")
-        out.write("Colloid velocities - x y z\n")
+        out.write("\nParticle statistics:\n")
+        # interaction statistics (ref: interaction.c:226-340
+        # interact_stats between the header and the velocity minmax)
+        cp = sys_.colloid_params
+        if cp is not None:
+            from ludwig_tpu.stats_extra import interact_stats_lines
+            R_now = jax.device_get(sys_.state[1])
+            for ln in interact_stats_lines(sys_.rt, cp, R_now,
+                                           sys_.lb_cfg.size):
+                out.write(ln)
+        out.write("\nColloid velocities - x y z\n")
         out.write(f"[minimum ] {float(vmin[0]):14.7e} "
                   f"{float(vmin[1]):14.7e} {float(vmin[2]):14.7e}\n")
         out.write(f"[maximum ] {float(vmax[0]):14.7e} "
@@ -2442,6 +2466,14 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
             fx = res["uflux"]
             out.write(f"[vol flux] {float(fx[0]):14.7e} "
                       f"{float(fx[1]):14.7e} {float(fx[2]):14.7e}\n")
+    if "ktstats" in res and in_loop:
+        # ref: collision.c:1103-1110 lb_collision_stats_kt
+        gx, gy, gz = (float(v) for v in res["ktstats"])
+        ndim = 2 if sys_.lb_cfg.nvel == 9 else 3
+        kt = sys_.lb_cfg.noise.kt * ndim
+        out.write("\nIsothermal fluctuations\n")
+        out.write(f"[eqipart.] {gx:14.7e} {gy:14.7e} {gz:14.7e}\n")
+        out.write(f"[measd/kT] {gx + gy + gz:14.7e} {kt:14.7e}\n")
     if in_loop:
         out.write(f"\nCompleted cycle {tstep}\n")
     out.flush()
@@ -2971,26 +3003,43 @@ def run_text(text: str, out=sys.stdout) -> System:
         s[3] += 1
 
     def _loop_outputs(t, state, u, prev):
-        if t % freq == 0:
+        # configuration/field dumps and their log lines come BEFORE the
+        # statistics block of the same step (ref: ludwig.c:866-948)
+        is_config = freq_config and t % freq_config == 0
+        if is_config:
             ts0 = time.time()
-            if sys_.fused_mode is not None:
-                sys_.state, u = _fused_view(state, u)
-                report_statistics(sys_, t, u, stats_fn, out=out,
-                                  with_velocity=sys_.hydro_on, prev=prev)
-                sys_.state = state
-            else:
-                report_statistics(sys_, t, u, stats_fn, out=out,
-                                  with_velocity=sys_.hydro_on, prev=prev)
-            _acc("stats", time.time() - ts0)
-        if freq_config and t % freq_config == 0:
-            ts0 = time.time()
+            out.write(f"Writing distribution output at step {t}!\n")
+            if sys_.is_colloid:
+                out.write(f"Writing colloid output at step {t}!\n")
+                out.write("\ncolloid_io_write:\n")
+                out.write(f"writing colloid information to "
+                          f"config.cds{t:08d} etc\n")
             _dump(t, state)
             _acc("cfgio", time.time() - ts0)
         elif ((freq_measure and t % freq_measure == 0)
                 or (freq_colloid_io and t % freq_colloid_io == 0)):
             # colloid state is also written at measurement /
             # colloid-io steps (ref: ludwig.c:878-884)
+            if sys_.is_colloid:
+                out.write(f"Writing colloid output at step {t}!\n")
+                out.write("\ncolloid_io_write:\n")
+                out.write(f"writing colloid information to "
+                          f"config.cds{t:08d} etc\n")
             _dump_colloids(t, state)
+        _has_op = (sys_.is_binary or sys_.is_two_field or sys_.is_droplet
+                   or sys_.is_binary_lb
+                   or (sys_.is_colloid and sys_.binary_cfg is not None))
+        if (freq_phi and t % freq_phi == 0) or is_config:
+            if _has_op:
+                out.write(f"Writing phi file at step {t}!\n")
+            if sys_.is_lc or sys_.is_droplet:
+                out.write(f"Writing q file at step {t}!\n")
+        if sys_.is_electro and ((freq_psi and t % freq_psi == 0)
+                                or is_config):
+            out.write(f"Writing psi file at step {t}!\n")
+        if sys_.hydro_on and ((freq_vel and t % freq_vel == 0)
+                              or is_config):
+            out.write(f"Writing rho/velocity output at step {t}!\n")
         if freq_measure and t % freq_measure == 0 and sigma_cal is not None:
             # (ref: ludwig.c:920-923 stats_sigma_measure)
             stv = (_fused_view(state)[0] if sys_.fused_mode is not None
@@ -3014,6 +3063,17 @@ def run_text(text: str, out=sys.stdout) -> System:
             rheo.write_section(_os.path.join(iodir, f"str-{t:08d}.dat"),
                                sys_.lb_cfg.eta_shear)
             rheo.zero()
+        if t % freq == 0:
+            ts0 = time.time()
+            if sys_.fused_mode is not None:
+                sys_.state, u = _fused_view(state, u)
+                report_statistics(sys_, t, u, stats_fn, out=out,
+                                  with_velocity=sys_.hydro_on, prev=prev)
+                sys_.state = state
+            else:
+                report_statistics(sys_, t, u, stats_fn, out=out,
+                                  with_velocity=sys_.hydro_on, prev=prev)
+            _acc("stats", time.time() - ts0)
         if freq_phi or freq_vel or freq_psi:
             ts0 = time.time()
             _ref_dump(t, state, u)

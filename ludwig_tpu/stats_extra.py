@@ -352,3 +352,140 @@ class SigmaCalibration:
         else:
             sigma = excess / (4.0 * np.pi * radius * radius)
         return radius, xi0fit, sigma
+
+
+def interact_stats_lines(rt, cp, R, box):
+    """The "Particle statistics:" interaction report lines printed each
+    statistics step (ref: interaction.c:226-340 interact_stats; the
+    per-potential accumulators are filled during the force sweep,
+    pair_ss_cut.c:195-250 etc.).
+
+    R: (N, 3) positions at report time; box: lattice extents.  Pair
+    minima are taken over ALL distinct pairs (the reference's cell-list
+    sweep restricts to neighbouring cells - identical whenever the
+    closest pair lies within the interaction neighbourhood, which the
+    cell-width checks enforce for interacting runs).  Returns the list
+    of formatted lines, in the reference's order.
+    """
+    import numpy as _np
+    N = cp.n
+    lines = []
+    R = _np.asarray(R[:N], _np.float64)
+    L = _np.asarray(box, _np.float64)
+    ah = _np.asarray(cp.ah if cp.ah else cp.a0, _np.float64)[:N]
+    lmax = float(L.max())
+
+    d = R[:, None, :] - R[None, :, :]
+    d -= L * _np.round(d / L)
+    r = _np.sqrt((d * d).sum(-1))
+    iu = _np.triu_indices(N, 1)
+    rp = r[iu] if N > 1 else _np.array([])
+    hp = (r - ah[:, None] - ah[None, :])[iu] if N > 1 else _np.array([])
+
+    walls = [bool(w) for w in rt.int_vector("boundary_walls", (0, 0, 0))]
+    if rt.switch("wall_ss_cut_on", False) and any(walls):
+        eps = rt.double("wall_ss_cut_epsilon", 0.0)
+        sig = rt.double("wall_ss_cut_sigma", 0.0)
+        nu = rt.double("wall_ss_cut_nu", 1.0)
+        hc = rt.double("wall_ss_cut_hc", 0.0)
+        vcut = eps * (sig / hc) ** nu
+        dvcut = -eps * nu / sig * (sig / hc) ** (nu + 1)
+        hmin, v = lmax, 0.0
+        for a in range(3):
+            if not walls[a]:
+                continue
+            for hall in (R[:, a] - 0.5 - ah,
+                         (0.5 + L[a]) - R[:, a] - ah):
+                hmin = min(hmin, float(hall.min()))
+                sel = hall < hc
+                if sel.any():
+                    h = hall[sel]
+                    v += float((eps * (sig / h) ** nu - vcut
+                                - (h - hc) * dvcut).sum())
+        lines.append(f"Wall potential minimum h is: {hmin:14.7e}\n")
+        lines.append(f"Wall potential energy is:    {v:14.7e}\n")
+
+    if N > 1 and rt.int("lubrication_on", 0):
+        lines.append(f"Lubrication minimum h is:    "
+                     f"{float(hp.min()):14.7e}\n")
+
+    if N > 1 and rt.int("soft_sphere_on", 0):
+        eps = rt.double("soft_sphere_epsilon", 0.0)
+        sig = rt.double("soft_sphere_sigma", 0.0)
+        nu = rt.double("soft_sphere_nu", 1.0)
+        hc = rt.double("soft_sphere_cutoff", 0.0)
+        vcut = eps * (sig / hc) ** nu
+        dvcut = -eps * nu / sig * (sig / hc) ** (nu + 1)
+        sel = hp < hc
+        h = hp[sel]
+        v = float((eps * (sig / h) ** nu - vcut
+                   - (h - hc) * dvcut).sum()) if sel.any() else 0.0
+        lines.append(f"Pair potential minimum h is: "
+                     f"{float(hp.min()):14.7e}\n")
+        lines.append(f"Pair potential energy is:    {v:14.7e}\n")
+
+    if N > 1 and rt.int("lennard_jones_on", 0):
+        eps = rt.double("lj_epsilon", 0.0)
+        sig = rt.double("lj_sigma", 0.0)
+        rc = rt.double("lj_cutoff", 1.0)
+        rs_c = (sig / rc) ** 6
+        vcut = 4.0 * eps * (rs_c * rs_c - rs_c)
+        dvcut = -24.0 / rc * eps * (2.0 * rs_c * rs_c - rs_c)
+        sel = rp < rc
+        rr = rp[sel]
+        rs = (sig / rr) ** 6
+        v = float((4.0 * eps * (rs * rs - rs) - vcut
+                   - (rr - rc) * dvcut).sum()) if sel.any() else 0.0
+        lines.append(f"Pair potential minimum h is: "
+                     f"{float(hp.min()):14.7e}\n")
+        lines.append(f"Pair potential energy is:    {v:14.7e}\n")
+
+    if N > 1 and rt.int("yukawa_on", 0):
+        eps = rt.double("yukawa_epsilon", 0.0)
+        kappa = rt.double("yukawa_kappa", 1.0)
+        rc = rt.double("yukawa_cutoff", 1.0)
+        vcut = eps * _np.exp(-kappa * rc) / rc
+        dvcut = -eps * _np.exp(-kappa * rc) * (kappa / rc + 1.0 / rc**2)
+        sel = rp < rc
+        rr = rp[sel]
+        v = float((eps * _np.exp(-kappa * rr) / rr - vcut
+                   - (rr - rc) * dvcut).sum()) if sel.any() else 0.0
+        lines.append(f"Pair potential minimum h is: "
+                     f"{float(hp.min()):14.7e}\n")
+        lines.append(f"Pair potential energy is:    {v:14.7e}\n")
+
+    bonds = _np.array(getattr(cp, "bonds", ()), _np.int32).reshape(-1, 2) \
+        if getattr(cp, "bonds", ()) else _np.zeros((0, 2), _np.int32)
+    if rt.int("bond_fene_on", 0) and bonds.size:
+        k = rt.double("bond_fene_k", 0.0)
+        r0 = rt.double("bond_fene_r0", 1.0)
+        i, j = bonds[:, 0], bonds[:, 1]
+        rb = r[i, j]
+        v = float((-0.5 * k * r0 * r0
+                   * _np.log(1.0 - (rb / r0) ** 2)).sum())
+        lines.append(f"Bond potential minimum r is: "
+                     f"{float(rb.min()):14.7e}\n")
+        lines.append(f"Bond potential maximum r is: "
+                     f"{float(rb.max()):14.7e}\n")
+        lines.append(f"Bond potential energy is:    {v:14.7e}\n")
+
+    angles = _np.array(getattr(cp, "angles", ()),
+                       _np.int32).reshape(-1, 3) \
+        if getattr(cp, "angles", ()) else _np.zeros((0, 3), _np.int32)
+    if rt.int("angle_cosine_on", 0) and angles.size:
+        k = rt.double("angle_cosine_k", 0.0)
+        # centre particle i with bonded neighbours (j, l):
+        # v = kappa (1 + cos theta), theta the j-i-l angle
+        # (ref: angle_cosine.c:140-210); stored as (j, i, l)
+        j, i, l = angles[:, 0], angles[:, 1], angles[:, 2]
+        d0 = d[i, j]
+        d1 = d[i, l]
+        c = ((d0 * d1).sum(-1)
+             / _np.sqrt((d0 * d0).sum(-1) * (d1 * d1).sum(-1)))
+        v = float((k * (1.0 + c)).sum())
+        amin = _np.degrees(_np.arccos(c.max()))
+        amax = _np.degrees(_np.arccos(c.min()))
+        lines.append(f"Angle minimum angle is:      {amin:14.7e}\n")
+        lines.append(f"Angle maximum angle is:      {amax:14.7e}\n")
+        lines.append(f"Angle potential energy is:   {v:14.7e}\n")
+    return lines

@@ -227,6 +227,17 @@ def run_case(name: str, workdir: Optional[str] = None,
         # also varies independently of the version string
         if "Solver type:" in whole:
             hints.append("_psi_solver_line 1")
+        # which anchoring-report style the era used ("two"-block with
+        # defaults, s7 per-surface blocks, or none) is likewise a
+        # format property of the blessing era
+        if "lc_" in text:
+            if "Anchoring method:" in whole:
+                hints.append("_lc_anchor_fmt two")
+            elif ("Wall anchoring type:" in whole
+                  or "Colloid anchoring type:" in whole):
+                hints.append("_lc_anchor_fmt s7")
+            else:
+                hints.append("_lc_anchor_fmt none")
         # whether the initial-conditions block carries a free-energy
         # line also varies within versions; sniff it
         mi = _re.search(r"Initial conditions\.(.*?)Starting", whole,
