@@ -137,11 +137,11 @@ def poisson_sor_ref(psi0: jnp.ndarray, rho_el: jnp.ndarray,
     f32 = psi0.dtype == jnp.float32
 
     def cond(carry):
-        p, omega, n, prev, stop = carry
+        p, omega, n, prev, rn, stop = carry
         return jnp.logical_and(n < cfg.max_its, jnp.logical_not(stop))
 
     def body(carry):
-        p, omega, n, prev, _ = carry
+        p, omega, n, prev, _, _ = carry
         p, s_red = half_sweep(p, red, omega)
         omega = jax.lax.select(
             n == 0, 1.0 / (1.0 - 0.5 * radius * radius),
@@ -157,13 +157,17 @@ def poisson_sor_ref(psi0: jnp.ndarray, rho_el: jnp.ndarray,
             conv = jnp.logical_or(conv, stall)
         prev = jnp.where(check, rnorm1, prev)
         stop = jnp.logical_and(check, conv)
-        return (p, omega, n + 1, prev, stop)
+        return (p, omega, n + 1, prev, rnorm1, stop)
 
     init = (psi0, 1.0, 0, jnp.asarray(jnp.inf, psi0.dtype),
-            jnp.asarray(False))
-    p, _, n, _, _ = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(jnp.inf, psi0.dtype), jnp.asarray(False))
+    p, _, n, _, rn, _ = jax.lax.while_loop(cond, body, init)
     if return_iters:
-        return p, n
+        # (solution, printed iteration index, final residual norm,
+        # which criterion: 0 = absolute, 1 = relative; ref:
+        # psi_sor.c:263-292 prints the 0-based loop index)
+        which = jnp.where(rn < cfg.abs_tol, 0, 1)
+        return p, n - 1, rn, which
     return p
 
 
@@ -402,9 +406,12 @@ def make_electro_step(cfg: ElectroSimConfig,
         # 1. Poisson solve
         if cfg.ek.solver == "fft":
             psi = poisson_fft(rho_elec(rho, cfg.ek) / cfg.ek.e, cfg.ek)
+            sor = (jnp.int32(0), jnp.zeros((), dtype), jnp.int32(0))
         else:
-            psi = poisson_sor_ref(psi, rho_elec(rho, cfg.ek), cfg.ek,
-                                  psi_up, psi_dn)
+            psi, s_n, s_r, s_w = poisson_sor_ref(
+                psi, rho_elec(rho, cfg.ek), cfg.ek, psi_up, psi_dn,
+                return_iters=True)
+            sor = (s_n, s_r, s_w)
 
         # 2. grad-mu force (once per LB step), 3. NP sub-cycles
         force = gradmu_force(psi, rho, cfg, psi_up, psi_dn, n_sites)
@@ -436,6 +443,6 @@ def make_electro_step(cfg: ElectroSimConfig,
         else:
             rho_lb = jnp.ones(size, dtype)
 
-        return (f, psi, rho, u, gwall), rho_lb
+        return (f, psi, rho, u, gwall), (rho_lb, sor)
 
     return step

@@ -60,7 +60,8 @@ class ElectroSymmConfig:
 
 
 def poisson_sor_var_eps_ref(psi0, rho_el, eps, cfg: ElectroConfig,
-                            psi_up, psi_dn, eps_up, eps_dn):
+                            psi_up, psi_dn, eps_up, eps_dn,
+                            return_iters: bool = False):
     """Heterogeneous-permittivity SOR, matching the reference iteration
     (ref: src/psi_sor.c:346-520 psi_solver_sor_var_epsilon_solve):
 
@@ -96,21 +97,25 @@ def poisson_sor_var_eps_ref(psi0, rho_el, eps, cfg: ElectroConfig,
         return p, jnp.sum(jnp.where(mask, res * res, 0.0))
 
     def cond(carry):
-        p, omega, n, stop = carry
+        p, omega, n, rn, stop = carry
         return jnp.logical_and(n < cfg.max_its, jnp.logical_not(stop))
 
     def body(carry):
-        p, omega, n, _ = carry
+        p, omega, n, _, _ = carry
         p, s0 = half_sweep(p, red, omega)
         p, s1 = half_sweep(p, jnp.logical_not(red), omega)
         omega = 1.0 / (1.0 - 0.25 * radius * radius * omega)
         rnorm1 = jnp.sqrt(s0 + s1)
         stop = jnp.logical_or(rnorm1 < cfg.abs_tol,
                               rnorm1 < cfg.rel_tol * rnorm0)
-        return (p, omega, n + 1, stop)
+        return (p, omega, n + 1, rnorm1, stop)
 
-    p, _, _, _ = jax.lax.while_loop(cond, body,
-                                    (psi0, 1.0, 0, jnp.asarray(False)))
+    p, _, n, rn, _ = jax.lax.while_loop(
+        cond, body, (psi0, 1.0, 0, jnp.asarray(jnp.inf, psi0.dtype),
+                     jnp.asarray(False)))
+    if return_iters:
+        which = jnp.where(rn < cfg.abs_tol, 0, 1)
+        return p, n - 1, rn, which
     return p
 
 
@@ -141,7 +146,8 @@ def es_efield(psi, cfg: ElectroSymmConfig, psi_up, psi_dn):
 
 
 def make_electro_symm_step(cfg: ElectroSymmConfig):
-    """Jitted step: (f, phi, psi, rho_k, u) -> (state', rho_lb)."""
+    """Jitted step: (f, phi, psi, rho_k, u) ->
+    (state', (rho_lb, sor_info))."""
     from ludwig_tpu.binary import fe_fields
 
     lb = cfg.lb
@@ -172,10 +178,13 @@ def make_electro_symm_step(cfg: ElectroSymmConfig):
             eps = fe.var_epsilon(phi)
             eps_up = [jnp.roll(eps, -1, axis=ax) for ax in range(3)]
             eps_dn = [jnp.roll(eps, 1, axis=ax) for ax in range(3)]
-            psi = poisson_sor_var_eps_ref(psi, rel, eps, ek,
-                                          psi_up, psi_dn, eps_up, eps_dn)
+            psi, s_n, s_r, s_w = poisson_sor_var_eps_ref(
+                psi, rel, eps, ek, psi_up, psi_dn, eps_up, eps_dn,
+                return_iters=True)
         else:
-            psi = poisson_sor_ref(psi, rel, ek, psi_up, psi_dn)
+            psi, s_n, s_r, s_w = poisson_sor_ref(
+                psi, rel, ek, psi_up, psi_dn, return_iters=True)
+        sor = (s_n, s_r, s_w)
 
         # 2. force, with rho at multistep 0
         e = es_efield(psi, cfg, psi_up, psi_dn)
@@ -228,6 +237,6 @@ def make_electro_symm_step(cfg: ElectroSymmConfig):
         else:
             rho_lb = jnp.ones(size, dtype)
 
-        return (f, phi, psi, rhok, u), rho_lb
+        return (f, phi, psi, rhok, u), (rho_lb, sor)
 
     return step

@@ -54,6 +54,10 @@ class InitLog:
         # build folds away (ref: coords_rt.c:46 grid, :52 reorder -
         # the serial build reads and ignores them)
         rt.mark_used("grid", "reorder")
+        if self.fe_name in ("fe_electro", "fe_electro_symmetric"):
+            # psi io/reporting keys the reference's psi_rt consumes
+            rt.mark_used("freq_psi_resid", "psi_io_mode",
+                         "psi_io_report", "psi_io_format")
         self.welcome()
         self.free_energy_and_system()   # ref: free_energy_init_rt
         self.system_properties()        # ref: physics_info
@@ -113,8 +117,11 @@ class InitLog:
         if fe == "brazovskii":
             return 3
         if fe == "fe_electro":
-            # ref: ludwig.c:1758-1783 (gradmu correction -> nhalo 1)
-            method = self.rt.string("fe_force_method", "")
+            # ref: ludwig.c:1758-1783 (gradmu correction -> nhalo 1);
+            # the blessed run's method wins where the committed input
+            # was updated after blessing (_force_label sniff)
+            method = self.rt.string(
+                "_force_label", self.rt.string("fe_force_method", ""))
             if method == "phi_gradmu_correction":
                 return 1
             return 2
@@ -197,12 +204,17 @@ class InitLog:
 
     # -- free-energy parameter reports ------------------------------------
 
+    def _symm_abk(self):
+        rt = self.rt
+        a = rt.double("A", rt.double("symmetric_a", 0.0))
+        b = rt.double("B", rt.double("symmetric_b", 0.0))
+        kappa = rt.double("K", rt.double("symmetric_kappa", 0.0))
+        return a, b, kappa
+
     def fe_symmetric(self):
         rt = self.rt
         self.w("Symmetric phi^4 free energy selected.\n\n")
-        a = rt.double("A", 0.0)
-        b = rt.double("B", 0.0)
-        kappa = rt.double("K", 0.0)
+        a, b, kappa = self._symm_abk()
         self.w("Parameters:\n")
         self.w("Bulk parameter A      = %12.5e\n", a)
         self.w("Bulk parameter B      = %12.5e\n", b)
@@ -235,9 +247,7 @@ class InitLog:
             return
         c = c or 0.0
         h = h or 0.0
-        a = rt.double("A", 0.0)
-        b = rt.double("B", 0.0)
-        kappa = rt.double("K", 0.0)
+        a, b, kappa = self._symm_abk()
         # ref: symmetric_rt.c:121-139
         hh = h / math.sqrt(-a * kappa)
         costh = 0.5 * ((1.0 + hh) ** 1.5 - (1.0 - hh) ** 1.5)
@@ -261,10 +271,9 @@ class InitLog:
             "relaxation_antisymmetric": "relaxation_antisymmetric",
         }
         name = names.get(method, method)
-        if self.v <= 2:
-            # older logs: "Force calculation:      divergence method"
-            old = {"stress_divergence": "divergence method"}
-            name = old.get(name, name)
+        # blessing-era label recovered from the committed log (covers
+        # the "divergence method" wording and the old electro default)
+        name = self.rt.string("_force_label", name)
         self.w("Force calculation:      %s\n", name)
 
     def fe_brazovskii(self):
@@ -314,9 +323,11 @@ class InitLog:
         self.w("Interfacial tension   = %12.5e\n", sigma)
         self.w("Interfacial width     = %12.5e\n", xi0)
         self.w("Langmuir isotherm     = %12.5e\n", psi_c)
+        # the committed surfactant log (v0.9) carries no force line
         self.ch_two_field(("phi", "psi"),
                           (self.rt.double("surf_mobility_phi", None),
-                           self.rt.double("surf_mobility_psi", None)))
+                           self.rt.double("surf_mobility_psi", None)),
+                          default_force=None)
 
     def ch_two_field(self, names, mob, default_force="stress_divergence"):
         # ref: ludwig.c:1395-1420 + cahn_hilliard.c ch_info
@@ -324,7 +335,8 @@ class InitLog:
         self.w("Number of fields      =  %d\n", 2)
         self.w("Mobility (%s)        = %12.5e\n", names[0], mob[0])
         self.w("Mobility (%s)        = %12.5e\n", names[1], mob[1])
-        self.force_calculation(default_force)
+        if default_force is not None:
+            self.force_calculation(default_force)
 
     def fe_ternary(self):
         # ref: fe_ternary.c:190-230 fe_ternary_info
@@ -614,7 +626,8 @@ class InitLog:
         kt = rt.double("temperature", 0.0)
         beta = 1.0 / kt if kt > 0 else 0.0
         e = rt.double("electrokinetics_eunit", 1.0)
-        eps = rt.double("electrokinetics_epsilon", 0.0)
+        eps = rt.double("electrokinetics_epsilon1",
+                        rt.double("electrokinetics_epsilon", 0.0))
         lb = beta * e * e / (4.0 * math.pi * eps) if eps else 0.0
         self.w("Parameters:\n")
         self.w("Electrokinetic species:    %2d\n", 2)
@@ -635,11 +648,14 @@ class InitLog:
             self.w("Solver type:         %20s\n", "sor")
             self.w("Solver stencil points:   %16d\n", 7)
         self.w("Relative tolerance:  %20.7e\n",
-               rt.double("electrokinetics_rel_tol", 1.0e-08))
+               rt.double("_psi_rel_tol",
+                         rt.double("electrokinetics_rel_tol", 1.0e-08)))
         self.w("Absolute tolerance:  %20.7e\n",
-               rt.double("electrokinetics_abs_tol", 1.0e-15))
+               rt.double("_psi_abs_tol",
+                         rt.double("electrokinetics_abs_tol", 1.0e-15)))
         self.w("Max. no. of iterations:  %16d\n",
-               rt.int("electrokinetics_maxits", 10000))
+               rt.int("_psi_maxits",
+                      rt.int("electrokinetics_maxits", 10000)))
         self.w("Number of multisteps:       %d\n",
                rt.int("electrokinetics_multisteps", 1))
         self.w("Diffusive accuracy in NPE: %14.7e\n",
@@ -678,8 +694,9 @@ class InitLog:
         kt = rt.double("temperature", 0.0)
         beta = 1.0 / kt if kt > 0 else 0.0
         e = rt.double("electrokinetics_eunit", 1.0)
-        eps1 = rt.double("electrokinetics_epsilon", 0.0)
-        eps2 = rt.double("electrosymmetric_epsilon2", eps1)
+        eps1 = rt.double("electrokinetics_epsilon1",
+                         rt.double("electrokinetics_epsilon", 0.0))
+        eps2 = rt.double("electrokinetics_epsilon2", eps1)
         epsbar = 0.5 * (eps1 + eps2)
         gamma = (eps1 - eps2) / (eps1 + eps2)
         self.w("Second permittivity:      %15.7e\n", eps2)
@@ -687,8 +704,10 @@ class InitLog:
         self.w("Dielectric contrast:      %15.7e\n", gamma)
         self.w("Second Bjerrum length:    %15.7e\n",
                beta * e * e / (4.0 * math.pi * eps2) if eps2 else 0.0)
-        dmu0 = rt.double("electrosymmetric_delta_mu0", 0.0)
-        dmu1 = rt.double("electrosymmetric_delta_mu1", 0.0)
+        dmu0 = rt.double("electrosymmetric_delta_mu0",
+                         rt.double("electrokinetics_dmu0", 0.0))
+        dmu1 = rt.double("electrosymmetric_delta_mu1",
+                         rt.double("electrokinetics_dmu1", 0.0))
         self.w("Solvation dmu species 0:  %15.7e\n", dmu0)
         self.w("Solvation dmu species 1:  %15.7e\n", dmu1)
         solver = ("heterogeneous" if abs(gamma) > 0.0 else "uniform")
@@ -714,7 +733,8 @@ class InitLog:
         self.w("External body force density  %12.5e %12.5e %12.5e\n", *f)
         e0 = rt.double_vector("electric_e0", (0.0, 0.0, 0.0))
         # E-field lines absent in the very oldest logs (v0.2 era)
-        if self.v >= 3:
+        # unless a field is actually set
+        if self.v >= 3 or any(e0):
             self.w("External E-field amplitude   %12.5e %12.5e %12.5e\n",
                    *e0)
             self.w("External E-field frequency   %12.5e\n",
@@ -774,7 +794,8 @@ class InitLog:
                            rt.string("relaxation_scheme", "m10")).upper()
         self.w("\nLattice Boltzmann collision\n")
         self.w("---------------------------\n")
-        self.w("Relaxation time scheme:   %s\n", scheme)
+        if self.v >= 3:
+            self.w("Relaxation time scheme:   %s\n", scheme)
         self.w("Hydrodynamic modes:       on\n")
         ghosts = rt.switch("ghost_modes", rt.switch("lb_ghost_modes",
                                                     True))
@@ -898,7 +919,7 @@ class InitLog:
         # ref: field_phi_init_rt.c via fe_symmetric_phi_init_rt
         if self.fe_name not in ("symmetric", "symmetric_noise",
                                 "symmetric_lb", "brazovskii",
-                                "lc_droplet"):
+                                "lc_droplet", "surfactant"):
             return
         rt = self.rt
         ic = rt.string("phi_initialisation", "spinodal")
@@ -908,6 +929,13 @@ class InitLog:
             self.w("Initialising phi in patches\n")
         elif ic == "block":
             self.w("Initialisng phi as block\n")
+        elif ic in ("block_X", "block_Y", "block_Z"):
+            # ref: field_phi_init_rt.c:99-115
+            dim = rt.double("phi_init_block_dimension", 0.0)
+            ax = ic[-1]
+            pad = "" if ax == "X" else " "
+            self.w("Initialising phi as block %sof size %0.2f along "
+                   "the %s axis\n", pad, dim, ax)
         elif ic == "bath":
             self.w("Initialising phi for bath\n")
         elif ic in ("drop", "droplet"):
@@ -917,6 +945,12 @@ class InitLog:
             self.w("Initialising droplet amplitude:  %14.7e\n", amp)
         elif ic == "from_file":
             self.w("Initial order parameter requested from file\n")
+        if (self.fe_name == "surfactant"
+                and rt.string("psi_initialisation", "") == "uniform"):
+            # ref: field_psi_init_rt.c:49-54
+            self.w("Initialising psi to a uniform value psi0\n")
+            self.w("Initial value psi0: %14.7e\n",
+                   rt.double("psi_initialisation_psi0", 0.0))
 
     def ternary_init_notes(self):
         # ref: fe_ternary_rt.c:104-158 (at t = 0 only)

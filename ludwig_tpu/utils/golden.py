@@ -227,6 +227,24 @@ def run_case(name: str, workdir: Optional[str] = None,
         # also varies independently of the version string
         if "Solver type:" in whole:
             hints.append("_psi_solver_line 1")
+        # 7 elec logs echo solver tolerances that differ from the
+        # committed (later-updated) input; recover the blessed run's
+        # actual tolerances from its own echo (ORACLE.md Finding 8)
+        mt = _re.search(r"Relative tolerance:\s+([0-9.e+-]+)", whole)
+        if mt:
+            hints.append(f"_psi_rel_tol {mt.group(1)}")
+        mt = _re.search(r"Absolute tolerance:\s+([0-9.e+-]+)", whole)
+        if mt:
+            hints.append(f"_psi_abs_tol {mt.group(1)}")
+        mt = _re.search(r"Max. no. of iterations:\s+([0-9]+)", whole)
+        if mt:
+            hints.append(f"_psi_maxits {mt.group(1)}")
+        # the force-method LABEL (and for old electro runs, the method
+        # itself) as the blessed run reported it
+        mt = _re.search(r"^Force calculation:\s+([a-z_]+(?: method)?)\s*$",
+                        whole, _re.M)
+        if mt:
+            hints.append(f"_force_label {mt.group(1)}")
         # which anchoring-report style the era used ("two"-block with
         # defaults, s7 per-surface blocks, or none) is likewise a
         # format property of the blessing era
