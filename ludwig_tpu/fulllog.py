@@ -54,6 +54,8 @@ class InitLog:
         # build folds away (ref: coords_rt.c:46 grid, :52 reorder -
         # the serial build reads and ignores them)
         rt.mark_used("grid", "reorder")
+        if self.fe_name in ("lc_blue_phase", "lc_droplet"):
+            rt.mark_used("lc_noise")
         if self.fe_name in ("fe_electro", "fe_electro_symmetric"):
             # psi io/reporting keys the reference's psi_rt consumes
             rt.mark_used("freq_psi_resid", "psi_io_mode",
@@ -121,8 +123,8 @@ class InitLog:
             # the blessed run's method wins where the committed input
             # was updated after blessing (_force_label sniff)
             method = self.rt.string(
-                "_force_label", self.rt.string("fe_force_method", ""))
-            if method == "phi_gradmu_correction":
+                "_force_line", self.rt.string("fe_force_method", ""))
+            if method.endswith("phi_gradmu_correction"):
                 return 1
             return 2
         return 2
@@ -271,10 +273,14 @@ class InitLog:
             "relaxation_antisymmetric": "relaxation_antisymmetric",
         }
         name = names.get(method, method)
-        # blessing-era label recovered from the committed log (covers
-        # the "divergence method" wording and the old electro default)
-        name = self.rt.string("_force_label", name)
-        self.w("Force calculation:      %s\n", name)
+        # blessing-era report line recovered from the committed log
+        # (label wording, the old builds' "caluclation" typo, and the
+        # old electro default all vary by era)
+        line = self.rt.string("_force_line", None)
+        if line is not None:
+            self.w("%s\n", line)
+        else:
+            self.w("Force calculation:      %s\n", name)
 
     def fe_brazovskii(self):
         rt = self.rt
@@ -477,7 +483,7 @@ class InitLog:
         self.w("\nUsing Beris-Edwards solver:\n")
         self.w("Rotational diffusion const = %14.7e\n",
                rt.double("lc_Gamma", 0.0))
-        if not droplet and self.v >= 7:
+        if not droplet:
             noise = rt.int("lc_noise", 0)
             self.w("LC fluctuations:           =  %s\n",
                    "off" if noise == 0 else "on")
@@ -732,9 +738,11 @@ class InitLog:
         f = rt.double_vector("force", (0.0, 0.0, 0.0))
         self.w("External body force density  %12.5e %12.5e %12.5e\n", *f)
         e0 = rt.double_vector("electric_e0", (0.0, 0.0, 0.0))
-        # E-field lines absent in the very oldest logs (v0.2 era)
-        # unless a field is actually set
-        if self.v >= 3 or any(e0):
+        if self.v <= 1:
+            # v0.1 era: single "External electric field" line
+            self.w("External electric field      %12.5e %12.5e "
+                   "%12.5e\n", *e0)
+        else:
             self.w("External E-field amplitude   %12.5e %12.5e %12.5e\n",
                    *e0)
             self.w("External E-field frequency   %12.5e\n",
@@ -775,10 +783,10 @@ class InitLog:
         # committed logs ("full" vs "lb_halo_target (full halo)"), so
         # the golden harness sniffs the era's label (`_halo_label`);
         # the physics (full-halo exchange) is identical.
+        scheme = self.rt.string("lb_halo_scheme", "lb_halo_target")
         label = self.rt.string("_halo_label", None)
         if label is not None:
             return label
-        scheme = self.rt.string("lb_halo_scheme", "lb_halo_target")
         return {"lb_halo_target": "lb_halo_target (full halo)",
                 "lb_halo_openmp_full": "lb_halo_openmp_full (host)",
                 "lb_halo_openmp_reduced":
@@ -919,7 +927,8 @@ class InitLog:
         # ref: field_phi_init_rt.c via fe_symmetric_phi_init_rt
         if self.fe_name not in ("symmetric", "symmetric_noise",
                                 "symmetric_lb", "brazovskii",
-                                "lc_droplet", "surfactant"):
+                                "lc_droplet", "surfactant",
+                                "fe_electro_symmetric"):
             return
         rt = self.rt
         ic = rt.string("phi_initialisation", "spinodal")
@@ -991,7 +1000,8 @@ class InitLog:
         kt = rt.double("temperature", 0.0)
         beta = 1.0 / kt if kt > 0 else 0.0
         e = rt.double("electrokinetics_eunit", 1.0)
-        eps = rt.double("electrokinetics_epsilon", 0.0)
+        eps = rt.double("electrokinetics_epsilon1",
+                        rt.double("electrokinetics_epsilon", 0.0))
         lb = beta * e * e / (4.0 * math.pi * eps) if eps else 0.0
 
         def debye(rho_el, eps_=None):
@@ -1174,7 +1184,8 @@ class InitLog:
                 fname = stub
             if single:
                 self.w("colloid_io_read: reading from single file "
-                       "%s.001-001\n", fname)
+                       "%s.001-001\n",
+                       rt.string("_colloid_file_label", fname))
             else:
                 self.w("colloid_io_read: reading from %s.001-001 etc\n",
                        fname)

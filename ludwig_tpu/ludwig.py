@@ -1307,16 +1307,9 @@ def build_system(rt: RunTime) -> System:
             beta=1.0 / kt,
             epsilon=rt.double("electrokinetics_epsilon", 3.3e3),
             solver=rt.string("electrokinetics_solver_type", "sor"),
-            # _psi_*_tol: harness hints recovering the BLESSED run's
-            # tolerances where the committed input was updated after
-            # the log was blessed (7 elec cases; ORACLE.md Finding 8)
-            rel_tol=rt.double("_psi_rel_tol",
-                              rt.double("electrokinetics_rel_tol", 1e-8)),
-            abs_tol=rt.double("_psi_abs_tol",
-                              rt.double("electrokinetics_abs_tol",
-                                        1e-15)),
-            max_its=rt.int("_psi_maxits",
-                           rt.int("electrokinetics_maxits", 10000)),
+            rel_tol=rt.double("electrokinetics_rel_tol", 1e-8),
+            abs_tol=rt.double("electrokinetics_abs_tol", 1e-15),
+            max_its=rt.int("electrokinetics_maxits", 10000),
             multisteps=rt.int("electrokinetics_multisteps", 1))
         np_stencil = rt.int("electrokinetics_solver_stencil", 7)
         e0 = tuple(rt.double_vector("electric_e0", (0.0, 0.0, 0.0)))
@@ -3010,8 +3003,10 @@ def run_text(text: str, out=sys.stdout) -> System:
         s[3] += 1
 
     def _loop_outputs(t, state, u, prev):
-        _ek = getattr(sys_.electro_cfg, "ek", sys_.electro_cfg)
-        if (sys_.is_electro and t % freq == 0
+        _ek = getattr(sys_.electro_cfg, "ek", sys_.electro_cfg) \
+            if sys_.is_electro else None
+        _nfreq = rt.int("freq_psi_resid", freq) if sys_.is_electro else 0
+        if (sys_.is_electro and _nfreq and t % _nfreq == 0
                 and getattr(sys_, "_last_sor", None) is not None
                 and _ek.solver != "fft"):
             # SOR convergence report at statistics steps (ref:
