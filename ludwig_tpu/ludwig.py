@@ -1665,25 +1665,42 @@ def build_system(rt: RunTime) -> System:
                               solid=None, state=(pad_state(f),),
                               step_fn=step, le_cfg=le, fused_mode="le")
         if (fused_req != "off" and le is None and solid is None
-                and not has_kiss and nz is None):
+                and (nz is None or (nz.rho and not nz.phi))):
             # production fast path: the fused Pallas collide+stream
-            # replaces the jnp step (requires float32 on hardware and a
-            # 128-aligned z; 'tpu_fused interpret' runs the same kernel
-            # in interpret mode for CPU tests)
+            # replaces the jnp step ('tpu_fused interpret' runs the
+            # same kernel in interpret mode for CPU tests).  With
+            # isothermal fluctuations on, the kernel generates the
+            # counter-keyed noise stream in VMEM (ops/fused.FusedNoise;
+            # same variances as the KISS stream, different realisation
+            # - golden runs stay on the bitwise jnp path by not
+            # requesting tpu_fused)
             plan = _fused_plan(size)
             interp = fused_req == "interpret"
             if plan is not None and (interp
                                      or lb_cfg.dtype == "float32"):
                 from functools import partial as _p
 
-                from ludwig_tpu.ops.fused import fused_step, pad_state
+                from ludwig_tpu.ops.fused import (FusedNoise, fused_step,
+                                                  pad_state)
                 model = lb_cfg.model
                 params = lb_cfg.collision_params()
+                fnz = None
+                if nz is not None and nz.rho:
+                    from ludwig_tpu.noise import (var_bulk, var_eta,
+                                                  var_ghost)
+                    fnz = FusedNoise(
+                        seed=nz.seed,
+                        v_eta=var_eta(1.0 / params.rtau_shear, nz.kt),
+                        v_bulk=var_bulk(1.0 / params.rtau_bulk, nz.kt),
+                        v_ghost=tuple(var_ghost(model,
+                                                params.rtau_ghost,
+                                                nz.kt)))
 
                 @_p(jax.jit, donate_argnums=0)
                 def step(fpad, t=0):
                     return fused_step(fpad, model, params, plan,
-                                      interpret=interp, z=size[2])
+                                      interpret=interp, z=size[2],
+                                      noise=fnz, t=t)
 
                 return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
                               solid=None, state=(pad_state(f),),
@@ -1740,6 +1757,11 @@ def _make_fast_stats_fn(sys_: System):
         res = {"rho": _fstats(rho),
                "g": jnp.sum(g, axis=(1, 2, 3)),
                "umm": stats.velocity_minmax(u)}
+        nz_ = sys_.lb_cfg.noise
+        if nz_ is not None and nz_.rho:
+            # kT statistics (ref: collision.c:1030-1110)
+            res["ktstats"] = tuple(
+                jnp.mean(g[a] * g[a] / rho) for a in range(3))
         if sys_.wallspec is not None:
             # fused wall mode: gwall rides the state (f, gwall)
             res["gwall"] = state[1]
@@ -2304,9 +2326,9 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
         for k in range(len(res["rhok"])):
             out.write("[rho] " + _3(*res["rhok"][k]))
         out.write("[elc] " + _3(*res["elc"]))
-        if "psi_zeta" in res and in_loop:
-            # the reference computes the zeta potential only inside the
-            # time loop (ref: ludwig.c statistics step, not at t = 0)
+        if "psi_zeta" in res:
+            # printed in every statistics block, including the t = 0
+            # report (ref: serial-elec-rr1.log:126)
             out.write(f"[psi_zeta] {float(res['psi_zeta']):14.7e}\n")
         if "fe_colloid" in res:
             # ncolloid > 0, no area (ref: stats_free_energy.c:119-124)

@@ -272,14 +272,16 @@ def _make_stream_emit(model: LatticeModel, Z, nx_out, ny_out, sink):
 
 
 def _collide_modes(model: LatticeModel, params: CollisionParams, fl,
-                   force=None):
+                   force=None, noise_sg=None):
     """Post-collision modes from a list of per-velocity arrays.
 
-    Single-fluid hot path (no masks/noise - those run on the general jnp
-    path); algebra identical to ops.collide.collide.  `force` is an
-    optional [fx, fy, fz] per-site body force at the same window level
-    (the LC coupling); it adds the Guo half-force velocity shift, the
-    momentum-mode increment and the (2 - rtau) stress correction.
+    Single-fluid hot path; algebra identical to ops.collide.collide.
+    `force` is an optional [fx, fy, fz] per-site body force at the same
+    window level (the LC coupling); it adds the Guo half-force velocity
+    shift, the momentum-mode increment and the (2 - rtau) stress
+    correction.  `noise_sg` is an optional (shat_by_pair, ghat_list)
+    from _noise_modes: isothermal fluctuations INSIDE the fused kernel
+    (ref: collision.c:53 applies them inside the collision kernel).
 
     Returns (modes, u).
     """
@@ -307,6 +309,7 @@ def _collide_modes(model: LatticeModel, params: CollisionParams, fl,
     rtb = params.rtau_bulk
     tr_post = tr_s - rtb * (tr_s - tr_seq)
 
+    shat, ghat = noise_sg if noise_sg is not None else (None, None)
     out = [rho] + [m[1 + a] + ftot[a] if has_f[a] else m[1 + a]
                    for a in range(ndim)]
     for (a, b) in pairs:
@@ -317,18 +320,28 @@ def _collide_modes(model: LatticeModel, params: CollisionParams, fl,
             v = v + rdim * tr_post
         if has_f[a] or has_f[b]:
             v = v + (2.0 - rt) * (u[a] * ftot[b] + ftot[a] * u[b])
+        if shat is not None:
+            v = v + shat[(a, b)]
         out.append(v)
     rtau_g = params.rtau_ghost
-    for g in range(model.nhydro, model.nvel):
+    for gi, g in enumerate(range(model.nhydro, model.nvel)):
         coef = 1.0 - float(rtau_g[g])
-        out.append(m[g] * coef if coef != 0.0 else 0.0)
+        val = m[g] * coef if coef != 0.0 else None
+        if ghat is not None and ghat[gi] is not None:
+            val = ghat[gi] if val is None else val + ghat[gi]
+        out.append(val if val is not None else 0.0)
     return out, u
 
 
 def _fused_kernel(model: LatticeModel, params: CollisionParams,
                   X, Y, Z, BX, BY,
-                  fpad_hbm, out_hbm, inbuf, outbuf, insem, outsem):
-    """grid=() kernel: fori_loop over (nbx * nby) blocks, double-buffered."""
+                  fpad_hbm, out_hbm, inbuf, outbuf, insem, outsem,
+                  noise=None, zlive=None, step_smem=None):
+    """grid=() kernel: fori_loop over (nbx * nby) blocks, double-buffered.
+
+    With `noise` (FusedNoise), per-site counter-keyed fluctuations are
+    generated in VMEM and applied inside the collision (ref:
+    collision.c:53); `step_smem` carries the timestep counter."""
     nvel = model.nvel
     nbx, nby = X // BX, Y // BY
     nblocks = nbx * nby
@@ -365,7 +378,33 @@ def _fused_kernel(model: LatticeModel, params: CollisionParams,
         # Halo window (BX+2, BY+2, Z): value-slice the aligned DMA window.
         window = inbuf[slot]
         fl = [window[p, :, HY - 1:HY + BY + 1, :] for p in range(nvel)]
-        modes, _u = _collide_modes(model, params, fl)
+        noise_sg = None
+        if noise is not None:
+            i = k // nby
+            j = k % nby
+            wshape = (BX + 2, BY + 2, Z)
+            dt_ = fl[0].dtype.type
+            gx = jax.lax.broadcasted_iota(jnp.int32, wshape, 0) \
+                + i * np.int32(BX) - np.int32(1)
+            gx = jax.lax.rem(gx + np.int32(X), np.int32(X))
+            gy = jax.lax.broadcasted_iota(jnp.int32, wshape, 1) \
+                + j * np.int32(BY) - np.int32(1)
+            gy = jax.lax.rem(gy + np.int32(Y), np.int32(Y))
+            gz = jax.lax.broadcasted_iota(jnp.int32, wshape, 2)
+            zl = Z if zlive is None else int(zlive)
+            if zl != Z:
+                # lane padding: duplicated/ghost columns must draw the
+                # SAME noise as the live column they mirror
+                wrap = jax.lax.rem(gz, np.int32(zl))
+                if 128 % zl == 0:
+                    gz = wrap
+                else:
+                    gz = jnp.where(gz == np.int32(Z - 1),
+                                   np.int32(zl - 1), wrap)
+            noise_sg = _noise_modes(model, noise, wshape, gx, gy, gz,
+                                    step_smem[0], dt_)
+        modes, _u = _collide_modes(model, params, fl,
+                                   noise_sg=noise_sg)
 
         # Make sure this staging slot's previous output DMA completed.
         @pl.when(k >= 2)
@@ -403,17 +442,21 @@ class FusedPlan:
 
 def fused_step(fpad: jnp.ndarray, model: LatticeModel,
                params: CollisionParams, plan: FusedPlan = FusedPlan(),
-               interpret: bool = False, z: int = None) -> jnp.ndarray:
+               interpret: bool = False, z: int = None,
+               noise=None, t=0) -> jnp.ndarray:
     """One fused collide+stream step on a padded state; returns new padded
     state (pads refreshed, single-shard periodic).  `z` is the live z
-    extent when the state is lane-padded (zpad_len)."""
-    return _pad_refresh(_fused_call(fpad, model, params, plan, interpret),
+    extent when the state is lane-padded (zpad_len); `noise` an optional
+    FusedNoise (isothermal fluctuations in-kernel, keyed on step t)."""
+    return _pad_refresh(_fused_call(fpad, model, params, plan, interpret,
+                                    noise=noise, z=z, t=t),
                         z=z)
 
 
 def _fused_call(fpad: jnp.ndarray, model: LatticeModel,
                 params: CollisionParams, plan: FusedPlan = FusedPlan(),
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False, noise=None, z: int = None,
+                t=0) -> jnp.ndarray:
     """The raw kernel launch: new padded state with STALE pads (the
     caller refreshes them - locally, or by ppermute on a mesh)."""
     nvel, Xp, Yp, Z = fpad.shape
@@ -428,23 +471,40 @@ def _fused_call(fpad: jnp.ndarray, model: LatticeModel,
             f"fused kernel state must be z lane-padded to a multiple of "
             f"128 on hardware (got {Z}); pad with pad_state/zpad_len")
 
-    kernel = partial(_fused_kernel, model, params, X, Y, Z, BX, BY)
-    out = pl.pallas_call(
+    scratch = [
+        pltpu.VMEM((2, nvel, BX + 2, BY + 16, Z), fpad.dtype),
+        pltpu.VMEM((2, nvel, BX, BY, Z), fpad.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    cp = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
+    if noise is None:
+        kernel = partial(_fused_kernel, model, params, X, Y, Z, BX, BY)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(fpad.shape, fpad.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=scratch, compiler_params=cp,
+            interpret=interpret,
+        )(fpad)
+
+    def kernel(fpad_hbm, step_ref, out_hbm, inbuf, outbuf, insem,
+               outsem):
+        _fused_kernel(model, params, X, Y, Z, BX, BY, fpad_hbm,
+                      out_hbm, inbuf, outbuf, insem, outsem,
+                      noise=noise, zlive=z, step_smem=step_ref)
+
+    step_arr = jnp.full((1,), t, jnp.int32)
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(fpad.shape, fpad.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, nvel, BX + 2, BY + 16, Z), fpad.dtype),
-            pltpu.VMEM((2, nvel, BX, BY, Z), fpad.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+        scratch_shapes=scratch, compiler_params=cp,
         interpret=interpret,
-    )(fpad)
-    return out
+    )(fpad, step_arr)
 
 
 def make_fused_wall_step(cfg, spec, plan: FusedPlan = FusedPlan(),
@@ -520,16 +580,18 @@ def make_fused_le_step(cfg, le, plan: FusedPlan = FusedPlan(),
 
 def make_fused_nstep(model: LatticeModel, params: CollisionParams,
                      plan: FusedPlan = FusedPlan(), interpret: bool = False,
-                     z: int = None):
+                     z: int = None, noise=None):
     """Jitted n-step driver on padded state (donated, scanned).  `z` is
-    the live z extent for lane-padded states (zpad_len)."""
+    the live z extent for lane-padded states (zpad_len); with `noise`
+    the steps are numbered t0 + k for the counter stream."""
 
     @partial(jax.jit, static_argnums=1, donate_argnums=0)
-    def nstep(fpad, n):
-        def body(fp, _):
+    def nstep(fpad, n, t0=0):
+        def body(fp, k):
             return fused_step(fp, model, params, plan,
-                              interpret=interpret, z=z), ()
-        fpad, _ = jax.lax.scan(body, fpad, None, length=n)
+                              interpret=interpret, z=z, noise=noise,
+                              t=t0 + k), ()
+        fpad, _ = jax.lax.scan(body, fpad, jnp.arange(n))
         return fpad
 
     return nstep
@@ -1113,3 +1175,120 @@ def make_fused_sharded_le_nstep(model: LatticeModel,
                          check_vma=False)(f, t0)
 
     return nstep
+
+
+# -- in-kernel fluctuating LB (ref: collision.c:53 lb_collision_
+# fluctuations inside the collision kernel; variances collision.c:
+# 108-120) -------------------------------------------------------------
+
+_RT_A = float(np.sqrt(2.0 + np.sqrt(2.0)))
+_RT_B = float(np.sqrt(2.0 - np.sqrt(2.0)))
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedNoise:
+    """Static fluctuation parameters for the fused kernel.
+
+    The production stream is a counter-based per-GLOBAL-site hash
+    (murmur3-style finalizer over (x, y, z, step, mode, seed)) mapped
+    onto the reference's 8-value discrete unit-variance distribution
+    (ref: noise.c:70 table; ludwig_tpu.noise._RTABLE) - deterministic,
+    decomposition- and block-independent by construction, like the
+    reference's site-seeded state (ref: noise.c:190-196).  The KISS99
+    bitwise stream stays on the jnp path for golden parity.
+    """
+    seed: int
+    v_eta: float
+    v_bulk: float
+    v_ghost: tuple       # per-mode ghost amplitudes (len nvel)
+
+
+def _hash_u32(h):
+    """murmur3 finalizer (int32 ops, wrap-around semantics)."""
+    h = h ^ (jax.lax.shift_right_logical(h, np.int32(16)))
+    h = h * np.int32(-2048144789)      # 0x85ebca6b
+    h = h ^ (jax.lax.shift_right_logical(h, np.int32(13)))
+    h = h * np.int32(-1028477387)      # 0xc2b2ae35
+    h = h ^ (jax.lax.shift_right_logical(h, np.int32(16)))
+    return h
+
+
+def _deviate_from_bits(bits, dtype):
+    """Map 3 uniform bits onto the 8-value discrete distribution
+    {-A, -B, 0 x4, +B, +A} (zero mean, unit variance, correct 4th
+    moment; ref: noise.c discrete table)."""
+    idx = bits & np.int32(7)
+    nonzero = jnp.logical_or(
+        jnp.logical_or(idx == 0, idx == 1),
+        jnp.logical_or(idx == 6, idx == 7))
+    sign = jnp.where(idx >= 4, dtype(1.0), dtype(-1.0))
+    mag = jnp.where(jnp.logical_or(idx == 0, idx == 7),
+                    dtype(_RT_A), dtype(_RT_B))
+    return jnp.where(nonzero, sign * mag, dtype(0.0))
+
+
+def _window_deviates(shape, gx, gy, gz, step, seed, n, dtype):
+    """n unit-variance deviate arrays over a (wx, wy, wz) window, keyed
+    on GLOBAL site coordinates so halo-overlapped sites get identical
+    values in every block that computes them."""
+    base = (gx * np.int32(73856093)
+            ^ gy * np.int32(19349663)
+            ^ gz * np.int32(83492791))
+    base = base ^ (step * np.int32(-1640531527))     # 2654435761
+    base = base ^ np.int32(seed & 0x7fffffff)
+    out = []
+    for m in range(n):
+        h = _hash_u32(base ^ (np.int32(m) * np.int32(40503)))
+        out.append(_deviate_from_bits(h, dtype))
+    return out
+
+
+def _noise_modes(model: LatticeModel, noise: FusedNoise, shape,
+                 gx, gy, gz, step, dtype):
+    """(shat_by_pair, ghat_list): stress-mode noise per _triu_pairs
+    order and per-ghost-mode noise, at window level (the construction
+    of ref collision.c:1818-1906 / noise.stress_from_deviates)."""
+    ndim = model.ndim
+    nghost = model.nvel - model.nhydro
+    r = _window_deviates(shape, gx, gy, gz, step, noise.seed,
+                         6 + nghost, dtype)
+    s = [[None] * 3 for _ in range(3)]
+    s[0][0], s[0][1], s[0][2] = r[0], r[1], r[2]
+    s[1][1], s[1][2], s[2][2] = r[3], r[4], r[5]
+    s[1][0], s[2][0], s[2][1] = s[0][1], s[0][2], s[1][2]
+    tr = (1.0 / ndim) * (s[0][0] + s[1][1] + (ndim - 2.0) * s[2][2])
+    sq2 = float(np.sqrt(2.0))
+    shat = {}
+    for (a, b) in _triu_pairs(ndim):
+        v = s[a][b] - (tr if a == b else 0.0)
+        v = v * (noise.v_eta * sq2 if a == b else noise.v_eta)
+        if a == b:
+            v = v + tr * noise.v_bulk
+        shat[(a, b)] = v
+    ghat = []
+    for i, g in enumerate(range(model.nhydro, model.nvel)):
+        amp = float(noise.v_ghost[g])
+        ghat.append(amp * r[6 + i] if amp != 0.0 else None)
+    return shat, ghat
+
+
+def fused_noise_fields(model: LatticeModel, noise: FusedNoise, size,
+                       step, dtype):
+    """jnp twin of the in-kernel noise: (shat (3,3,X,Y,Z), ghat
+    (nvel,X,Y,Z)) with the SAME counter stream, for feeding
+    ops.collide.collide on the parity path."""
+    X, Y, Z = size
+    gx = jnp.arange(X, dtype=jnp.int32)[:, None, None]
+    gy = jnp.arange(Y, dtype=jnp.int32)[None, :, None]
+    gz = jnp.arange(Z, dtype=jnp.int32)[None, None, :]
+    stepi = jnp.asarray(step, jnp.int32)
+    shp, ghl = _noise_modes(model, noise, (X, Y, Z), gx, gy, gz,
+                            stepi, dtype)
+    shat = jnp.stack([jnp.stack([
+        jnp.broadcast_to(shp[tuple(sorted((a, b)))], (X, Y, Z))
+        for b in range(3)]) for a in range(3)])
+    zero = jnp.zeros((X, Y, Z), dtype)
+    rows = [zero] * model.nhydro + [
+        (zero if g is None else jnp.broadcast_to(g, (X, Y, Z)))
+        for g in ghl]
+    return shat, jnp.stack(rows)

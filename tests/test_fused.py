@@ -578,3 +578,46 @@ def test_fused_sharded_le_matches_single():
     sh = make_fused_sharded_le_nstep(model, params, le, mesh, plan,
                                      interpret=True)(fs, 0, 3)
     np.testing.assert_allclose(np.asarray(sh), ref, rtol=0, atol=1e-13)
+
+
+def test_fused_noise_matches_jnp_counter_stream():
+    """In-kernel fluctuations (FusedNoise counter stream) == jnp
+    collide+stream fed the twin noise fields (fused_noise_fields), and
+    conserved modes are untouched (noise lives in stress/ghost modes
+    only; ref: collision.c:53,108-120)."""
+    from ludwig_tpu.noise import var_bulk, var_eta, var_ghost
+    from ludwig_tpu.ops.collide import collide
+    from ludwig_tpu.ops.fused import FusedNoise, fused_noise_fields
+    from ludwig_tpu.ops.stream import stream
+
+    model = lb_model(19)
+    params = CollisionParams(model=model, eta_shear=0.05, eta_bulk=0.07,
+                             force_global=(1e-5, 0.0, 0.0))
+    shape = (8, 16, 16)
+    kt = 1.0e-5
+    noise = FusedNoise(
+        seed=12345,
+        v_eta=var_eta(1.0 / params.rtau_shear, kt),
+        v_bulk=var_bulk(1.0 / params.rtau_bulk, kt),
+        v_ghost=tuple(var_ghost(model, params.rtau_ghost, kt)))
+    f0 = jnp.asarray(_rand_f(model, shape, seed=21), jnp.float64)
+
+    fj = f0
+    for t in range(3):
+        shat, ghat = fused_noise_fields(model, noise, shape, t,
+                                        np.float64)
+        fj, _, _ = collide(fj, params, shat=shat, ghat=ghat)
+        fj = stream(fj, model)
+
+    fp = pad_state(jnp.array(f0))
+    for t in range(3):
+        fp = fused_step(fp, model, params, FusedPlan(4, 8),
+                        interpret=True, z=shape[2], noise=noise, t=t)
+    np.testing.assert_allclose(np.asarray(unpad_state(fp, z=shape[2])),
+                               np.asarray(fj), rtol=1e-12, atol=1e-14)
+    # global mass/momentum unchanged by the noise stream
+    g0 = np.einsum("qxyz,qa->a", np.asarray(f0), np.asarray(model.cv))
+    g1 = np.einsum("qxyz,qa->a", np.asarray(unpad_state(fp, z=shape[2])),
+                   np.asarray(model.cv))
+    imp = np.array([3 * 1e-5 * np.prod(shape), 0.0, 0.0])
+    np.testing.assert_allclose(g1, g0 + imp, rtol=0, atol=1e-10)

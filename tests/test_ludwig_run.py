@@ -418,3 +418,18 @@ def test_tpu_shard_composes_with_fused_le():
     # test_fused_sharded_le_matches_single); the report's near-zero
     # momentum cancellation sums see sharded-reduction roundoff only
     np.testing.assert_allclose(b, a, rtol=1e-12, atol=1e-12)
+
+
+def test_tpu_fused_with_fluctuations_cli():
+    """`tpu_fused` + isothermal fluctuations routes to the fused kernel
+    with the in-kernel counter noise stream (ref: collision.c:53) and
+    reports the kT statistics block."""
+    text = ("tpu_fused interpret\n" + PLAIN_FUSED_INPUT
+            + "\ntemperature 0.00002\nisothermal_fluctuations on\n"
+            + "random_seed 8361235\n")
+    sysobj, log = _run(text)
+    assert sysobj.fused_mode == "plain"
+    assert "Isothermal fluctuations\n" in log
+    assert "[eqipart.]" in log and "[measd/kT]" in log
+    # conserved totals still exact at print precision (16x16x32)
+    assert re.search(r"\[rho\]\s+8192\.00\s+1\.0000", log)
