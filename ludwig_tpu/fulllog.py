@@ -503,8 +503,10 @@ class InitLog:
                         or rt.string("lc_wall_anchoring"))
         if fmt == "two" or method == "two" or (
                 fmt is None and method is None and 3 <= self.v < 14):
-            if (fmt is None and method is None and not has_keys
-                    and droplet):
+            if fmt is None and method is None and not has_keys:
+                # no anchoring keys in the input: no reference vintage
+                # prints the "two" block with its all-zero defaults
+                # (checked across every regression log)
                 return
             # ref: blue_phase_rt.c:249-381 ("two" era block)
             tcoll = rt.string("lc_coll_anchoring", "none")
@@ -1576,6 +1578,11 @@ class InitLog:
                 self.w("with added traceless symmetric random "
                        "fluctuation.\n")
             self.w("Finger axis %s, helical axis %s\n", a, helical)
+        if (rt.int_vector("lc_q_init_rectangle_min", None) is not None
+                and rt.int_vector("lc_q_init_rectangle_max", None)
+                is not None):
+            # ref: blue_phase_rt.c:605-612
+            self.w("Superposing random rectangle\n")
 
     def electroneutrality(self):
         # ref: ludwig.c:422

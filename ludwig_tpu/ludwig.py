@@ -2030,6 +2030,26 @@ def _make_stats_fn(sys_: System):
                                      jnp.sum(fl.astype(fed.dtype)))
                 if cpar.n == 1:
                     res["psi_zeta"] = zeta_potential(psi, fl, inside)
+            nz_ = sys_.lb_cfg.noise
+            if nz_ is not None and nz_.rho:
+                # isothermal-fluctuation temperature statistics over
+                # FLUID-status sites only: colloid interiors and any
+                # wall/porous solid are excluded, like the reference's
+                # status==FLUID test (ref: collision.c:1030-1110
+                # lb_collision_stats_kt)
+                from ludwig_tpu.lb import hydro_fields
+                rho_f, g_f = hydro_fields(f, model)
+                flu = fl
+                if sys_.solid is not None:
+                    s_ = jnp.logical_not(sys_.solid)
+                    flu = s_ if flu is None else jnp.logical_and(flu, s_)
+                w_ = (1.0 if flu is None else flu.astype(f.dtype))
+                nfl = (float(np.prod(sys_.lb_cfg.size)) if flu is None
+                       else jnp.sum(w_))
+                rho_s = jnp.where(rho_f == 0.0, 1.0, rho_f)  # masked
+                res["ktstats"] = tuple(
+                    jnp.sum(w_ * g_f[a] * g_f[a] / rho_s) / nfl
+                    for a in range(3))
             return res
         _old_stats = sys_.rt.int("_log_vintage", 9999) < 12
         _g_fn = (stats.momentum_total_plain if _old_stats
@@ -2852,7 +2872,8 @@ def run_text(text: str, out=sys.stdout) -> System:
             # a sharded run must re-apply the mesh placement or the
             # restart silently runs serial (and OOMs at scale)
             _shard_fn()
-        out.write(f"Restart from step {n_start}\n")
+        # diagnostic only: no reference vintage prints a restart line
+        print(f"Restart from step {n_start}", file=sys.stderr)
 
     @jax.jit
     def _wall_collide_u(state):
