@@ -1143,10 +1143,23 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
     if fast:
         from ludwig_tpu.colloids_fast import (bbl_step_exact,
                                               bbl_step_mxu,
+                                              build_map_cubes,
                                               build_map_fast,
+                                              cubes_supported,
                                               remove_replace_fast,
                                               remove_replace_seeds_fast,
                                               solid_body_u)
+        # scatter-free cell-list rebuild when the geometry allows it
+        # (TPU scatters serialise; the cube path is ~9x faster at
+        # 64^3/N=1000) - f64 golden runs keep the scatter-min builder
+        # whose tie-break order the bitwise contract was verified on
+        _cube = (cubes_supported(params, size)
+                 if cfg.dtype != "float64" else None)
+        if _cube is not None:
+            def _bmap_prod(R_, p_, s_, _c=_cube):
+                return build_map_cubes(R_, p_, s_, cube=_c)
+        else:
+            _bmap_prod = build_map_fast
 
     def _step(state, t, rebuild):
         f, R, V, W, dr, Rmap, Msw = state[:7]
@@ -1162,7 +1175,7 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         fxm = params.fixedr_mask(R.dtype)
         mv = dr if fxm is None else fxm * dr
         R = position_update(R, mv, size)
-        bmap = build_map_fast if fast else build_map
+        bmap = _bmap_prod if fast else build_map
         rr_seeds = None
         deltam = f0c = t0c = None
         if rebuild:

@@ -1270,3 +1270,115 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
         fout = fout.at[qr].set(jnp.where(mj, val_at_j, fout[qr]))
 
     return fout, Vn, Wn, Mn, jnp.stack(gw_acc)
+
+
+def cubes_supported(params: ColloidParams, size, cube=None):
+    """The cube size build_map_cubes can use for this suspension, or
+    None if none fits (callers then fall back to build_map_fast).
+
+    A particle window must overlap at most 2 cubes per axis, so the
+    cube edge must be >= w-1 = 2*(rmax+1) sites and divide every
+    lattice extent."""
+    rmax = int(np.ceil(float(np.max(params.a0))))
+    wm1 = 2 * (rmax + 1)
+    if cube is not None:
+        ok = (cube >= wm1 and all(int(s) % cube == 0 for s in size))
+        return cube if ok else None
+    for c in (8, 16, 32, 64):
+        if c >= wm1 and all(int(s) % c == 0 for s in size):
+            return c
+    return None
+
+
+def build_map_cubes(R: jnp.ndarray, params: ColloidParams, size,
+                    cube: int = 8, cap: int = 64):
+    """Scatter-free build_map: cube-decomposed candidate lists + dense
+    per-cube distance evaluation.
+
+    TPU scatters serialize, so build_map_fast's two O(N w^3)
+    scatter-min passes dominate the suspension rebuild.  This is the
+    cell-list formulation (ref: colloids.h:95-122 cell lists,
+    build.c:75 build_update_map) recast for the VPU: the lattice is
+    partitioned into `cube`^3 blocks, each particle's window is binned
+    into the <= 8 blocks it can overlap (one sort of 8N keys), and
+    every block evaluates its <= `cap` candidates densely -
+    (ncubes, cap, cube^3) elementwise work, no scatters or big gathers.
+    Results (pid, inside) match build_map_fast exactly (same
+    nearest-centre, lowest-index tie-break).
+
+    `cap` bounds candidates per block: for a0 ~ 2.3 suspensions at 20%
+    volume fraction the mean is ~16; overflow would silently drop the
+    highest particle ids in a block, so callers keep the default
+    generous (the analogue of the reference's cell-capacity sizing,
+    colloids_rt.c:600).
+    """
+    N = R.shape[0]
+    nsite = int(np.prod(size))
+    nc = tuple(int(s) // cube for s in size)
+    assert all(int(s) % cube == 0 for s in size)
+    ncubes = nc[0] * nc[1] * nc[2]
+    rmax = int(np.ceil(float(np.max(params.a0))))
+    w = 2 * (rmax + 1) + 1
+    # the 8-corner binning below assumes a window overlaps at most 2
+    # cubes per axis; larger radii need a larger cube (cubes_supported)
+    assert w - 1 <= cube, (w, cube)
+    a2 = jnp.asarray(np.array(params.a0, np.float64) ** 2, R.dtype)
+
+    corner = jnp.floor(R).astype(jnp.int32) - (rmax + 1)      # (N, 3)
+    c0 = jnp.floor_divide(corner, cube)
+    c1 = jnp.floor_divide(corner + (w - 1), cube)
+    cube_ids = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                cx = jnp.mod((c1 if dx else c0)[:, 0], nc[0])
+                cy = jnp.mod((c1 if dy else c0)[:, 1], nc[1])
+                cz = jnp.mod((c1 if dz else c0)[:, 2], nc[2])
+                cube_ids.append((cx * nc[1] + cy) * nc[2] + cz)
+    cid = jnp.concatenate(cube_ids)                           # (8N,)
+    pid8 = jnp.tile(jnp.arange(N, dtype=jnp.int32), 8)
+    order = jnp.argsort(cid)
+    scid = cid[order]
+    spid = pid8[order]
+    starts = jnp.searchsorted(scid, jnp.arange(ncubes,
+                                               dtype=scid.dtype))
+    ends = jnp.searchsorted(scid, jnp.arange(ncubes,
+                                             dtype=scid.dtype),
+                            side="right")
+    idx = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    valid = idx < ends[:, None]
+    cand = jnp.where(valid, spid[jnp.clip(idx, 0, 8 * N - 1)],
+                     jnp.int32(N))                            # (nq, cap)
+
+    # dense per-cube distances (min-image via periodic wrap)
+    cown = jnp.clip(cand, 0, N - 1)
+    Rc = R[cown]                                              # (nq,cap,3)
+    a2c = jnp.where(cand < N, a2[cown], -1.0)
+    qx, qy, qz = np.meshgrid(np.arange(nc[0]), np.arange(nc[1]),
+                             np.arange(nc[2]), indexing="ij")
+    origin = np.stack([qx.reshape(-1) * cube, qy.reshape(-1) * cube,
+                       qz.reshape(-1) * cube], 1)             # (nq, 3)
+    ox, oy, oz = np.meshgrid(np.arange(cube), np.arange(cube),
+                             np.arange(cube), indexing="ij")
+    offs = np.stack([ox.reshape(-1), oy.reshape(-1),
+                     oz.reshape(-1)], 1)                      # (S, 3)
+    S = cube ** 3
+    r2 = jnp.zeros((ncubes, cap, S), R.dtype)
+    for a in range(3):
+        site_a = jnp.asarray(origin[:, a:a + 1] + offs[None, :, a],
+                             R.dtype)                         # (nq, S)
+        da = site_a[:, None, :] - Rc[:, :, a:a + 1]           # (nq,cap,S)
+        La = float(size[a])
+        da = da - La * jnp.round(da / La)
+        r2 = r2 + da * da
+    hit = r2 < a2c[:, :, None]
+    r2m = jnp.where(hit, r2, jnp.inf)
+    best = jnp.min(r2m, axis=1)                               # (nq, S)
+    pcand = jnp.where(jnp.logical_and(hit, r2m <= best[:, None, :]),
+                      cand[:, :, None], jnp.int32(N))
+    bestpid = jnp.min(pcand, axis=1)                          # (nq, S)
+    lat = bestpid.reshape(nc + (cube, cube, cube))
+    lat = jnp.transpose(lat, (0, 3, 1, 4, 2, 5)).reshape(size)
+    inside = lat < N
+    pid = jnp.where(inside, lat, -1).astype(jnp.int32)
+    return pid, inside
