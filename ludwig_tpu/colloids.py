@@ -97,6 +97,10 @@ class ColloidState(NamedTuple):
     M: jnp.ndarray        # swimming directions (N, 3) (squirmers)
     noise: Optional[jnp.ndarray] = None   # KISS fluctuation state
     gwall: Optional[jnp.ndarray] = None   # accumulated wall momentum
+    # cached (pid, inside, cands) for Rmap - the solid map is a pure
+    # function of Rmap, so carrying it saves one full rebuild per step
+    # (field is LAST so checkpoint leaf positions are unchanged)
+    pmap: Optional[tuple] = None
 
 
 def rotate_vector(v, w):
@@ -1157,9 +1161,14 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
                  if cfg.dtype != "float64" else None)
         if _cube is not None:
             def _bmap_prod(R_, p_, s_, _c=_cube):
-                return build_map_cubes(R_, p_, s_, cube=_c)
+                # (pid, inside, cands): the candidate lists feed the
+                # cube-local BBL reduction (seg_cols_cubes)
+                return build_map_cubes(R_, p_, s_, cube=_c,
+                                       return_cands=True)
         else:
-            _bmap_prod = build_map_fast
+            def _bmap_prod(R_, p_, s_):
+                pid_, in_ = build_map_fast(R_, p_, s_)
+                return pid_, in_, None
 
     def _step(state, t, rebuild):
         f, R, V, W, dr, Rmap, Msw = state[:7]
@@ -1175,13 +1184,22 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         fxm = params.fixedr_mask(R.dtype)
         mv = dr if fxm is None else fxm * dr
         R = position_update(R, mv, size)
-        bmap = _bmap_prod if fast else build_map
+        if fast:
+            bmap = _bmap_prod
+        else:
+            def bmap(R_, p_, s_):
+                pid_, in_ = build_map(R_, p_, s_)
+                return pid_, in_, None
         rr_seeds = None
         deltam = f0c = t0c = None
+        cached = state.pmap
         if rebuild:
-            pid_old, inside_old = bmap(Rmap, params, size)
+            if cached is not None:
+                pid_old, inside_old = cached[0], cached[1]
+            else:
+                pid_old, inside_old, _ = bmap(Rmap, params, size)
             Rmap = R
-            pid, inside = bmap(R, params, size)
+            pid, inside, cands = bmap(R, params, size)
             if fast and exact_sums:
                 # batched per-image build seeds, bitwise vs the slow
                 # remove_replace(per_image=True)
@@ -1198,8 +1216,10 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
                 f, rr_seeds = remove_replace(
                     f, R, V, W, inside_old, pid_old, inside, pid, model,
                     params, size, rho0=cfg.rho0, per_image=True)
+        elif cached is not None:
+            pid, inside, cands = cached
         else:
-            pid, inside = bmap(Rmap, params, size)
+            pid, inside, cands = bmap(Rmap, params, size)
 
         # interior sites track the solid-body velocity (ref: bbl pass0)
         L = jnp.asarray(np.array(size, np.float64), f.dtype)
@@ -1281,7 +1301,7 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
                 deltam=deltam, f0_corr=f0c, t0_corr=t0c, M=Msw,
                 pid_inside=(pid, inside),
                 walls=(wallspec.walls if has_walls else (False,) * 3),
-                wall_drag=dwall)
+                wall_drag=dwall, cands=cands, cube=_cube)
         else:
             f, V, W, Msw, gwbb = bbl_step(
                 f, Rmap, V, W, model, params, size,
@@ -1313,7 +1333,8 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         else:
             f = stream(f, model)
         return ColloidState(f, R, V, W, dr, Rmap, Msw,
-                            noise=nstate, gwall=gwall), (rho, u)
+                            noise=nstate, gwall=gwall,
+                            pmap=(pid, inside, cands)), (rho, u)
 
     # Donating the state halves peak HBM (the distribution double
     # buffer).  The experimental axon TPU relay executes this
@@ -1326,7 +1347,11 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
     else:
         _call = jax.jit(_step, static_argnums=2, donate_argnums=0)
 
-    def step(state, t=0, rebuild=None):
+    def prepare(state):
+        """Normalise a state to the full ColloidState layout (legacy
+        tuples, missing noise/gwall, and the pmap cache).  Chains that
+        lax.scan over the step MUST run this on the initial carry so
+        the pytree structure is iteration-stable."""
         if len(state) == 6:   # legacy tuple without swim directions
             mm = (np.array(params.m, np.float64) if params.m
                   else np.tile([1.0, 0.0, 0.0], (params.n, 1)))
@@ -1339,9 +1364,21 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         if has_walls and state.gwall is None:
             state = state._replace(
                 gwall=jnp.zeros((3,), state.f.dtype))
+        if state.pmap is None:
+            if fast:
+                state = state._replace(
+                    pmap=_bmap_prod(state.Rmap, params, size))
+            else:
+                p_, i_ = build_map(state.Rmap, params, size)
+                state = state._replace(pmap=(p_, i_, None))
+        return state
+
+    def step(state, t=0, rebuild=None):
+        state = prepare(state)
         return _call(state, t, int(t) % rebuild_freq == 0 if rebuild is None
                      else rebuild)
 
+    step.prepare = prepare
     return step
 
 

@@ -966,7 +966,7 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
                  ext_force=None, ext_torque=None, rho0: float = 1.0,
                  deltam=None, f0_corr=None, t0_corr=None, M=None,
                  pid_inside=None, walls=(False, False, False),
-                 wall_drag=None):
+                 wall_drag=None, cands=None, cube=None):
     """bbl_step_fast restructured for the MXU (same contract/values to
     f32 rounding; ref: bbl.c pass1/pass2, bbl_update_colloids:750-880).
 
@@ -1125,7 +1125,13 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
         rbxcs.append(rbxc)
         masks.append(mj)
     NC = cols[0].shape[0]                      # 18
-    red = seg_cols_mxu(jnp.concatenate(cols, axis=0), ids0, N + 1)
+    if cands is not None:
+        # pillar-local reduction over the build's candidate lists
+        # (nseg/cap-fold fewer one-hot matmul FLOPs than the global
+        # one-hot; per-q folds keep the copies Z-minor)
+        red = seg_cols_cubes(cols, ids0, cands, size, cube, N + 1)
+    else:
+        red = seg_cols_mxu(jnp.concatenate(cols, axis=0), ids0, N + 1)
     red = red[:, :N].reshape(nvel - 1, NC, N)  # (q, col, particle)
 
     S0 = red[:, 0]                             # (q, N) link count
@@ -1273,112 +1279,179 @@ def bbl_step_mxu(f: jnp.ndarray, R, V, W, model: LatticeModel,
 
 
 def cubes_supported(params: ColloidParams, size, cube=None):
-    """The cube size build_map_cubes can use for this suspension, or
+    """The pillar edge build_map_cubes can use for this suspension, or
     None if none fits (callers then fall back to build_map_fast).
 
-    A particle window must overlap at most 2 cubes per axis, so the
-    cube edge must be >= w-1 = 2*(rmax+1) sites and divide every
-    lattice extent."""
+    Blocks are (cube, cube, Z) pillars - full z extent, so the folded
+    layout keeps Z as the (TPU-tiling-friendly) minor dimension.  A
+    particle window must overlap at most 2 pillars per horizontal
+    axis, so the pillar edge must be >= w-1 = 2*(rmax+1) sites and
+    divide the x and y extents."""
     rmax = int(np.ceil(float(np.max(params.a0))))
     wm1 = 2 * (rmax + 1)
     if cube is not None:
-        ok = (cube >= wm1 and all(int(s) % cube == 0 for s in size))
+        ok = (cube >= wm1 and int(size[0]) % cube == 0
+              and int(size[1]) % cube == 0)
         return cube if ok else None
     for c in (8, 16, 32, 64):
-        if c >= wm1 and all(int(s) % c == 0 for s in size):
+        if c >= wm1 and int(size[0]) % c == 0 and int(size[1]) % c == 0:
             return c
     return None
 
 
+def cube_fold(arr: jnp.ndarray, size, cube: int):
+    """(..., X, Y, Z) -> (..., npillars, cube*cube*Z) in
+    build_map_cubes' pillar order (S runs (ox, oy, z) row-major; the
+    minor dimension stays Z, so the fold transposes cleanly under the
+    TPU's (8, 128) tiling - a (cube^3) block order would put an
+    8-element axis minor and pad every copy 16x)."""
+    X, Y, Z = (int(s) for s in size)
+    ncx, ncy = X // cube, Y // cube
+    lead = arr.shape[:-3]
+    nl = len(lead)
+    a = arr.reshape(lead + (ncx, cube, ncy, cube, Z))
+    perm = tuple(range(nl)) + tuple(nl + p for p in (0, 2, 1, 3, 4))
+    a = jnp.transpose(a, perm)
+    return a.reshape(lead + (ncx * ncy, cube * cube * Z))
+
+
+def seg_cols_cubes(cols: jnp.ndarray, ids: jnp.ndarray,
+                   cand: jnp.ndarray, size, cube: int, nseg: int):
+    """Segment-sum of (C, X, Y, Z) columns via pillar-local one-hot
+    matmuls + a tiny scatter over the candidate lists.
+
+    The global one-hot of seg_cols_mxu is (nsite, nseg) ~ 1 GB at
+    64^3/N=1000 and the reduction pays ~6 bf16 passes over it at
+    HIGHEST precision.  With the pillar decomposition every segment id
+    present in a block is on that block's candidate list, so the same
+    reduction is a batched (C, S) @ (S, cap) per pillar (one-hot
+    (npil, S, cap), nseg/cap-fold smaller) followed by a segment-sum
+    of npil*cap partials."""
+    if isinstance(cols, (list, tuple)):
+        # pre-folded per-q stacks: folding BEFORE the concatenate keeps
+        # every copy in a Z-minor layout (a single post-concat fold
+        # tempts XLA into a transposed concat layout whose minor dim is
+        # the 8-wide pillar axis - every operand copy then pads 128x)
+        colsq = jnp.concatenate(
+            [cube_fold(c_, size, cube) for c_ in cols], axis=0)
+    else:
+        colsq = cube_fold(cols, size, cube)              # (C, np, S)
+    C = colsq.shape[0]
+    npil = cand.shape[0]
+    cap = cand.shape[1]
+    idsq = cube_fold(ids, size, cube)                    # (np, S)
+    oh = (idsq[:, :, None] == cand[:, None, :]).astype(colsq.dtype)
+    part = jax.lax.dot_general(
+        jnp.moveaxis(colsq, 1, 0), oh,
+        (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST)             # (np, C, cap)
+    gids = jnp.where(cand < nseg, cand, nseg - 1).reshape(-1)
+    out = jax.ops.segment_sum(
+        jnp.moveaxis(part, 1, 0).reshape(C, npil * cap).T, gids,
+        num_segments=nseg)                               # (nseg, C)
+    return out.T
+
+
 def build_map_cubes(R: jnp.ndarray, params: ColloidParams, size,
-                    cube: int = 8, cap: int = 64):
-    """Scatter-free build_map: cube-decomposed candidate lists + dense
-    per-cube distance evaluation.
+                    cube: int = 8, cap: int = 256,
+                    return_cands: bool = False):
+    """Scatter-free build_map: pillar-decomposed candidate lists +
+    dense per-pillar distance evaluation.
 
     TPU scatters serialize, so build_map_fast's two O(N w^3)
     scatter-min passes dominate the suspension rebuild.  This is the
     cell-list formulation (ref: colloids.h:95-122 cell lists,
     build.c:75 build_update_map) recast for the VPU: the lattice is
-    partitioned into `cube`^3 blocks, each particle's window is binned
-    into the <= 8 blocks it can overlap (one sort of 8N keys), and
-    every block evaluates its <= `cap` candidates densely -
-    (ncubes, cap, cube^3) elementwise work, no scatters or big gathers.
-    Results (pid, inside) match build_map_fast exactly (same
-    nearest-centre, lowest-index tie-break).
+    partitioned into (cube, cube, Z) pillars, each particle's window
+    is binned into the <= 4 pillars it can overlap (one sort of 4N
+    keys), and every pillar evaluates its <= `cap` candidates densely
+    - (npillars, cap, cube^2 Z) elementwise work, no scatters or big
+    gathers.  Results (pid, inside) match build_map_fast exactly
+    (same nearest-centre, lowest-index tie-break).
 
-    `cap` bounds candidates per block: for a0 ~ 2.3 suspensions at 20%
-    volume fraction the mean is ~16; overflow would silently drop the
+    With return_cands, also returns the (npillars, cap) candidate
+    lists (pid or N padding) for seg_cols_cubes reductions.
+
+    `cap` bounds candidates per pillar: a pillar's catchment is the
+    (cube + 2 rmax)^2 * Z box, so for a0 ~ 2.3 suspensions at 20%
+    volume fraction the mean is ~70; overflow would silently drop the
     highest particle ids in a block, so callers keep the default
     generous (the analogue of the reference's cell-capacity sizing,
     colloids_rt.c:600).
     """
     N = R.shape[0]
-    nsite = int(np.prod(size))
-    nc = tuple(int(s) // cube for s in size)
-    assert all(int(s) % cube == 0 for s in size)
-    ncubes = nc[0] * nc[1] * nc[2]
+    X, Y, Z = (int(s) for s in size)
+    ncx, ncy = X // cube, Y // cube
+    assert X % cube == 0 and Y % cube == 0
+    npil = ncx * ncy
+    cap = min(cap, N)
     rmax = int(np.ceil(float(np.max(params.a0))))
     w = 2 * (rmax + 1) + 1
-    # the 8-corner binning below assumes a window overlaps at most 2
-    # cubes per axis; larger radii need a larger cube (cubes_supported)
+    # the 4-corner binning below assumes a window overlaps at most 2
+    # pillars per axis; larger radii need a larger pillar edge
+    # (cubes_supported)
     assert w - 1 <= cube, (w, cube)
     a2 = jnp.asarray(np.array(params.a0, np.float64) ** 2, R.dtype)
 
     corner = jnp.floor(R).astype(jnp.int32) - (rmax + 1)      # (N, 3)
     c0 = jnp.floor_divide(corner, cube)
     c1 = jnp.floor_divide(corner + (w - 1), cube)
-    cube_ids = []
+    pillar_ids = []
     for dx in (0, 1):
         for dy in (0, 1):
-            for dz in (0, 1):
-                cx = jnp.mod((c1 if dx else c0)[:, 0], nc[0])
-                cy = jnp.mod((c1 if dy else c0)[:, 1], nc[1])
-                cz = jnp.mod((c1 if dz else c0)[:, 2], nc[2])
-                cube_ids.append((cx * nc[1] + cy) * nc[2] + cz)
-    cid = jnp.concatenate(cube_ids)                           # (8N,)
-    pid8 = jnp.tile(jnp.arange(N, dtype=jnp.int32), 8)
+            cx = jnp.mod((c1 if dx else c0)[:, 0], ncx)
+            cy = jnp.mod((c1 if dy else c0)[:, 1], ncy)
+            pillar_ids.append(cx * ncy + cy)
+    cid = jnp.concatenate(pillar_ids)                         # (4N,)
+    pid4 = jnp.tile(jnp.arange(N, dtype=jnp.int32), 4)
     order = jnp.argsort(cid)
     scid = cid[order]
-    spid = pid8[order]
-    starts = jnp.searchsorted(scid, jnp.arange(ncubes,
+    spid = pid4[order]
+    starts = jnp.searchsorted(scid, jnp.arange(npil,
                                                dtype=scid.dtype))
-    ends = jnp.searchsorted(scid, jnp.arange(ncubes,
+    ends = jnp.searchsorted(scid, jnp.arange(npil,
                                              dtype=scid.dtype),
                             side="right")
     idx = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
     valid = idx < ends[:, None]
-    cand = jnp.where(valid, spid[jnp.clip(idx, 0, 8 * N - 1)],
-                     jnp.int32(N))                            # (nq, cap)
+    cand = jnp.where(valid, spid[jnp.clip(idx, 0, 4 * N - 1)],
+                     jnp.int32(N))                            # (np, cap)
 
-    # dense per-cube distances (min-image via periodic wrap)
+    # dense per-pillar distances (min-image via periodic wrap)
     cown = jnp.clip(cand, 0, N - 1)
-    Rc = R[cown]                                              # (nq,cap,3)
+    Rc = R[cown]                                              # (np,cap,3)
     a2c = jnp.where(cand < N, a2[cown], -1.0)
-    qx, qy, qz = np.meshgrid(np.arange(nc[0]), np.arange(nc[1]),
-                             np.arange(nc[2]), indexing="ij")
-    origin = np.stack([qx.reshape(-1) * cube, qy.reshape(-1) * cube,
-                       qz.reshape(-1) * cube], 1)             # (nq, 3)
+    qx, qy = np.meshgrid(np.arange(ncx), np.arange(ncy),
+                         indexing="ij")
+    origin = np.stack([qx.reshape(-1) * cube,
+                       qy.reshape(-1) * cube], 1)             # (np, 2)
     ox, oy, oz = np.meshgrid(np.arange(cube), np.arange(cube),
-                             np.arange(cube), indexing="ij")
+                             np.arange(Z), indexing="ij")
     offs = np.stack([ox.reshape(-1), oy.reshape(-1),
                      oz.reshape(-1)], 1)                      # (S, 3)
-    S = cube ** 3
-    r2 = jnp.zeros((ncubes, cap, S), R.dtype)
+    S = cube * cube * Z
+    r2 = jnp.zeros((npil, cap, S), R.dtype)
     for a in range(3):
-        site_a = jnp.asarray(origin[:, a:a + 1] + offs[None, :, a],
-                             R.dtype)                         # (nq, S)
-        da = site_a[:, None, :] - Rc[:, :, a:a + 1]           # (nq,cap,S)
+        if a < 2:
+            site_a = jnp.asarray(origin[:, a:a + 1]
+                                 + offs[None, :, a], R.dtype)
+        else:
+            site_a = jnp.asarray(
+                np.broadcast_to(offs[None, :, 2], (npil, S)), R.dtype)
+        da = site_a[:, None, :] - Rc[:, :, a:a + 1]           # (np,cap,S)
         La = float(size[a])
         da = da - La * jnp.round(da / La)
         r2 = r2 + da * da
     hit = r2 < a2c[:, :, None]
     r2m = jnp.where(hit, r2, jnp.inf)
-    best = jnp.min(r2m, axis=1)                               # (nq, S)
+    best = jnp.min(r2m, axis=1)                               # (np, S)
     pcand = jnp.where(jnp.logical_and(hit, r2m <= best[:, None, :]),
                       cand[:, :, None], jnp.int32(N))
-    bestpid = jnp.min(pcand, axis=1)                          # (nq, S)
-    lat = bestpid.reshape(nc + (cube, cube, cube))
-    lat = jnp.transpose(lat, (0, 3, 1, 4, 2, 5)).reshape(size)
+    bestpid = jnp.min(pcand, axis=1)                          # (np, S)
+    lat = bestpid.reshape(ncx, ncy, cube, cube, Z)
+    lat = jnp.transpose(lat, (0, 2, 1, 3, 4)).reshape(size)
     inside = lat < N
     pid = jnp.where(inside, lat, -1).astype(jnp.int32)
+    if return_cands:
+        return pid, inside, cand
     return pid, inside
