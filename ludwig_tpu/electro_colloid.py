@@ -264,8 +264,9 @@ def make_electro_colloid_step(cfg: ElectroSimConfig, params: ColloidParams,
 
         rho = colloid_rho_set(rho, inside, pid, qc, deltaq, nk)
 
-        psi = poisson_sor_ref(psi, rho_elec(rho, cfg.ek), cfg.ek,
-                              psi_up, psi_dn)
+        psi, s_n, s_r, s_w = poisson_sor_ref(
+            psi, rho_elec(rho, cfg.ek), cfg.ek, psi_up, psi_dn,
+            return_iters=True)
 
         if force_method == "stress_divergence":
             force, fcoll = divstress_force_colloid(
@@ -305,7 +306,7 @@ def make_electro_colloid_step(cfg: ElectroSimConfig, params: ColloidParams,
 
         f = stream(f, model)
         return (f, R, V, W, dr, Rmap, Msw, psi, rho, u_new,
-                deltaq), (rho_lb, u_new)
+                deltaq), (rho_lb, u_new, (s_n, s_r, s_w))
 
     def step(state, t=0, rebuild=None):
         return _step(state, t, int(t) % rebuild_freq == 0 if rebuild is None

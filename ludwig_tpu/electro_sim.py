@@ -115,13 +115,19 @@ def poisson_sor_ref(psi0: jnp.ndarray, rho_el: jnp.ndarray,
     ii, jj, kk = np.indices(shape)
     red = jnp.asarray((ii + jj + kk) % 2 == 0)
     radius = 1.0 - 0.5 * (np.pi / max(shape[0], shape[2])) ** 2
-    rnorm0 = jnp.sqrt(jnp.sum(rhs * rhs))
 
     def neigh_sum(p):
         s = 0.0
         for ax in range(3):
             s = s + psi_up(p, ax) + psi_dn(p, ax)
         return s
+
+    # rnorm0 is the residual norm of the INITIAL field, not ||rhs||:
+    # mid-run solves start from the previous step's psi, and the
+    # relative criterion (hence the iteration count the log reports)
+    # keys off that (ref: psi_sor.c:183-202)
+    res0 = eps * (neigh_sum(psi0) - 6.0 * psi0) + rhs
+    rnorm0 = jnp.sqrt(jnp.sum(res0 * res0))
 
     def half_sweep(p, mask, omega):
         res = eps * (neigh_sum(p) - 6.0 * p) + rhs

@@ -80,7 +80,6 @@ def poisson_sor_var_eps_ref(psi0, rho_el, eps, cfg: ElectroConfig,
     # pass 0 touches 1-based-odd (ic+jc+kc) sites = 0-based-even
     red = jnp.asarray((ii + jj + kk) % 2 == 0)
     radius = 1.0 - 0.5 * (np.pi / max(shape[0], shape[2])) ** 2
-    rnorm0 = jnp.sqrt(jnp.sum(rhs * rhs))
 
     def depsi(p):
         acc = 0.0
@@ -90,6 +89,10 @@ def poisson_sor_var_eps_ref(psi0, rho_el, eps, cfg: ElectroConfig,
             lap = lap + pu + pd
             acc = acc + 0.25 * (eps_up[ax] - eps_dn[ax]) * (pu - pd)
         return eps * lap + acc
+
+    # initial-field residual norm (ref: psi_sor.c:398-413), not ||rhs||
+    res0 = depsi(psi0) + rhs
+    rnorm0 = jnp.sqrt(jnp.sum(res0 * res0))
 
     def half_sweep(p, mask, omega):
         res = depsi(p) + rhs

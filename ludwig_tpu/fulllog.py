@@ -54,6 +54,19 @@ class InitLog:
         # build folds away (ref: coords_rt.c:46 grid, :52 reorder -
         # the serial build reads and ignores them)
         rt.mark_used("grid", "reorder")
+        # io defaults every io_info_args_rt read consumes
+        # (ref: distribution_rt.c:85-92, io_info_args_rt.c), the
+        # unconditional hydro_rt/colloid_io_rt reads
+        # (hydro_rt.c:126, colloid_io_rt.c:45-46), and the open-bc
+        # type keys the rt factories always read when the switch is on
+        # (lb_bc_open_rt.c:89-90, phi_bc_open_rt.c:73-74)
+        rt.mark_used("default_io_mode", "default_io_format",
+                     "default_io_grid", "default_io_freq",
+                     "vel_format", "colloid_io_grid")
+        if rt.switch("lb_bc_open", False):
+            rt.mark_used("lb_bc_inflow_type", "lb_bc_outflow_type")
+        if rt.switch("phi_bc_open", False):
+            rt.mark_used("phi_bc_inflow_type", "phi_bc_outflow_type")
         if self.fe_name in ("lc_blue_phase", "lc_droplet"):
             rt.mark_used("lc_noise")
         if self.fe_name in ("fe_electro", "fe_electro_symmetric"):
@@ -93,7 +106,8 @@ class InitLog:
             self.w("Warning: key/value present in input but not used:\n")
             for k in unused:
                 self.w("(Line %d): %s\n", self.rt.lineno(k), k)
-        self.w("Ludwig finished normally.\n")
+        if self.rt.int("_has_finish", 1):
+            self.w("Ludwig finished normally.\n")
 
     # -- blocks ------------------------------------------------------------
 
@@ -894,7 +908,10 @@ class InitLog:
             self.w("Outflow flow direction:   %d %d %d\n", *oflow)
             self.w("Outflow flow rho0:        %14.7e\n", rho0)
         if rt.string("phi_bc_inflow_type") is not None:
-            flow = rt.int_vector("phi_bc_inflow_flow", (0, 0, 0))
+            # flow direction is the non-wall direction
+            # (ref: phi_bc_open_rt.c:57-62)
+            wl = rt.int_vector("boundary_walls", (0, 0, 0))
+            flow = [1 - int(w) for w in wl]
             phib = rt.double("phi_bc_inflow_fixed_phib", 0.0)
             self.w("\nOrder parameter\n---------------\n\n")
             self.w("Inflow open boundary for composition (phi)\n")
@@ -1049,7 +1066,9 @@ class InitLog:
             rho_el = rt.double("electrokinetics_init_rho_el", 0.0)
             self.w("Initial condition rho_el: %14.7e\n", rho_el)
             self.w("Debye length:             %14.7e\n", debye(rho_el))
-            eps2 = rt.double("electrosymmetric_epsilon2", None)
+            eps2 = rt.double("electrokinetics_epsilon2",
+                             rt.double("electrosymmetric_epsilon2",
+                                       None))
             if eps2 is not None and eps2 != eps:
                 self.w("Second Debye length:      %14.7e\n",
                        debye(rho_el, eps2))
@@ -1473,8 +1492,10 @@ class InitLog:
             rho0 = rt.double("distribution_uniform_rho", 1.0)
             u0 = rt.double_vector("distribution_uniform_u",
                                   (0.0, 0.0, 0.0))
-            self.w("\nInitial distribution: %dd uniform "
-                   "desnity/velocity\n", ndim)
+            # always "3d" whatever the lattice (ref:
+            # distribution_rt.c:345, typo included)
+            self.w("\nInitial distribution: 3d uniform "
+                   "desnity/velocity\n")
             self.w("Density:              %14.7e\n", rho0)
             self.w("Velocity:             %14.7e %14.7e %14.7e\n", *u0)
             self.w("\n")

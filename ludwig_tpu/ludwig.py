@@ -1096,6 +1096,30 @@ def build_system(rt: RunTime) -> System:
                                                   (1.0, 0.0, 0.0))))
         else:
             raise ValueError(f"lc_q_initialisation '{mode}' for droplet")
+        nplanes_d = rt.int("N_LE_plane", 0)
+        if nplanes_d > 0:
+            # sheared LC droplet (ref: ludwig.c:693-742 under lees_edw:
+            # bodyforce + flux-route force + LE CH/BE updates)
+            if solid is not None or any(walls):
+                raise ValueError("lc_droplet + Lees-Edwards does not "
+                                 "compose with walls/porous media")
+            from ludwig_tpu.lc_droplet_sim import make_droplet_le_step
+            from ludwig_tpu.ops.lees_edwards import (
+                LeesEdwardsConfig, le_init_shear_profile)
+            le = LeesEdwardsConfig(nplanes=nplanes_d,
+                                   uy=rt.double_required("LE_plane_vel"),
+                                   nx=size[0])
+            jd = lb_cfg.jdtype
+            if rt.switch("LE_init_profile", False):
+                f = le_init_shear_profile(lb_cfg, le)
+            else:
+                f = initial_rest(lb_cfg)
+            state = (f, jnp.asarray(phi0, jd), jnp.asarray(q5, jd),
+                     jnp.zeros((3,) + size, jd))
+            step = make_droplet_le_step(dcfg, le)
+            return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
+                          solid=None, state=state, step_fn=step,
+                          droplet_cfg=dcfg, le_cfg=le)
         fused_req = rt.string("tpu_fused", "off")
         if (fused_req != "off" and solid is None and not any(walls)
                 and nz is None and dcfg.gradient == "3d_7pt_fluid"
@@ -2346,9 +2370,11 @@ def report_statistics(sys_: System, tstep: int, u, stats_fn,
         for k in range(len(res["rhok"])):
             out.write("[rho] " + _3(*res["rhok"][k]))
         out.write("[elc] " + _3(*res["elc"]))
-        if "psi_zeta" in res:
+        if "psi_zeta" in res and (
+                in_loop or sys_.rt.int("_log_vintage", 99) >= 7):
             # printed in every statistics block, including the t = 0
-            # report (ref: serial-elec-rr1.log:126)
+            # report from v0.7 (serial-elec-rr1.log:126); the v0.2-era
+            # blessings (elec-ep1/ep2) print it in-loop only
             out.write(f"[psi_zeta] {float(res['psi_zeta']):14.7e}\n")
         if "fe_colloid" in res:
             # ncolloid > 0, no area (ref: stats_free_energy.c:119-124)
@@ -3072,7 +3098,8 @@ def run_text(text: str, out=sys.stdout) -> System:
             out.write(f"{_ek.multisteps} multisteps\n")
         # configuration/field dumps and their log lines come BEFORE the
         # statistics block of the same step (ref: ludwig.c:866-948)
-        is_config = freq_config and t % freq_config == 0
+        is_config = ((freq_config and t % freq_config == 0)
+                     or (config_at_end and t == sys_.n_start + ncycles))
         if is_config:
             ts0 = time.time()
             out.write(f"Writing distribution output at step {t}!\n")
@@ -3080,7 +3107,7 @@ def run_text(text: str, out=sys.stdout) -> System:
                 out.write(f"Writing colloid output at step {t}!\n")
                 out.write("\ncolloid_io_write:\n")
                 out.write(f"writing colloid information to "
-                          f"config.cds{t:08d} etc\n")
+                          f"config.cds{t:08d}.001-001 etc\n")
             _dump(t, state)
             _acc("cfgio", time.time() - ts0)
         elif ((freq_measure and t % freq_measure == 0)
@@ -3091,7 +3118,7 @@ def run_text(text: str, out=sys.stdout) -> System:
                 out.write(f"Writing colloid output at step {t}!\n")
                 out.write("\ncolloid_io_write:\n")
                 out.write(f"writing colloid information to "
-                          f"config.cds{t:08d} etc\n")
+                          f"config.cds{t:08d}.001-001 etc\n")
             _dump_colloids(t, state)
         _has_op = (sys_.is_binary or sys_.is_two_field or sys_.is_droplet
                    or sys_.is_binary_lb
@@ -3180,6 +3207,11 @@ def run_text(text: str, out=sys.stdout) -> System:
     _jnp_chain_cache = {}
 
     def _jnp_chain(state, n, t0):
+        prep = getattr(sys_.step_fn, "prepare", None)
+        if prep is not None:
+            # stabilise the carry pytree (e.g. the colloid pmap cache)
+            # before tracing the scan
+            state = prep(state)
         fn = _jnp_chain_cache.get(n)
         if fn is None:
             from functools import partial as _p
@@ -3258,7 +3290,13 @@ def run_text(text: str, out=sys.stdout) -> System:
                 t += k - 1
         prev = _op_fields(state)
         if sys_.is_colloid:
-            state, (rho, u) = sys_.step_fn(state, t)
+            state, _aux = sys_.step_fn(state, t)
+            if sys_.is_electro:
+                # electro-colloid step also reports its SOR convergence
+                rho, u = _aux[0], _aux[1]
+                sys_._last_sor = _aux[2]
+            else:
+                rho, u = _aux
             if ahydro is not None and ahydro.wants(t):
                 rel = jax.device_get(_ahydro_meas(state[1], state[2], u))
                 ahydro.accumulate(jax.device_get(state[2])[0],
@@ -3294,8 +3332,8 @@ def run_text(text: str, out=sys.stdout) -> System:
         _loop_outputs(t, state, u, prev)
         t += 1
 
-    if config_at_end and ncycles > 0:
-        _dump(sys_.n_start + ncycles, state)
+    # config_at_end output happens in-loop at t == n_start + ncycles
+    # (ref: control.c:118-127 is_config_step) with its report lines
 
     if ahydro is not None:
         ahydro.report(out)

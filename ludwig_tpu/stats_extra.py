@@ -382,6 +382,60 @@ def interact_stats_lines(rt, cp, R, box):
     rp = r[iu] if N > 1 else _np.array([])
     hp = (r - ah[:, None] - ah[None, :])[iu] if N > 1 else _np.array([])
 
+    # The reference's pair sweep only visits pairs in ADJACENT cells
+    # of its cell list (pair_ss_cut.c:199-226); a genuinely closer
+    # pair two cells away is invisible to its hmin/energy
+    # accumulators, so the reported statistics are cell-list-relative.
+    # Reproduce the cell geometry (colloids_rt.c:600-670) and mask.
+    if N > 1:
+        a0 = _np.asarray(cp.a0, _np.float64)[:N]
+        hcmax, rcmax = 0.0, 0.0
+        if rt.int("soft_sphere_on", 0):
+            hcmax = max(hcmax, rt.double("soft_sphere_cutoff", 0.0))
+        if rt.switch("pair_ss_cut_ij", False):
+            ntyp = rt.int("pair_ss_cut_ij_ntypes", 1)
+            nsymm = ntyp * (ntyp + 1) // 2
+            hcv = rt.double_vector("pair_ss_cut_ij_hc", [0.0])
+            hcmax = max([hcmax] + list(hcv[:nsymm]))
+        if rt.int("lubrication_on", 0):
+            hcmax = max(hcmax,
+                        rt.double("lubrication_normal_cutoff", 0.0),
+                        rt.double("lubrication_tangential_cutoff", 0.0))
+        if rt.int("lennard_jones_on", 0):
+            rcmax = max(rcmax, rt.double("lj_cutoff", 0.0))
+        if rt.int("yukawa_on", 0):
+            rcmax = max(rcmax, rt.double("yukawa_cutoff", 0.0))
+        if rt.int("bond_fene_on", 0):
+            rcmax = max(rcmax, rt.double("bond_fene_r0", 0.0))
+        fe_nm = rt.string("free_energy", "none")
+        nhalo = {"none": 1, "symmetric_noise": 3, "symmetric_lb": 1,
+                 "brazovskii": 3}.get(fe_nm, 2)
+        if fe_nm == "fe_electro":
+            meth = rt.string("_force_line",
+                             rt.string("fe_force_method", "")) or ""
+            nhalo = 1 if meth.endswith("phi_gradmu_correction") else 2
+        a0max = max(1.0, float(a0.max()))
+        rmax = max(2.0 * float(ah.max()) + hcmax, rcmax, 1.5,
+                   a0max + nhalo - 0.5)
+        ncell = [int(_np.floor(L[a] / rmax)) for a in range(3)]
+        if not any(b > 2 for b in ncell):
+            ncell = [2, 2, 2]
+        lcell = _np.array([L[a] / ncell[a] for a in range(3)])
+        # our R is 0-based; reference r = R + 1 with lmin = 0.5
+        ic = _np.floor((R + 0.5) / lcell[None, :]).astype(int)
+        ic = ic % _np.array(ncell)[None, :]
+        dc = _np.abs(ic[:, None, :] - ic[None, :, :])
+        dc = _np.minimum(dc, _np.array(ncell)[None, None, :] - dc)
+        neigh = (dc <= 1).all(-1)[iu]
+    else:
+        neigh = _np.array([], bool)
+    rp = _np.where(neigh, rp, _np.inf)
+    hp = _np.where(neigh, hp, _np.inf)
+
+    def _pmin(arr):
+        m = float(arr.min()) if arr.size else _np.inf
+        return m if _np.isfinite(m) else lmax
+
     walls = [bool(w) for w in rt.int_vector("boundary_walls", (0, 0, 0))]
     if rt.switch("wall_ss_cut_on", False) and any(walls):
         eps = rt.double("wall_ss_cut_epsilon", 0.0)
@@ -407,7 +461,7 @@ def interact_stats_lines(rt, cp, R, box):
 
     if N > 1 and rt.int("lubrication_on", 0):
         lines.append(f"Lubrication minimum h is:    "
-                     f"{float(hp.min()):14.7e}\n")
+                     f"{_pmin(hp):14.7e}\n")
 
     if N > 1 and rt.int("soft_sphere_on", 0):
         eps = rt.double("soft_sphere_epsilon", 0.0)
@@ -421,7 +475,49 @@ def interact_stats_lines(rt, cp, R, box):
         v = float((eps * (sig / h) ** nu - vcut
                    - (h - hc) * dvcut).sum()) if sel.any() else 0.0
         lines.append(f"Pair potential minimum h is: "
-                     f"{float(hp.min()):14.7e}\n")
+                     f"{_pmin(hp):14.7e}\n")
+        lines.append(f"Pair potential energy is:    {v:14.7e}\n")
+
+    if N > 1 and rt.switch("pair_ss_cut_ij", False):
+        # per-type-pair soft sphere (ref: pair_ss_cut_ij.c:285-330:
+        # same hmin sweep, per (it1, it2) parameters)
+        ntyp = rt.int("pair_ss_cut_ij_ntypes", 1)
+        nsy = ntyp * (ntyp + 1) // 2
+        epsv = rt.double_vector("pair_ss_cut_ij_epsilon", [0.0])
+        sigv = rt.double_vector("pair_ss_cut_ij_sigma", [0.0])
+        nuv = rt.double_vector("pair_ss_cut_ij_nu", [0.0])
+        hcv = rt.double_vector("pair_ss_cut_ij_hc", [0.0])
+        em = _np.zeros((ntyp, ntyp))
+        sm, nm, hm = em.copy(), em.copy(), em.copy()
+        k = 0
+        for i in range(ntyp):
+            for j in range(i, ntyp):
+                em[i, j] = em[j, i] = epsv[k]
+                sm[i, j] = sm[j, i] = sigv[k]
+                nm[i, j] = nm[j, i] = nuv[k]
+                hm[i, j] = hm[j, i] = hcv[k]
+                k += 1
+        it = _np.array([rt.int(f"colloid_{w}_interact_type", 0)
+                        for w in ("one", "two", "three")[:min(N, 3)]]
+                       + [0] * max(0, N - 3), int)
+        e_p = em[_np.ix_(it, it)][iu]
+        s_p = sm[_np.ix_(it, it)][iu]
+        n_p = nm[_np.ix_(it, it)][iu]
+        h_p = hm[_np.ix_(it, it)][iu]
+        sel = hp < h_p
+        v = 0.0
+        if sel.any():
+            h, e_, s_, n_, hcp = (a[sel] for a in
+                                  (hp, e_p, s_p, n_p, h_p))
+            # zero-eps pairs contribute nothing; guard the division
+            s_ = _np.where(s_ == 0.0, 1.0, s_)
+            hcp = _np.where(hcp == 0.0, 1.0, hcp)
+            vcut = e_ * (s_ / hcp) ** n_
+            dvcut = -e_ * n_ / s_ * (s_ / hcp) ** (n_ + 1.0)
+            v = float((e_ * (s_ / h) ** n_ - vcut
+                       - (h - hcp) * dvcut).sum())
+        lines.append(f"Pair potential minimum h is: "
+                     f"{_pmin(hp):14.7e}\n")
         lines.append(f"Pair potential energy is:    {v:14.7e}\n")
 
     if N > 1 and rt.int("lennard_jones_on", 0):
@@ -437,7 +533,7 @@ def interact_stats_lines(rt, cp, R, box):
         v = float((4.0 * eps * (rs * rs - rs) - vcut
                    - (rr - rc) * dvcut).sum()) if sel.any() else 0.0
         lines.append(f"Pair potential minimum h is: "
-                     f"{float(hp.min()):14.7e}\n")
+                     f"{_pmin(hp):14.7e}\n")
         lines.append(f"Pair potential energy is:    {v:14.7e}\n")
 
     if N > 1 and rt.int("yukawa_on", 0):
@@ -451,7 +547,7 @@ def interact_stats_lines(rt, cp, R, box):
         v = float((eps * _np.exp(-kappa * rr) / rr - vcut
                    - (rr - rc) * dvcut).sum()) if sel.any() else 0.0
         lines.append(f"Pair potential minimum h is: "
-                     f"{float(hp.min()):14.7e}\n")
+                     f"{_pmin(hp):14.7e}\n")
         lines.append(f"Pair potential energy is:    {v:14.7e}\n")
 
     bonds = _np.array(getattr(cp, "bonds", ()), _np.int32).reshape(-1, 2) \
@@ -482,9 +578,14 @@ def interact_stats_lines(rt, cp, R, box):
         d1 = d[i, l]
         c = ((d0 * d1).sum(-1)
              / _np.sqrt((d0 * d0).sum(-1) * (d1 * d1).sum(-1)))
-        v = float((k * (1.0 + c)).sum())
-        amin = _np.degrees(_np.arccos(c.max()))
-        amax = _np.degrees(_np.arccos(c.min()))
+        # v accumulates kappa*cos(theta) (the constant term is dropped:
+        # ref angle_cosine.c:213 vlocal += kappa*cosine), and the
+        # min/max lines are RADIANS of the min/max COSINE - so the
+        # "minimum" line is acos(cosine_min), numerically the largest
+        # angle (ref: angle_cosine.c:236-237)
+        v = float((k * c).sum())
+        amin = float(_np.arccos(c.min()))
+        amax = float(_np.arccos(c.max()))
         lines.append(f"Angle minimum angle is:      {amin:14.7e}\n")
         lines.append(f"Angle maximum angle is:      {amax:14.7e}\n")
         lines.append(f"Angle potential energy is:   {v:14.7e}\n")

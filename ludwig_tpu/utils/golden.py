@@ -289,6 +289,10 @@ def run_case(name: str, workdir: Optional[str] = None,
                 hints.append("_lc_anchor_fmt s7")
             else:
                 hints.append("_lc_anchor_fmt none")
+        # 6 blessed logs end at the timer table without the closing
+        # "Ludwig finished normally." (truncated blessing); sniff it
+        hints.append("_has_finish %d"
+                     % int("Ludwig finished normally" in whole))
         # whether the initial-conditions block carries a free-energy
         # line also varies within versions; sniff it
         mi = _re.search(r"Initial conditions\.(.*?)Starting", whole,
