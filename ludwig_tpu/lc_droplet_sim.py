@@ -25,7 +25,7 @@ from ludwig_tpu.lb import LBConfig, initial_rest
 from ludwig_tpu.ops.collide import collide
 from ludwig_tpu.ops.force import stress_divergence_force
 from ludwig_tpu.ops.stencil import dab_7pt, gradient_ops
-from ludwig_tpu.ops.stream import stream_bounce_back
+from ludwig_tpu.ops.stream import stream, stream_bounce_back
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,3 +127,211 @@ def initial_droplet(cfg: LCDropletConfig, phi0: np.ndarray,
     q5 = jnp.asarray(q0, cfg.lb.jdtype)
     u = jnp.zeros((3,) + tuple(cfg.lb.size), cfg.lb.jdtype)
     return (f, phi, q5, u)
+
+
+def make_droplet_le_step(cfg: LCDropletConfig, le, keep_grads=False):
+    """Jitted LC-droplet step under Lees-Edwards shear:
+    (f, phi, q5, u) -> (state, rho).
+
+    The reference's sheared-droplet wiring (ref: ludwig.c:693-742 with
+    lees_edw planes): droplet body force (-phi grad mu - h dq, PLAIN
+    stencils even under LE, lc_droplet.c:826 kernel_coords_index) with
+    momentum correction, then the flux-route force from the total
+    droplet stress (phi_force.c:91 'Must use the flux method for LE
+    planes', stress = str_symm + str_anti), phi via Cahn-Hilliard with
+    LE advection + plane flux averaging (phi_ch_le_fix_fluxes), Q via
+    Beris-Edwards with LE advection and LE velocity gradients, and the
+    LB reproject+displace (model_le.c).
+
+    All plane work is O(nplanes * Y * Z) column corrections around the
+    plain-periodic bulk passes (the same construction as
+    binary_le.make_binary_le_step and lc.make_lc_le_step, with the
+    droplet free energy's coupled mu/h/stress)."""
+    from ludwig_tpu.binary_le import _STENCIL, _upwind_face
+    from ludwig_tpu.fe.blue_phase import q5_to_q33
+    from ludwig_tpu.lc import _s5_corotation
+    from ludwig_tpu.ops.le_ref import (LEContext, le_advective_fluxes,
+                                       le_buffer_dab, le_buffer_fields,
+                                       le_dab_7pt, le_flux_divergence,
+                                       le_gradient, sample_linear)
+    from ludwig_tpu.ops.lees_edwards import apply_lb_le
+
+    params = cfg.lb.collision_params()
+    model = cfg.lb.model
+    fe = cfg.fe
+    M = cfg.mobility
+    gamma = cfg.gamma
+    xi = fe.lc.xi
+    order = cfg.advection_order
+    nx = le.nx
+
+    def flds_of(phi0, gp, dp, dab, q0, gq, dq):
+        return {"phi": phi0, "grad_phi": gp, "delsq_phi": dp,
+                "dab_phi": dab, "q": q0, "grad_q": gq, "delsq_q": dq}
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, t=0):
+        if keep_grads:
+            state = state[:-2]
+        f, phi, q5, u = state
+        ctx = LEContext(le, t, phi.dtype)
+
+        grad_p, delsq_p = le_gradient(phi, le, t, cfg.gradient)
+        dab_p = le_dab_7pt(phi, le, t)
+        grad_q, delsq_q = le_gradient(q5, le, t, cfg.gradient)
+        fields = flds_of(phi, grad_p, delsq_p, dab_p, q5, grad_q,
+                         delsq_q)
+        mu = fe.mu(fields)
+        h = fe.molecular_field(fields)
+
+        # droplet partial body force + momentum correction (plain
+        # stencils; fe.body_force subtracts the mean)
+        force = fe.body_force(fields, mu, h)
+
+        # total droplet stress for the LE flux route
+        pth = fe.stress_qh(fields, h)
+
+        # -- per-plane buffer-frame columns ----------------------------
+        buf = []
+        for c in ctx.cols:
+            cu = (c + 1) % nx
+            pb1, gp_b1, dp_b1 = le_buffer_fields(phi, ctx, c, True,
+                                                 cfg.gradient)
+            dab_b1 = le_buffer_dab(phi, ctx, c, True)
+            qb1, gq_b1, dq_b1 = le_buffer_fields(q5, ctx, c, True,
+                                                 cfg.gradient)
+            fb1 = flds_of(pb1, gp_b1, dp_b1, dab_b1, qb1, gq_b1, dq_b1)
+            mu_b1 = fe.mu(fb1)
+            pth_b1 = fe.stress_qh(fb1)
+            pd0, gp_d0, dp_d0 = le_buffer_fields(phi, ctx, c, False,
+                                                 cfg.gradient)
+            dab_d0 = le_buffer_dab(phi, ctx, c, False)
+            qd0, gq_d0, dq_d0 = le_buffer_fields(q5, ctx, c, False,
+                                                 cfg.gradient)
+            fd0 = flds_of(pd0, gp_d0, dp_d0, dab_d0, qd0, gq_d0, dq_d0)
+            mu_d0 = fe.mu(fd0)
+            pth_d0 = fe.stress_qh(fd0)
+            buf.append(dict(c=c, cu=cu, mu_b1=mu_b1, pth_b1=pth_b1,
+                            mu_d0=mu_d0, pth_d0=pth_d0))
+
+        # -- Cahn-Hilliard with LE advection (phi_ch_le_fix_fluxes) ----
+        def xs(x, d):
+            return jnp.roll(x, -d, axis=0)
+
+        ufx = 0.5 * (u[0] + xs(u[0], 1))
+        pcols = {d: xs(phi, d) for d in _STENCIL[order]}
+        fe_x = _upwind_face(pcols, ufx, order) - M * (xs(mu, 1) - mu)
+
+        def col_stack(j, lo, c):
+            return {d: ctx.col_field(phi, j + d, lo, c)
+                    for d in _STENCIL[order]}
+
+        for b in buf:
+            c, cu = b["c"], b["cu"]
+            span = max(_STENCIL[order])
+            for x in range(c - span + 1, c + 1):
+                cols = col_stack(x, True, c)
+                uu = 0.5 * (ctx.col_u(u, x, True, c)[0]
+                            + ctx.col_u(u, x + 1, True, c)[0])
+                mu0 = mu[x % nx] if x <= c else b["mu_b1"]
+                mu1 = b["mu_b1"] if x + 1 == c + 1 else mu[(x + 1) % nx]
+                fx = _upwind_face(cols, uu, order) - M * (mu1 - mu0)
+                fe_x = fe_x.at[x % nx].set(fx)
+            for x in range(c + 1, c + span):
+                cols = col_stack(x, False, c)
+                uu = 0.5 * (ctx.col_u(u, x, False, c)[0]
+                            + ctx.col_u(u, x + 1, False, c)[0])
+                fx = _upwind_face(cols, uu, order) \
+                    - M * (mu[(x + 1) % nx] - mu[x % nx])
+                fe_x = fe_x.at[x % nx].set(fx)
+            cols = col_stack(c, False, c)
+            uu = 0.5 * (ctx.col_u(u, c, False, c)[0]
+                        + ctx.col_u(u, c + 1, False, c)[0])
+            fw = _upwind_face(cols, uu, order) - M * (mu[cu] - b["mu_d0"])
+            fe_c = fe_x[c]
+            fe_fix = 0.5 * (fe_c + sample_linear(fw, ctx.dy_field))
+            fw_fix = 0.5 * (fw + sample_linear(fe_c, -ctx.dy_field))
+            b["fw_fix"] = fw_fix
+            fe_x = fe_x.at[c].set(fe_fix)
+
+        ufy = 0.5 * (u[1] + jnp.roll(u[1], -1, 1))
+        ufz = 0.5 * (u[2] + jnp.roll(u[2], -1, 2))
+        ycols = {d: jnp.roll(phi, -d, 1) for d in _STENCIL[order]}
+        zcols = {d: jnp.roll(phi, -d, 2) for d in _STENCIL[order]}
+        fy = _upwind_face(ycols, ufy, order) \
+            - M * (jnp.roll(mu, -1, 1) - mu)
+        fz = _upwind_face(zcols, ufz, order) \
+            - M * (jnp.roll(mu, -1, 2) - mu)
+        div = (fe_x - jnp.roll(fe_x, 1, 0) + fy - jnp.roll(fy, 1, 1)
+               + fz - jnp.roll(fz, 1, 2))
+        for b in buf:
+            cu = b["cu"]
+            div = div.at[cu].set(fe_x[cu] - b["fw_fix"]
+                                 + (fy - jnp.roll(fy, 1, 1))[cu]
+                                 + (fz - jnp.roll(fz, 1, 2))[cu])
+        phi_new = phi - div
+
+        # -- force: two-sided stress fluxes (phi_force_flux) -----------
+        area = float(np.prod(phi.shape[1:]))
+        comps = []
+        for a in range(3):
+            fea = 0.5 * (pth[a, 0] + xs(pth[a, 0], 1))
+            for b in buf:
+                c, cu = b["c"], b["cu"]
+                fe_c = 0.5 * (pth[a, 0][c] + b["pth_b1"][a, 0])
+                fw_c = 0.5 * (b["pth_d0"][a, 0] + pth[a, 0][cu])
+                corr = jnp.sum(-fe_c + fw_c) * (0.5 / area)
+                b[f"fe{a}"] = fe_c + corr
+                b[f"fw{a}"] = fw_c - corr
+                fea = fea.at[c].set(b[f"fe{a}"])
+            fya = 0.5 * (pth[a, 1] + jnp.roll(pth[a, 1], -1, 1))
+            fza = 0.5 * (pth[a, 2] + jnp.roll(pth[a, 2], -1, 2))
+            d = (fea - jnp.roll(fea, 1, 0)
+                 + fya - jnp.roll(fya, 1, 1) + fza - jnp.roll(fza, 1, 2))
+            for b in buf:
+                cu = b["cu"]
+                d = d.at[cu].set(fea[cu] - b[f"fw{a}"]
+                                 + (fya - jnp.roll(fya, 1, 1))[cu]
+                                 + (fza - jnp.roll(fza, 1, 2))[cu])
+            comps.append(-d)
+        force = (force + jnp.stack(comps)).astype(f.dtype)
+
+        # -- Beris-Edwards with LE advection + LE velocity gradients ---
+        # gamma(phi_new) with stale gradients (ref: ludwig.c order)
+        fields_be = dict(fields)
+        fields_be["phi"] = phi_new
+        h_be = fe.molecular_field(fields_be)
+        fe_xq, fw_pq, fyq, fzq = le_advective_fluxes(q5, u, ctx, order)
+        divq = le_flux_divergence(fe_xq, fw_pq, fyq, fzq, ctx)
+        w = [[None] * 3 for _ in range(3)]
+        for a in range(3):
+            w[a][0] = 0.5 * (jnp.roll(u[a], -1, 0) - jnp.roll(u[a], 1, 0))
+            w[a][1] = 0.5 * (jnp.roll(u[a], -1, 1) - jnp.roll(u[a], 1, 1))
+            w[a][2] = 0.5 * (jnp.roll(u[a], -1, 2) - jnp.roll(u[a], 1, 2))
+        for c in ctx.cols:
+            cu = (c + 1) % nx
+            ub1 = ctx.col_u(u, c + 1, True, c)
+            ud0 = ctx.col_u(u, c, False, c)
+            for a in range(3):
+                w[a][0] = w[a][0].at[c].set(
+                    0.5 * (ub1[a] - u[a][(c - 1) % nx]))
+                w[a][0] = w[a][0].at[cu].set(
+                    0.5 * (u[a][(c + 2) % nx] - ud0[a]))
+        q33 = q5_to_q33(q5)
+        s5 = _s5_corotation(q33, w, xi)
+        rhs = jnp.stack(
+            [gamma * h_be[0][0] + s5[0], gamma * h_be[0][1] + s5[1],
+             gamma * h_be[0][2] + s5[2], gamma * h_be[1][1] + s5[3],
+             gamma * h_be[1][2] + s5[4]]) - divq
+        q5_new = q5 + rhs
+
+        f, rho, u_new = collide(f, params, force=force)
+        f = apply_lb_le(f, model, le, t)
+        f = stream(f, model)
+
+        out = (f, phi_new, q5_new, u_new)
+        if keep_grads:
+            out = out + ((grad_p, grad_q), (delsq_p, delsq_q))
+        return out, rho
+
+    return step

@@ -198,6 +198,72 @@ def le_buffer_fields(phi, ctx: LEContext, c: int, up: bool,
     return p0, grad, d2
 
 
+def _dab_from_cols(colm):
+    """d_a d_b tensor (3, 3, Y, Z) of the column colm[0] from its
+    x-neighbour columns colm[-1], colm[1] (7-pt dab stencil: central
+    second differences on the diagonal, cross differences off it;
+    same arithmetic as ops.stencil.dab_7pt)."""
+
+    def v(dx, dy_, dz_):
+        return _colroll(colm[dx], dy_, dz_)
+
+    p0 = colm[0]
+    offs = ((1, 0, 0), (0, 1, 0), (0, 0, 1))
+    rows = [[None] * 3 for _ in range(3)]
+    for a in range(3):
+        oa = offs[a]
+        rows[a][a] = v(*oa) - 2.0 * p0 + v(*[-x for x in oa])
+        for b in range(a + 1, 3):
+            ob = offs[b]
+            pp = v(*[oa[i] + ob[i] for i in range(3)])
+            pm = v(*[oa[i] - ob[i] for i in range(3)])
+            mp = v(*[ob[i] - oa[i] for i in range(3)])
+            mm = v(*[-(oa[i] + ob[i]) for i in range(3)])
+            rows[a][b] = 0.25 * (pp - pm - mp + mm)
+            rows[b][a] = rows[a][b]
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
+def le_dab_7pt(phi, cfg: LeesEdwardsConfig, t):
+    """Second-derivative tensor d_a d_b phi with LE-aware x neighbours
+    at the plane columns (ref: grad_3d_7pt_dab_compute +
+    grad_3d_7pt_dab_le_correct)."""
+    from ludwig_tpu.ops.stencil import dab_7pt
+    ctx = LEContext(cfg, t, phi.dtype)
+    nx = ctx.nx
+    dab = dab_7pt(phi)
+    for c in ctx.cols:
+        cu = (c + 1) % nx
+        # column c sees its x+1 neighbour through the lower-frame
+        # buffer; column c+1 sees x-1 through the upper-frame buffer
+        colm_lo = {-1: jnp.take(phi, (c - 1) % nx, axis=phi.ndim - 3),
+                   0: jnp.take(phi, c, axis=phi.ndim - 3),
+                   1: ctx.col_field(phi, c + 1, True, c)}
+        dab = _set_col(dab, 2 + (phi.ndim - 3), c,
+                       _dab_from_cols(colm_lo))
+        colm_hi = {-1: ctx.col_field(phi, c, False, c),
+                   0: jnp.take(phi, cu, axis=phi.ndim - 3),
+                   1: jnp.take(phi, (c + 2) % nx, axis=phi.ndim - 3)}
+        dab = _set_col(dab, 2 + (phi.ndim - 3), cu,
+                       _dab_from_cols(colm_hi))
+    return dab
+
+
+def le_buffer_dab(phi, ctx: LEContext, c: int, up: bool):
+    """dab at the buffer column adjacent to the plane after column c
+    (the dab analogue of le_buffer_fields' gradient chain)."""
+    nx = ctx.nx
+    if up:
+        colm = {-1: jnp.take(phi, c, axis=phi.ndim - 3),
+                0: ctx.col_field(phi, c + 1, True, c),
+                1: ctx.col_field(phi, c + 2, True, c)}
+    else:
+        colm = {-1: ctx.col_field(phi, c - 1, False, c),
+                0: ctx.col_field(phi, c, False, c),
+                1: jnp.take(phi, (c + 1) % nx, axis=phi.ndim - 3)}
+    return _dab_from_cols(colm)
+
+
 _ADV_STENCIL = {1: (0, 1), 2: (0, 1), 3: (-1, 0, 1, 2), 4: (-1, 0, 1, 2),
                 5: (-2, -1, 0, 1, 2, 3)}
 
