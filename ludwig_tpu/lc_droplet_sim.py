@@ -335,3 +335,259 @@ def make_droplet_le_step(cfg: LCDropletConfig, le, keep_grads=False):
         return out, rho
 
     return step
+
+
+def make_droplet_le_column_fix(cfg: LCDropletConfig, le):
+    """Column corrections turning the PLAIN-periodic fused droplet
+    outputs into the Lees-Edwards-aware ones.
+
+    The droplet analogue of lc.make_lc_le_column_fix: under LE shear
+    the coupled phi/Q updates differ from the plain kernel only near
+    the planes.  The LE-corrected chemical potential at columns
+    {c, c+1} feeds the CH diffusive flux of faces (c-1,c) and
+    (c+1,c+2), so phi', q5' (via gamma(phi')) and force all need
+    rewriting at {c-1, c, c+1, c+2}; the plane-crossing face (c,c+1)
+    additionally takes the frame-displaced advection + flux-averaging
+    fix (ref: phi_ch_le_fix_fluxes, phi_force_flux_fix_local,
+    lc_droplet.c bodyforce with plain kernel_coords stencils).
+
+    Returns fix(phi, q5, u, t) -> (pcols, qcols, fcols) keyed by
+    column: {col: (Y, Z)} / {col: (5, Y, Z)} / {col: (3, Y, Z)}.
+    phi/q5/u are the step INPUTS."""
+    from ludwig_tpu.fe.blue_phase import q5_to_q33
+    from ludwig_tpu.fe.lc_droplet import dq_tensor
+    from ludwig_tpu.lc import _s5_corotation
+    from ludwig_tpu.ops.le_ref import (LEContext, _dab_from_cols,
+                                       le_buffer_dab, le_buffer_fields,
+                                       sample_linear)
+
+    if cfg.advection_order != 1 or cfg.gradient != "3d_7pt_fluid":
+        raise ValueError("fused droplet LE fix needs order-1 advection "
+                         "and 3d_7pt_fluid gradients")
+    if le.nx < 8 * le.nplanes:
+        raise ValueError("fused droplet LE fix needs plane "
+                         "separation >= 8")
+    fe = cfg.fe
+    M = cfg.mobility
+    gamma = cfg.gamma
+    xi = fe.lc.xi
+    nx = le.nx
+
+    def col_grad7(m1, p0, p1):
+        yp, ym = jnp.roll(p0, -1, -2), jnp.roll(p0, 1, -2)
+        zp, zm = jnp.roll(p0, -1, -1), jnp.roll(p0, 1, -1)
+        grad = jnp.stack([0.5 * (p1 - m1), 0.5 * (yp - ym),
+                          0.5 * (zp - zm)])
+        d2 = p1 + m1 + yp + ym + zp + zm - 6.0 * p0
+        return grad, d2
+
+    def upw(a, b, uf):
+        return uf * jnp.where(uf > 0.0, a, b)
+
+    def fix(phi, q5, u, t):
+        ctx = LEContext(le, t, phi.dtype)
+        area = float(np.prod(phi.shape[1:]))
+        pcols, qcols, fcols = {}, {}, {}
+
+        def cp(j):
+            return phi[j % nx]
+
+        def cq(j):
+            return q5[:, j % nx]
+
+        for c in ctx.cols:
+            cu = (c + 1) % nx
+            cols_fix = [(c - 1) % nx, c, cu, (c + 2) % nx]
+            # -- buffer and corrected column fields --------------------
+            pb1, gp_b1, dp_b1 = le_buffer_fields(phi, ctx, c, True,
+                                                 cfg.gradient)
+            dab_b1 = le_buffer_dab(phi, ctx, c, True)
+            qb1, gq_b1, dq_b1 = le_buffer_fields(q5, ctx, c, True,
+                                                 cfg.gradient)
+            pd0, gp_d0, dp_d0 = le_buffer_fields(phi, ctx, c, False,
+                                                 cfg.gradient)
+            dab_d0 = le_buffer_dab(phi, ctx, c, False)
+            qd0, gq_d0, dq_d0 = le_buffer_fields(q5, ctx, c, False,
+                                                 cfg.gradient)
+            pcol_b1 = ctx.col_field(phi, c + 1, True, c)
+            pcol_d0 = ctx.col_field(phi, c, False, c)
+            qcol_b1 = ctx.col_field(q5, c + 1, True, c)
+            qcol_d0 = ctx.col_field(q5, c, False, c)
+
+            # per-column fields: LE-corrected at c/cu, plain elsewhere
+            flds = {}
+            for x in range(c - 3, c + 5):
+                xm = x % nx
+                if x == c:
+                    pm1, pp1 = cp(c - 1), pcol_b1
+                    qm1, qp1 = cq(c - 1), qcol_b1
+                elif x == c + 1:
+                    pm1, pp1 = pcol_d0, cp(c + 2)
+                    qm1, qp1 = qcol_d0, cq(c + 2)
+                else:
+                    pm1, pp1 = cp(x - 1), cp(x + 1)
+                    qm1, qp1 = cq(x - 1), cq(x + 1)
+                gp, dp = col_grad7(pm1, cp(x), pp1)
+                gq, dq_ = col_grad7(qm1, cq(x), qp1)
+                dab = _dab_from_cols({-1: pm1, 0: cp(x), 1: pp1})
+                flds[xm] = {"phi": cp(x), "grad_phi": gp,
+                            "delsq_phi": dp, "dab_phi": dab,
+                            "q": cq(x), "grad_q": gq, "delsq_q": dq_}
+            mu = {x: fe.mu(f_) for x, f_ in flds.items()}
+            h = {x: fe.molecular_field(f_) for x, f_ in flds.items()}
+            pth = {x: fe.stress_qh(f_, h[x]) for x, f_ in flds.items()}
+            fb1 = {"phi": pb1, "grad_phi": gp_b1, "delsq_phi": dp_b1,
+                   "dab_phi": dab_b1, "q": qb1, "grad_q": gq_b1,
+                   "delsq_q": dq_b1}
+            fd0 = {"phi": pd0, "grad_phi": gp_d0, "delsq_phi": dp_d0,
+                   "dab_phi": dab_d0, "q": qd0, "grad_q": gq_d0,
+                   "delsq_q": dq_d0}
+            mu_b1, mu_d0 = fe.mu(fb1), fe.mu(fd0)
+            pth_b1 = fe.stress_qh(fb1)
+            pth_d0 = fe.stress_qh(fd0)
+
+            # -- Cahn-Hilliard: faces (c-2..c+2) -> div at cols_fix ----
+            def ux(j):
+                return u[0, j % nx]
+
+            fe_x = {}
+            for x in (c - 2, c - 1, c + 1, c + 2):
+                uu = 0.5 * (ux(x) + ux(x + 1))
+                adv = upw(cp(x), cp(x + 1), uu)
+                fe_x[x] = adv - M * (mu[(x + 1) % nx] - mu[x % nx])
+            # plane face, both frames + averaging fix
+            ub1 = ctx.col_u(u, c + 1, True, c)
+            ud0 = ctx.col_u(u, c, False, c)
+            fe_c = (upw(cp(c), pcol_b1, 0.5 * (ux(c) + ub1[0]))
+                    - M * (mu_b1 - mu[c]))
+            fw_c = (upw(pcol_d0, cp(c + 1), 0.5 * (ud0[0] + ux(c + 1)))
+                    - M * (mu[cu] - mu_d0))
+            fe_fix = 0.5 * (fe_c + sample_linear(fw_c, ctx.dy_field))
+            fw_fix = 0.5 * (fw_c + sample_linear(fe_c, -ctx.dy_field))
+            fe_x[c] = fe_fix
+
+            phin = {}
+            for x in cols_fix:
+                p0 = cp(x)
+                ufy = 0.5 * (u[1, x] + jnp.roll(u[1, x], -1, -2))
+                fy = (upw(p0, jnp.roll(p0, -1, -2), ufy)
+                      - M * (jnp.roll(mu[x], -1, -2) - mu[x]))
+                ufz = 0.5 * (u[2, x] + jnp.roll(u[2, x], -1, -1))
+                fz = (upw(p0, jnp.roll(p0, -1, -1), ufz)
+                      - M * (jnp.roll(mu[x], -1, -1) - mu[x]))
+                if x == cu:
+                    dx = fe_x[c + 1] - fw_fix
+                else:
+                    xi_ = c - 1 if x == (c - 1) % nx else \
+                        (c if x == c else c + 2)
+                    dx = fe_x[xi_] - fe_x[xi_ - 1]
+                div = (dx + fy - jnp.roll(fy, 1, -2)
+                       + fz - jnp.roll(fz, 1, -1))
+                phin[x] = p0 - div
+                pcols[x] = phin[x]
+
+            # -- force: body part + two-sided stress fluxes ------------
+            for x in cols_fix:
+                # body force with plain mu stencils (ref:
+                # lc_droplet.c:826 kernel_coords_index)
+                if x == c:
+                    mum, mup = mu[(c - 1) % nx], mu[cu]
+                elif x == cu:
+                    mum, mup = mu[c], mu[(c + 2) % nx]
+                elif x == (c - 1) % nx:
+                    mum, mup = mu[(c - 2) % nx], mu[c]
+                else:
+                    mum, mup = mu[cu], mu[(c + 3) % nx]
+                f_ = flds[x]
+                dq = dq_tensor(f_["grad_q"])
+                hx = h[x]
+                comps = []
+                gmu = [0.5 * (mup - mum),
+                       0.5 * (jnp.roll(mu[x], -1, -2)
+                              - jnp.roll(mu[x], 1, -2)),
+                       0.5 * (jnp.roll(mu[x], -1, -1)
+                              - jnp.roll(mu[x], 1, -1))]
+                for a in range(3):
+                    v = -f_["phi"] * gmu[a]
+                    for b in range(3):
+                        for cc in range(3):
+                            v = v - hx[b][cc] * dq[a][b][cc]
+                    comps.append(v)
+                fcols[x] = jnp.stack(comps)
+
+            def yz(p):
+                fya = 0.5 * (p[a, 1] + jnp.roll(p[a, 1], -1, -2))
+                fza = 0.5 * (p[a, 2] + jnp.roll(p[a, 2], -1, -1))
+                return (fya - jnp.roll(fya, 1, -2)
+                        + fza - jnp.roll(fza, 1, -1))
+
+            for a in range(3):
+                fe_s = {}
+                for x in (c - 2, c - 1, c + 1, c + 2):
+                    fe_s[x] = 0.5 * (pth[x % nx][a, 0]
+                                     + pth[(x + 1) % nx][a, 0])
+                fe_cs = 0.5 * (pth[c][a, 0] + pth_b1[a, 0])
+                fw_cs = 0.5 * (pth_d0[a, 0] + pth[cu][a, 0])
+                corr = jnp.sum(-fe_cs + fw_cs) * (0.5 / area)
+                fe_s[c] = fe_cs + corr
+                fw_s = fw_cs - corr
+                for x in cols_fix:
+                    if x == cu:
+                        dx = fe_s[c + 1] - fw_s
+                    else:
+                        xi_ = c - 1 if x == (c - 1) % nx else \
+                            (c if x == c else c + 2)
+                        dx = fe_s[xi_] - fe_s[xi_ - 1]
+                    fcols[x] = fcols[x].at[a].add(
+                        -(dx + yz(pth[x])))
+
+            # -- Beris-Edwards at cols_fix -----------------------------
+            def col_w(um1x, u0, up1x):
+                return [[0.5 * (up1x[a_] - um1x[a_]),
+                         0.5 * (jnp.roll(u0[a_], -1, -2)
+                                - jnp.roll(u0[a_], 1, -2)),
+                         0.5 * (jnp.roll(u0[a_], -1, -1)
+                                - jnp.roll(u0[a_], 1, -1))]
+                        for a_ in range(3)]
+
+            for x in cols_fix:
+                if x == c:
+                    w = col_w(u[:, (c - 1) % nx], u[:, c], ub1)
+                    fe_hi = upw(cq(c), qcol_b1,
+                                0.5 * (ux(c) + ub1[0]))
+                    fe_lo = upw(cq(c - 1), cq(c),
+                                0.5 * (ux(c - 1) + ux(c)))
+                elif x == cu:
+                    w = col_w(ud0, u[:, cu], u[:, (c + 2) % nx])
+                    fe_hi = upw(cq(c + 1), cq(c + 2),
+                                0.5 * (ux(c + 1) + ux(c + 2)))
+                    fe_lo = upw(qcol_d0, cq(c + 1),
+                                0.5 * (ud0[0] + ux(c + 1)))
+                else:
+                    w = col_w(u[:, (x - 1) % nx], u[:, x],
+                              u[:, (x + 1) % nx])
+                    fe_hi = upw(cq(x), cq(x + 1),
+                                0.5 * (ux(x) + ux(x + 1)))
+                    fe_lo = upw(cq(x - 1), cq(x),
+                                0.5 * (ux(x - 1) + ux(x)))
+                qc = cq(x)
+                ufy = 0.5 * (u[1, x] + jnp.roll(u[1, x], -1, -2))
+                fy = upw(qc, jnp.roll(qc, -1, -2), ufy)
+                ufz = 0.5 * (u[2, x] + jnp.roll(u[2, x], -1, -1))
+                fz = upw(qc, jnp.roll(qc, -1, -1), ufz)
+                div = (fe_hi - fe_lo + fy - jnp.roll(fy, 1, -2)
+                       + fz - jnp.roll(fz, 1, -1))
+                # gamma(phi_new), stale gradients (ref: ludwig.c order)
+                fbe = dict(flds[x])
+                fbe["phi"] = phin[x]
+                hbe = fe.molecular_field(fbe)
+                q33 = q5_to_q33(qc)
+                s5 = _s5_corotation(q33, w, xi)
+                h5 = [hbe[0][0], hbe[0][1], hbe[0][2], hbe[1][1],
+                      hbe[1][2]]
+                rhs = jnp.stack([gamma * h5[n] + s5[n]
+                                 for n in range(5)]) - div
+                qcols[x] = qc + rhs
+        return pcols, qcols, fcols
+
+    return fix

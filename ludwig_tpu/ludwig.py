@@ -1114,6 +1114,35 @@ def build_system(rt: RunTime) -> System:
                 f = le_init_shear_profile(lb_cfg, le)
             else:
                 f = initial_rest(lb_cfg)
+            fused_req = rt.string("tpu_fused", "off")
+            if (fused_req != "off" and nz is None
+                    and dcfg.gradient == "3d_7pt_fluid"
+                    and dcfg.force_method == "stress_divergence"
+                    and dcfg.advection_order == 1
+                    and size[0] >= 8 * nplanes_d):
+                # sheared coupled fast path: the Pallas phi+Q kernel
+                # with LE column fixes (ref: lc_droplet.c +
+                # model_le.c:57)
+                plan = _fused_plan(size)
+                interp = fused_req == "interpret"
+                if plan is not None and (interp or (size[2] % 128 == 0
+                                         and lb_cfg.dtype == "float32")):
+                    from ludwig_tpu.ops.fused import pad_state
+                    from ludwig_tpu.ops.fused_binary import pad_phi
+                    from ludwig_tpu.ops.fused_droplet import (
+                        DropletPlan, make_fused_droplet_le_step)
+                    from ludwig_tpu.ops.fused_lc import pad_q
+                    step = make_fused_droplet_le_step(
+                        dcfg, le, DropletPlan(min(8, plan.BX), plan.BY),
+                        lb_plan=plan, interpret=interp)
+                    state = (pad_state(f, zpad=False),
+                             pad_phi(jnp.asarray(phi0, jd)),
+                             pad_q(jnp.asarray(q5, jd)),
+                             jnp.zeros((3,) + size, jd))
+                    return System(rt=rt, lb_cfg=lb_cfg, binary_cfg=None,
+                                  solid=None, state=state, step_fn=step,
+                                  droplet_cfg=dcfg, le_cfg=le,
+                                  fused_mode="droplet")
             state = (f, jnp.asarray(phi0, jd), jnp.asarray(q5, jd),
                      jnp.zeros((3,) + size, jd))
             step = make_droplet_le_step(dcfg, le)
@@ -2986,6 +3015,9 @@ def run_text(text: str, out=sys.stdout) -> System:
         if sys_.fused_mode is not None:
             return ()
         if sys_.le_cfg is not None:
+            if sys_.is_droplet:
+                # droplet LE state is (f, phi, q5, u) without grads
+                return (jnp.array(state[1]), jnp.array(state[2]))
             return ()   # LE runs carry stale gradients in the state
         if sys_.is_colloid:
             out = (jnp.array(state[2]),)    # start-of-step velocities
@@ -3099,7 +3131,9 @@ def run_text(text: str, out=sys.stdout) -> System:
         # configuration/field dumps and their log lines come BEFORE the
         # statistics block of the same step (ref: ludwig.c:866-948)
         is_config = ((freq_config and t % freq_config == 0)
-                     or (config_at_end and t == sys_.n_start + ncycles))
+                     or (config_at_end and t == sys_.n_start + ncycles
+                         and rt.string("_cfg_end_style",
+                                       "inloop") == "inloop"))
         if is_config:
             ts0 = time.time()
             out.write(f"Writing distribution output at step {t}!\n")
@@ -3332,8 +3366,28 @@ def run_text(text: str, out=sys.stdout) -> System:
         _loop_outputs(t, state, u, prev)
         t += 1
 
-    # config_at_end output happens in-loop at t == n_start + ncycles
-    # (ref: control.c:118-127 is_config_step) with its report lines
+    # config_at_end output: the current eras take the in-loop config
+    # step at t == n_start + ncycles (ref: control.c:118-127
+    # is_config_step, handled in _loop_outputs); the v0.11-class
+    # blessings wrote AFTER the loop with field lines only
+    _cfg_style = rt.string("_cfg_end_style", "inloop")
+    if config_at_end and ncycles > 0 and _cfg_style != "inloop":
+        _tend_ = sys_.n_start + ncycles
+        if _cfg_style == "after":
+            _has_op_ = (sys_.is_binary or sys_.is_two_field
+                        or sys_.is_droplet or sys_.is_binary_lb
+                        or (sys_.is_colloid
+                            and sys_.binary_cfg is not None))
+            if _has_op_:
+                out.write(f"Writing phi file at step {_tend_}!\n")
+            if sys_.is_lc or sys_.is_droplet:
+                out.write(f"Writing q file at step {_tend_}!\n")
+            if sys_.is_electro:
+                out.write(f"Writing psi file at step {_tend_}!\n")
+            if sys_.hydro_on:
+                out.write(f"Writing rho/velocity output at step "
+                          f"{_tend_}!\n")
+        _dump(_tend_, state)
 
     if ahydro is not None:
         ahydro.report(out)

@@ -333,6 +333,99 @@ def _collide_modes(model: LatticeModel, params: CollisionParams, fl,
     return out, u
 
 
+def _collide_mode_deltas(model: LatticeModel, params: CollisionParams,
+                         fl, force=None, noise_sg=None):
+    """Post-collision mode INCREMENTS delta_m = m'_m - m_m, plus u.
+
+    Same algebra as _collide_modes, rearranged so the conserved modes
+    have delta EXACTLY zero (density) or the bare force (momentum).
+    Assembling f'_q = f_q + sum_m mi[q, m] delta_m then leaves the
+    conserved content of f untouched by the back-transform rounding:
+    the f32 per-site conservation error scales with the O(relaxation)
+    update instead of with |f|, which is what keeps the global
+    momentum/mass totals from random-walking over long production
+    runs (ACCURACY.md f32 conservation study)."""
+    ndim = model.ndim
+    m = _eo_matvec(model, fl)
+    rho = m[0]
+    rrho = 1.0 / rho
+    fg = [float(v) for v in params.force_global[:ndim]]
+    if force is None:
+        ftot = fg
+        has_f = [bool(v) for v in fg]
+    else:
+        ftot = [force[a] + fg[a] if fg[a] else force[a]
+                for a in range(ndim)]
+        has_f = [True] * ndim
+    u = [rrho * (m[1 + a] + 0.5 * ftot[a]) for a in range(ndim)]
+
+    pairs = _triu_pairs(ndim)
+    s = {p: m[1 + ndim + i] for i, p in enumerate(pairs)}
+    seq = {p: rho * u[p[0]] * u[p[1]] for p in pairs}
+    tr_s = sum(s[(a, a)] for a in range(ndim))
+    tr_seq = sum(seq[(a, a)] for a in range(ndim))
+    rdim = 1.0 / ndim
+    rt = params.rtau_shear
+    rtb = params.rtau_bulk
+
+    shat, ghat = noise_sg if noise_sg is not None else (None, None)
+    out = [0.0] + [ftot[a] if has_f[a] else 0.0 for a in range(ndim)]
+    for (a, b) in pairs:
+        dev = s[(a, b)] - (tr_s * rdim if a == b else 0.0)
+        dev_eq = seq[(a, b)] - (tr_seq * rdim if a == b else 0.0)
+        v = -rt * (dev - dev_eq)
+        if a == b:
+            v = v - rdim * rtb * (tr_s - tr_seq)
+        if has_f[a] or has_f[b]:
+            v = v + (2.0 - rt) * (u[a] * ftot[b] + ftot[a] * u[b])
+        if shat is not None:
+            v = v + shat[(a, b)]
+        out.append(v)
+    rtau_g = params.rtau_ghost
+    for gi, g in enumerate(range(model.nhydro, model.nvel)):
+        coef = -float(rtau_g[g])
+        val = m[g] * coef if coef != 0.0 else None
+        if ghat is not None and ghat[gi] is not None:
+            val = ghat[gi] if val is None else val + ghat[gi]
+        out.append(val if val is not None else 0.0)
+    return out, u
+
+
+def _assemble_eo_deltas(model: LatticeModel, fl, deltas, emit):
+    """Back transform in increment form: f'_q = f_q + sum_m mi[q, m]
+    delta_m, factorised over +/-c pairs like _assemble_eo.  Constant
+    (python float) nonzero deltas - the global body force - are folded
+    as scalars."""
+    anti, par = _eo_tables(model)
+    mi = model.mi
+    for q in range(model.nvel):
+        qb = anti[q]
+        if qb < q:
+            continue
+        E = O = None
+        for m in range(model.nvel):
+            coef = float(mi[q, m])
+            if coef == 0.0 or (isinstance(deltas[m], float)
+                               and deltas[m] == 0.0):
+                continue
+            term = deltas[m] if coef == 1.0 else (
+                -deltas[m] if coef == -1.0 else coef * deltas[m])
+            if par[m] > 0:
+                E = term if E is None else E + term
+            else:
+                O = term if O is None else O + term
+        if qb == q:
+            emit(fl[q] if E is None else fl[q] + E, q)
+        else:
+            hi = fl[q] if E is None and O is None else (
+                fl[q] + (E if O is None else (O if E is None else E + O)))
+            lo = fl[qb] if E is None and O is None else (
+                fl[qb] + ((E if O is None else (-O if E is None
+                                                else E - O))))
+            emit(hi, q)
+            emit(lo, qb)
+
+
 def _fused_kernel(model: LatticeModel, params: CollisionParams,
                   X, Y, Z, BX, BY,
                   fpad_hbm, out_hbm, inbuf, outbuf, insem, outsem,
@@ -403,8 +496,8 @@ def _fused_kernel(model: LatticeModel, params: CollisionParams,
                                    np.int32(zl - 1), wrap)
             noise_sg = _noise_modes(model, noise, wshape, gx, gy, gz,
                                     step_smem[0], dt_)
-        modes, _u = _collide_modes(model, params, fl,
-                                   noise_sg=noise_sg)
+        modes, _u = _collide_mode_deltas(model, params, fl,
+                                         noise_sg=noise_sg)
 
         # Make sure this staging slot's previous output DMA completed.
         @pl.when(k >= 2)
@@ -415,8 +508,8 @@ def _fused_kernel(model: LatticeModel, params: CollisionParams,
         # factorised over +/-c pairs (even/odd mode half-sums).
         def store(q, blk):
             outbuf[slot, q] = blk
-        _assemble_eo(model, modes,
-                     _make_stream_emit(model, Z, BX, BY, store))
+        _assemble_eo_deltas(model, fl, modes,
+                            _make_stream_emit(model, Z, BX, BY, store))
 
         out_dma(slot, k).start()
         return 0
@@ -658,12 +751,13 @@ def _fused2_kernel(model: LatticeModel, params: CollisionParams,
 
     in_dma(0, 0).start()
 
-    def assemble_all(modes, nx_out, ny_out):
+    def assemble_all(fl_src, deltas, nx_out, ny_out):
         out = [None] * nvel
         def sink(q, blk):
             out[q] = blk
-        _assemble_eo(model, modes,
-                     _make_stream_emit(model, Z, nx_out, ny_out, sink))
+        _assemble_eo_deltas(model, fl_src, deltas,
+                            _make_stream_emit(model, Z, nx_out, ny_out,
+                                              sink))
         return out
 
     def body(k, _):
@@ -680,11 +774,11 @@ def _fused2_kernel(model: LatticeModel, params: CollisionParams,
         # step 1 over the (BX+2, BY+2) halo window: sources span
         # (BX+4, BY+4) = window y rows [HY-2, HY+BY+2)
         fl0 = [window[p, :, HY - 2:HY + BY + 2, :] for p in range(nvel)]
-        modes0, _u0 = _collide_modes(model, params, fl0)
-        f1 = assemble_all(modes0, BX + 2, BY + 2)
+        modes0, _u0 = _collide_mode_deltas(model, params, fl0)
+        f1 = assemble_all(fl0, modes0, BX + 2, BY + 2)
 
         # step 2 on the intermediate state
-        modes1, _u1 = _collide_modes(model, params, f1)
+        modes1, _u1 = _collide_mode_deltas(model, params, f1)
 
         @pl.when(k >= 2)
         def _():
@@ -692,8 +786,8 @@ def _fused2_kernel(model: LatticeModel, params: CollisionParams,
 
         def store(q, blk):
             outbuf[slot, q] = blk
-        _assemble_eo(model, modes1,
-                     _make_stream_emit(model, Z, BX, BY, store))
+        _assemble_eo_deltas(model, f1, modes1,
+                            _make_stream_emit(model, Z, BX, BY, store))
 
         out_dma(slot, k).start()
         return 0
@@ -826,12 +920,13 @@ def _fusedn_kernel(model: LatticeModel, params: CollisionParams,
 
     in_dma(0, 0).start()
 
-    def assemble_all(modes, nx_out, ny_out):
+    def assemble_all(fl_src, deltas, nx_out, ny_out):
         out = [None] * nvel
         def sink(q, blk):
             out[q] = blk
-        _assemble_eo(model, modes,
-                     _make_stream_emit(model, Z, nx_out, ny_out, sink))
+        _assemble_eo_deltas(model, fl_src, deltas,
+                            _make_stream_emit(model, Z, nx_out, ny_out,
+                                              sink))
         return out
 
     def body(k, _):
@@ -848,10 +943,10 @@ def _fusedn_kernel(model: LatticeModel, params: CollisionParams,
         # step 0 sources span (BX+2n, BY+2n) = y rows [HY-n, HY+BY+n)
         fl = [window[p, :, HY - H:HY + BY + H, :] for p in range(nvel)]
         for s in range(H - 1):
-            modes, _u = _collide_modes(model, params, fl)
+            modes, _u = _collide_mode_deltas(model, params, fl)
             m = H - 1 - s   # halo width remaining after this step
-            fl = assemble_all(modes, BX + 2 * m, BY + 2 * m)
-        modes, _u = _collide_modes(model, params, fl)
+            fl = assemble_all(fl, modes, BX + 2 * m, BY + 2 * m)
+        modes, _u = _collide_mode_deltas(model, params, fl)
 
         @pl.when(k >= 2)
         def _():
@@ -859,8 +954,8 @@ def _fusedn_kernel(model: LatticeModel, params: CollisionParams,
 
         def store(q, blk):
             outbuf[slot, q] = blk
-        _assemble_eo(model, modes,
-                     _make_stream_emit(model, Z, BX, BY, store))
+        _assemble_eo_deltas(model, fl, modes,
+                            _make_stream_emit(model, Z, BX, BY, store))
 
         out_dma(slot, k).start()
         return 0
@@ -982,7 +1077,7 @@ def _fused_force_kernel(model: LatticeModel, params: CollisionParams,
         window = inbuf[slot]
         fl = [window[p, :, HY - 1:HY + BY + 1, :] for p in range(nvel)]
         fw = [fbuf[slot, a, :, HY - 1:HY + BY + 1, :] for a in range(3)]
-        modes, u = _collide_modes(model, params, fl, force=fw)
+        modes, u = _collide_mode_deltas(model, params, fl, force=fw)
 
         @pl.when(k >= 2)
         def _():
@@ -991,8 +1086,8 @@ def _fused_force_kernel(model: LatticeModel, params: CollisionParams,
 
         def store(q, blk):
             outbuf[slot, q] = blk
-        _assemble_eo(model, modes,
-                     _make_stream_emit(model, Z, BX, BY, store))
+        _assemble_eo_deltas(model, fl, modes,
+                            _make_stream_emit(model, Z, BX, BY, store))
         for a in range(3):
             ubuf[slot, a] = u[a][1:1 + BX, 1:1 + BY, :]
 

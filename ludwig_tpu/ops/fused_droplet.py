@@ -443,3 +443,64 @@ def initial_fused_droplet(dcfg, phi0, q0_field):
     q5 = jnp.asarray(q0_field, dcfg.lb.jdtype)
     u = jnp.zeros((3,) + tuple(dcfg.lb.size), dcfg.lb.jdtype)
     return (pad_state(f, zpad=False), pad_phi(phi), pad_q(q5), u)
+
+
+def make_fused_droplet_le_step(dcfg, le, plan: DropletPlan = DropletPlan(),
+                               lb_plan=None, interpret: bool = False):
+    """Fused LC-droplet step under Lees-Edwards shear:
+    (fpad, ppad, qpad, u) -> state.
+
+    The sheared LC droplet is the reference's coupled production
+    configuration (ref: lc_droplet.c + model_le.c:57).  The Pallas
+    phi+Q kernel runs unmodified with plain-periodic x; LE enters as
+    O(surface) column work: lc_droplet_sim.make_droplet_le_column_fix
+    rewrites the plane-adjacent columns of phi', q5' and force with
+    the LE-aware formulas, and the f-side reprojection/displacement
+    runs as the streaming-conjugated column post-pass
+    (ops/lees_edwards.apply_le_fused) - the droplet analogue of
+    fused_lc.make_fused_lc_le_step."""
+    from ludwig_tpu.lc_droplet_sim import make_droplet_le_column_fix
+    from ludwig_tpu.ops.fused import (FusedPlan, fused_force_step,
+                                      _pad_refresh)
+    from ludwig_tpu.ops.fused import HX as FHX, HY as FHY
+    from ludwig_tpu.ops.fused_lc import unpad_q
+    from ludwig_tpu.ops.lees_edwards import apply_le_fused
+
+    if lb_plan is None:
+        lb_plan = FusedPlan()
+    model = dcfg.lb.model
+    params = dcfg.lb.collision_params()
+    fix = make_droplet_le_column_fix(dcfg, le)
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state, t=0):
+        fpad, ppad, qpad, u = state
+        phi = unpad_phi(ppad)
+        q5 = unpad_q(qpad)
+        upad = pad_q(u)
+        ppad_new, qpad_new, force = droplet_phi_q_force_step(
+            ppad, qpad, upad, dcfg.fe, dcfg.gamma, dcfg.mobility,
+            dcfg.advection_order, plan, interpret=interpret)
+        Y = qpad.shape[2] - 2 * HY
+        pcols, qcols, fcols = fix(phi, q5, u, t)
+        for col, v in pcols.items():
+            ppad_new = ppad_new.at[HX + col, HY:HY + Y, :].set(
+                v.astype(ppad_new.dtype))
+        for col, v in qcols.items():
+            qpad_new = qpad_new.at[:, HX + col, HY:HY + Y, :].set(
+                v.astype(qpad_new.dtype))
+        for col, v in fcols.items():
+            force = force.at[:, col].set(v.astype(force.dtype))
+        ppad_new = _refresh1(ppad_new)
+        qpad_new = _refresh(qpad_new)
+        # hydro_correct_momentum: remove the net force (the LE flux
+        # divergence sums to its fp residue after the per-plane mean
+        # fix, so subtracting the full mean matches the body-force-only
+        # mean to round-off, as in the plain fused step)
+        force = force - jnp.mean(force, axis=(1, 2, 3), keepdims=True)
+        fpad, u_new = fused_force_step(fpad, force, model, params,
+                                       lb_plan, interpret=interpret)
+        fpad = apply_le_fused(fpad, model, le, t, pad=(FHX, FHY))
+        return (_pad_refresh(fpad), ppad_new, qpad_new, u_new)
+
+    return step

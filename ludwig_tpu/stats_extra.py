@@ -448,8 +448,11 @@ def interact_stats_lines(rt, cp, R, box):
         for a in range(3):
             if not walls[a]:
                 continue
-            for hall in (R[:, a] - 0.5 - ah,
-                         (0.5 + L[a]) - R[:, a] - ah):
+            # our R is 0-based (ref r = R + 1, lmin = 0.5):
+            # h = (r - lmin) - ah = R + 0.5 - ah on the lower face
+            # (ref: wall_ss_cut.c:184-208)
+            for hall in (R[:, a] + 0.5 - ah,
+                         (L[a] - 0.5) - R[:, a] - ah):
                 hmin = min(hmin, float(hall.min()))
                 sel = hall < hc
                 if sel.any():

@@ -293,6 +293,20 @@ def run_case(name: str, workdir: Optional[str] = None,
         # "Ludwig finished normally." (truncated blessing); sniff it
         hints.append("_has_finish %d"
                      % int("Ludwig finished normally" in whole))
+        # config_at_end placement differs by era: v0.11-class logs
+        # write AFTER "Completed cycle N" (phi/psi/vel lines only, no
+        # distribution line); v0.7/v0.12 logs take the in-loop config
+        # step with "Writing distribution output" before the stats
+        mcc = _re.findall(r"Completed cycle (\d+)", whole)
+        if mcc:
+            tend = mcc[-1]
+            tail_blk = whole.rsplit(f"Completed cycle {tend}", 1)[-1]
+            if f"Writing distribution output at step {tend}!" in whole:
+                hints.append("_cfg_end_style inloop")
+            elif "Writing" in tail_blk:
+                hints.append("_cfg_end_style after")
+            else:
+                hints.append("_cfg_end_style none")
         # whether the initial-conditions block carries a free-energy
         # line also varies within versions; sniff it
         mi = _re.search(r"Initial conditions\.(.*?)Starting", whole,

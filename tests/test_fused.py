@@ -621,3 +621,65 @@ def test_fused_noise_matches_jnp_counter_stream():
                    np.asarray(model.cv))
     imp = np.array([3 * 1e-5 * np.prod(shape), 0.0, 0.0])
     np.testing.assert_allclose(g1, g0 + imp, rtol=0, atol=1e-10)
+
+
+def test_fused_droplet_le_step_matches_jnp_path():
+    """The fused droplet step with LE column fixes reproduces the jnp
+    sheared LC-droplet step (lc_droplet_sim.make_droplet_le_step) --
+    the reference's coupled configuration under shear
+    (ref: lc_droplet.c + model_le.c:57)."""
+    from ludwig_tpu.fe import lc_init
+    from ludwig_tpu.fe.blue_phase import BluePhaseFE
+    from ludwig_tpu.fe.lc_droplet import LCDropletFE
+    from ludwig_tpu.fe.symmetric import SymmetricFE
+    from ludwig_tpu.lb import LBConfig
+    from ludwig_tpu.lc_droplet_sim import (LCDropletConfig,
+                                           make_droplet_le_step)
+    from ludwig_tpu.ops.fused import FusedPlan, pad_state, \
+        unpad_state as unpad_f
+    from ludwig_tpu.ops.fused_binary import pad_phi, unpad_phi
+    from ludwig_tpu.ops.fused_droplet import (DropletPlan,
+                                              make_fused_droplet_le_step)
+    from ludwig_tpu.ops.fused_lc import pad_q, unpad_q
+    from ludwig_tpu.ops.lees_edwards import (LeesEdwardsConfig,
+                                             le_init_shear_profile)
+
+    N = (16, 8, 16)
+    cfg = LBConfig(size=N, nvel=19, eta_shear=0.5, dtype="float64")
+    symm = SymmetricFE(a=-0.0625, b=0.0625, kappa=0.04)
+    lcfe = BluePhaseFE(a0=0.05, gamma=3.086, q0=0.19635,
+                       kappa0=0.000648456, kappa1=0.000648456, xi=0.7)
+    fe = LCDropletFE(symm=symm, lc=lcfe, gamma0=2.586, delta=0.25,
+                     w=0.0)
+    dcfg = LCDropletConfig(lb=cfg, fe=fe, mobility=0.05, gamma=0.5,
+                           advection_order=1)
+    le = LeesEdwardsConfig(nplanes=2, uy=0.04, nx=N[0])
+    rng = np.random.RandomState(7)
+    phi0 = jnp.asarray(rng.uniform(-0.1, 0.1, N), cfg.jdtype)
+    q5 = jnp.asarray(0.1 * lc_init.lc_init_o8m(N, lcfe.q0, -0.2),
+                     cfg.jdtype)
+    f0 = le_init_shear_profile(cfg, le)
+    u0 = jnp.zeros((3,) + N, cfg.jdtype)
+
+    sx = (jnp.array(f0), jnp.array(phi0), jnp.array(q5),
+          jnp.array(u0))
+    stepx = make_droplet_le_step(dcfg, le)
+    for t in range(3):
+        sx, _ = stepx(sx, t)
+
+    sf = (pad_state(f0, zpad=False), pad_phi(phi0), pad_q(q5), u0)
+    stepf = make_fused_droplet_le_step(dcfg, le,
+                                       plan=DropletPlan(4, 8),
+                                       lb_plan=FusedPlan(4, 8),
+                                       interpret=True)
+    for t in range(3):
+        sf = stepf(sf, t)
+
+    np.testing.assert_allclose(np.asarray(unpad_phi(sf[1])),
+                               np.asarray(sx[1]), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(unpad_q(sf[2])),
+                               np.asarray(sx[2]), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(unpad_f(sf[0])),
+                               np.asarray(sx[0]), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sf[3]), np.asarray(sx[3]),
+                               rtol=1e-9, atol=1e-12)
