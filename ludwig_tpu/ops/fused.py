@@ -429,7 +429,7 @@ def _assemble_eo_deltas(model: LatticeModel, fl, deltas, emit):
 def _fused_kernel(model: LatticeModel, params: CollisionParams,
                   X, Y, Z, BX, BY,
                   fpad_hbm, out_hbm, inbuf, outbuf, insem, outsem,
-                  noise=None, zlive=None, step_smem=None):
+                  noise=None, zlive=None, step_smem=None, delta=True):
     """grid=() kernel: fori_loop over (nbx * nby) blocks, double-buffered.
 
     With `noise` (FusedNoise), per-site counter-keyed fluctuations are
@@ -496,8 +496,12 @@ def _fused_kernel(model: LatticeModel, params: CollisionParams,
                                    np.int32(zl - 1), wrap)
             noise_sg = _noise_modes(model, noise, wshape, gx, gy, gz,
                                     step_smem[0], dt_)
-        modes, _u = _collide_mode_deltas(model, params, fl,
-                                         noise_sg=noise_sg)
+        if delta:
+            modes, _u = _collide_mode_deltas(model, params, fl,
+                                             noise_sg=noise_sg)
+        else:
+            modes, _u = _collide_modes(model, params, fl,
+                                       noise_sg=noise_sg)
 
         # Make sure this staging slot's previous output DMA completed.
         @pl.when(k >= 2)
@@ -508,8 +512,11 @@ def _fused_kernel(model: LatticeModel, params: CollisionParams,
         # factorised over +/-c pairs (even/odd mode half-sums).
         def store(q, blk):
             outbuf[slot, q] = blk
-        _assemble_eo_deltas(model, fl, modes,
-                            _make_stream_emit(model, Z, BX, BY, store))
+        emit = _make_stream_emit(model, Z, BX, BY, store)
+        if delta:
+            _assemble_eo_deltas(model, fl, modes, emit)
+        else:
+            _assemble_eo(model, modes, emit)
 
         out_dma(slot, k).start()
         return 0
@@ -536,20 +543,23 @@ class FusedPlan:
 def fused_step(fpad: jnp.ndarray, model: LatticeModel,
                params: CollisionParams, plan: FusedPlan = FusedPlan(),
                interpret: bool = False, z: int = None,
-               noise=None, t=0) -> jnp.ndarray:
+               noise=None, t=0, delta: bool = True) -> jnp.ndarray:
     """One fused collide+stream step on a padded state; returns new padded
     state (pads refreshed, single-shard periodic).  `z` is the live z
     extent when the state is lane-padded (zpad_len); `noise` an optional
-    FusedNoise (isothermal fluctuations in-kernel, keyed on step t)."""
+    FusedNoise (isothermal fluctuations in-kernel, keyed on step t).
+    `delta` (default True on this production path) selects the
+    conservation-hardened increment-form back transform; see
+    _fusedn_kernel for the form trade-off."""
     return _pad_refresh(_fused_call(fpad, model, params, plan, interpret,
-                                    noise=noise, z=z, t=t),
+                                    noise=noise, z=z, t=t, delta=delta),
                         z=z)
 
 
 def _fused_call(fpad: jnp.ndarray, model: LatticeModel,
                 params: CollisionParams, plan: FusedPlan = FusedPlan(),
                 interpret: bool = False, noise=None, z: int = None,
-                t=0) -> jnp.ndarray:
+                t=0, delta: bool = True) -> jnp.ndarray:
     """The raw kernel launch: new padded state with STALE pads (the
     caller refreshes them - locally, or by ppermute on a mesh)."""
     nvel, Xp, Yp, Z = fpad.shape
@@ -572,7 +582,8 @@ def _fused_call(fpad: jnp.ndarray, model: LatticeModel,
     ]
     cp = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
     if noise is None:
-        kernel = partial(_fused_kernel, model, params, X, Y, Z, BX, BY)
+        kernel = partial(_fused_kernel, model, params, X, Y, Z, BX, BY,
+                         delta=delta)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(fpad.shape, fpad.dtype),
@@ -586,7 +597,8 @@ def _fused_call(fpad: jnp.ndarray, model: LatticeModel,
                outsem):
         _fused_kernel(model, params, X, Y, Z, BX, BY, fpad_hbm,
                       out_hbm, inbuf, outbuf, insem, outsem,
-                      noise=noise, zlive=z, step_smem=step_ref)
+                      noise=noise, zlive=z, step_smem=step_ref,
+                      delta=delta)
 
     step_arr = jnp.full((1,), t, jnp.int32)
     return pl.pallas_call(
@@ -717,7 +729,8 @@ def _pad_refresh2(fpad: jnp.ndarray) -> jnp.ndarray:
 
 def _fused2_kernel(model: LatticeModel, params: CollisionParams,
                    X, Y, Z, BX, BY,
-                   fpad_hbm, out_hbm, inbuf, outbuf, insem, outsem):
+                   fpad_hbm, out_hbm, inbuf, outbuf, insem, outsem,
+                   delta=False):
     """Temporally-blocked kernel: TWO collide+stream steps per HBM pass.
 
     Per (BX, BY) block the DMA window is (BX+4, BY+16); step 1 produces
@@ -751,13 +764,17 @@ def _fused2_kernel(model: LatticeModel, params: CollisionParams,
 
     in_dma(0, 0).start()
 
-    def assemble_all(fl_src, deltas, nx_out, ny_out):
+    collide_fn = _collide_mode_deltas if delta else _collide_modes
+
+    def assemble_all(fl_src, modes, nx_out, ny_out):
         out = [None] * nvel
         def sink(q, blk):
             out[q] = blk
-        _assemble_eo_deltas(model, fl_src, deltas,
-                            _make_stream_emit(model, Z, nx_out, ny_out,
-                                              sink))
+        emit = _make_stream_emit(model, Z, nx_out, ny_out, sink)
+        if delta:
+            _assemble_eo_deltas(model, fl_src, modes, emit)
+        else:
+            _assemble_eo(model, modes, emit)
         return out
 
     def body(k, _):
@@ -774,11 +791,11 @@ def _fused2_kernel(model: LatticeModel, params: CollisionParams,
         # step 1 over the (BX+2, BY+2) halo window: sources span
         # (BX+4, BY+4) = window y rows [HY-2, HY+BY+2)
         fl0 = [window[p, :, HY - 2:HY + BY + 2, :] for p in range(nvel)]
-        modes0, _u0 = _collide_mode_deltas(model, params, fl0)
+        modes0, _u0 = collide_fn(model, params, fl0)
         f1 = assemble_all(fl0, modes0, BX + 2, BY + 2)
 
         # step 2 on the intermediate state
-        modes1, _u1 = _collide_mode_deltas(model, params, f1)
+        modes1, _u1 = collide_fn(model, params, f1)
 
         @pl.when(k >= 2)
         def _():
@@ -786,8 +803,11 @@ def _fused2_kernel(model: LatticeModel, params: CollisionParams,
 
         def store(q, blk):
             outbuf[slot, q] = blk
-        _assemble_eo_deltas(model, f1, modes1,
-                            _make_stream_emit(model, Z, BX, BY, store))
+        emit2 = _make_stream_emit(model, Z, BX, BY, store)
+        if delta:
+            _assemble_eo_deltas(model, f1, modes1, emit2)
+        else:
+            _assemble_eo(model, modes1, emit2)
 
         out_dma(slot, k).start()
         return 0
@@ -802,7 +822,8 @@ def _fused2_kernel(model: LatticeModel, params: CollisionParams,
 
 def fused2_step(fpad: jnp.ndarray, model: LatticeModel,
                 params: CollisionParams, plan: FusedPlan = FusedPlan(),
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False,
+                delta: bool = False) -> jnp.ndarray:
     """TWO fused collide+stream steps on a pad_state2-padded state."""
     nvel, Xp, Yp, Z = fpad.shape
     X, Y = Xp - 2 * HX2, Yp - 2 * HY
@@ -815,7 +836,8 @@ def fused2_step(fpad: jnp.ndarray, model: LatticeModel,
         raise ValueError(
             f"fused kernel needs Z % 128 == 0 on hardware (got {Z})")
 
-    kernel = partial(_fused2_kernel, model, params, X, Y, Z, BX, BY)
+    kernel = partial(_fused2_kernel, model, params, X, Y, Z, BX, BY,
+                     delta=delta)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(fpad.shape, fpad.dtype),
@@ -879,7 +901,8 @@ def _pad_refreshn(fpad: jnp.ndarray, nsteps: int) -> jnp.ndarray:
 
 def _fusedn_kernel(model: LatticeModel, params: CollisionParams,
                    nsteps, X, Y, Z, BX, BY,
-                   fpad_hbm, out_hbm, inbuf, outbuf, insem, outsem):
+                   fpad_hbm, out_hbm, inbuf, outbuf, insem, outsem,
+                   delta=False):
     """Temporally-blocked kernel generalised to n collide+stream steps
     per HBM pass.
 
@@ -891,9 +914,17 @@ def _fusedn_kernel(model: LatticeModel, params: CollisionParams,
     widens x: HBM traffic per n steps is (BX+2n)(BY+16)/(BX BY) + 1
     passes of f - at (16, 32) and n=3 that is 3.06 vs 2.88/2 steps for
     the 2-step kernel and 2.69/1 for the single-step kernel, i.e. 1.02
-    HBM passes per step.  Arithmetic per site is identical to the
-    single-step kernel's, so the result is bitwise equal to n
-    fused_step calls.
+    HBM passes per step.
+
+    `delta` selects the collision arithmetic: False (default) uses the
+    absolute back transform f' = mi @ m', whose live set per stage is
+    ~19 mode arrays; True uses the increment form f' = f + mi @ dm of
+    the single-step production kernel (conservation-hardened), whose
+    live set is ~34 arrays (fl stays live through the back transform) -
+    at n >= 5 that spills past the 128 MB vmem on real chips and at
+    n = 4 the spill traffic costs ~25% throughput (round-4 regression:
+    139.89M vmem needed, 71M register-allocator spill).  With matching
+    `delta` the result is bitwise equal to n fused_step calls.
     """
     nvel = model.nvel
     nbx, nby = X // BX, Y // BY
@@ -920,14 +951,18 @@ def _fusedn_kernel(model: LatticeModel, params: CollisionParams,
 
     in_dma(0, 0).start()
 
-    def assemble_all(fl_src, deltas, nx_out, ny_out):
+    def assemble_all(fl_src, modes, nx_out, ny_out):
         out = [None] * nvel
         def sink(q, blk):
             out[q] = blk
-        _assemble_eo_deltas(model, fl_src, deltas,
-                            _make_stream_emit(model, Z, nx_out, ny_out,
-                                              sink))
+        emit = _make_stream_emit(model, Z, nx_out, ny_out, sink)
+        if delta:
+            _assemble_eo_deltas(model, fl_src, modes, emit)
+        else:
+            _assemble_eo(model, modes, emit)
         return out
+
+    collide_fn = _collide_mode_deltas if delta else _collide_modes
 
     def body(k, _):
         slot = k % 2
@@ -943,10 +978,10 @@ def _fusedn_kernel(model: LatticeModel, params: CollisionParams,
         # step 0 sources span (BX+2n, BY+2n) = y rows [HY-n, HY+BY+n)
         fl = [window[p, :, HY - H:HY + BY + H, :] for p in range(nvel)]
         for s in range(H - 1):
-            modes, _u = _collide_mode_deltas(model, params, fl)
+            modes, _u = collide_fn(model, params, fl)
             m = H - 1 - s   # halo width remaining after this step
             fl = assemble_all(fl, modes, BX + 2 * m, BY + 2 * m)
-        modes, _u = _collide_mode_deltas(model, params, fl)
+        modes, _u = collide_fn(model, params, fl)
 
         @pl.when(k >= 2)
         def _():
@@ -954,8 +989,11 @@ def _fusedn_kernel(model: LatticeModel, params: CollisionParams,
 
         def store(q, blk):
             outbuf[slot, q] = blk
-        _assemble_eo_deltas(model, fl, modes,
-                            _make_stream_emit(model, Z, BX, BY, store))
+        emit = _make_stream_emit(model, Z, BX, BY, store)
+        if delta:
+            _assemble_eo_deltas(model, fl, modes, emit)
+        else:
+            _assemble_eo(model, modes, emit)
 
         out_dma(slot, k).start()
         return 0
@@ -971,7 +1009,8 @@ def _fusedn_kernel(model: LatticeModel, params: CollisionParams,
 def fusedn_step(fpad: jnp.ndarray, model: LatticeModel,
                 params: CollisionParams, nsteps: int,
                 plan: FusedPlan = FusedPlan(),
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False,
+                delta: bool = False) -> jnp.ndarray:
     """n fused collide+stream steps on a pad_staten-padded state."""
     if not 1 <= nsteps <= HY:
         raise ValueError(f"nsteps must be in [1, {HY}] (got {nsteps})")
@@ -988,7 +1027,8 @@ def fusedn_step(fpad: jnp.ndarray, model: LatticeModel,
         raise ValueError(
             f"fused kernel needs Z % 128 == 0 on hardware (got {Z})")
 
-    kernel = partial(_fusedn_kernel, model, params, nsteps, X, Y, Z, BX, BY)
+    kernel = partial(_fusedn_kernel, model, params, nsteps, X, Y, Z,
+                     BX, BY, delta=delta)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(fpad.shape, fpad.dtype),
@@ -1009,7 +1049,7 @@ def fusedn_step(fpad: jnp.ndarray, model: LatticeModel,
 
 def make_fusedn_nstep(model: LatticeModel, params: CollisionParams,
                       nsteps: int, plan: FusedPlan = FusedPlan(),
-                      interpret: bool = False):
+                      interpret: bool = False, delta: bool = False):
     """Jitted n-step driver on a pad_staten state; n must be a multiple
     of `nsteps`."""
 
@@ -1019,7 +1059,7 @@ def make_fusedn_nstep(model: LatticeModel, params: CollisionParams,
             raise ValueError(f"fusedn nstep needs n % {nsteps} == 0")
         def body(fp, _):
             return fusedn_step(fp, model, params, nsteps, plan,
-                               interpret=interpret), ()
+                               interpret=interpret, delta=delta), ()
         fpad, _ = jax.lax.scan(body, fpad, None, length=n // nsteps)
         return fpad
 

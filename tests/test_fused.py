@@ -249,8 +249,10 @@ def test_fused_droplet_step_matches_jnp_path():
                                np.asarray(sx[0]), rtol=1e-10, atol=1e-12)
 
 
-def test_fused2_matches_two_single_steps():
-    """The temporally-blocked kernel is bitwise two fused steps."""
+@pytest.mark.parametrize("delta", [False, True])
+def test_fused2_matches_two_single_steps(delta):
+    """The temporally-blocked kernel is bitwise two fused steps, in
+    both the absolute (bench) and increment (production) forms."""
     import jax.numpy as jnp
     import numpy as np
     from ludwig_tpu.lb import LBConfig
@@ -268,26 +270,30 @@ def test_fused2_matches_two_single_steps():
     plan = FusedPlan(BX=4, BY=8)
     fa = pad_state(f0)
     for _ in range(2):
-        fa = fused_step(fa, model, params, plan, interpret=True, z=32)
+        fa = fused_step(fa, model, params, plan, interpret=True, z=32,
+                        delta=delta)
     ref2 = np.asarray(unpad_state(fa, z=32))
 
-    fb = fused2_step(pad_state2(f0), model, params, plan, interpret=True)
+    fb = fused2_step(pad_state2(f0), model, params, plan, interpret=True,
+                     delta=delta)
     out2 = np.asarray(unpad_state2(fb))
     np.testing.assert_array_equal(out2, ref2)
 
     # and again (pads refreshed correctly between 2-step passes)
     for _ in range(2):
-        fa = fused_step(fa, model, params, plan, interpret=True, z=32)
-    fb = fused2_step(fb, model, params, plan, interpret=True)
+        fa = fused_step(fa, model, params, plan, interpret=True, z=32,
+                        delta=delta)
+    fb = fused2_step(fb, model, params, plan, interpret=True, delta=delta)
     np.testing.assert_array_equal(np.asarray(unpad_state2(fb)),
                                   np.asarray(unpad_state(fa, z=32)))
 
 
-@pytest.mark.parametrize("nsteps", [2, 3, 4])
-def test_fusedn_matches_n_single_steps(nsteps):
+@pytest.mark.parametrize("nsteps,delta",
+                         [(2, False), (3, False), (4, False), (3, True)])
+def test_fusedn_matches_n_single_steps(nsteps, delta):
     """The generic n-step temporally-blocked kernel is bitwise n fused
     steps (and for n=2, bitwise the dedicated fused2 kernel by the same
-    transitivity)."""
+    transitivity), with matching arithmetic form on both sides."""
     from ludwig_tpu.lb import LBConfig
     from ludwig_tpu.ops.fused import (FusedPlan, fused_step, fusedn_step,
                                       pad_state, pad_staten, unpad_state,
@@ -303,19 +309,45 @@ def test_fusedn_matches_n_single_steps(nsteps):
     plan = FusedPlan(BX=4, BY=8)
     fa = pad_state(f0)
     for _ in range(nsteps):
-        fa = fused_step(fa, model, params, plan, interpret=True, z=32)
+        fa = fused_step(fa, model, params, plan, interpret=True, z=32,
+                        delta=delta)
     ref = np.asarray(unpad_state(fa, z=32))
 
     fb = fusedn_step(pad_staten(f0, nsteps), model, params, nsteps, plan,
-                     interpret=True)
+                     interpret=True, delta=delta)
     np.testing.assert_array_equal(np.asarray(unpad_staten(fb, nsteps)), ref)
 
     # chain once more (pads refreshed correctly between n-step passes)
     for _ in range(nsteps):
-        fa = fused_step(fa, model, params, plan, interpret=True, z=32)
-    fb = fusedn_step(fb, model, params, nsteps, plan, interpret=True)
+        fa = fused_step(fa, model, params, plan, interpret=True, z=32,
+                        delta=delta)
+    fb = fusedn_step(fb, model, params, nsteps, plan, interpret=True,
+                     delta=delta)
     np.testing.assert_array_equal(np.asarray(unpad_staten(fb, nsteps)),
                                   np.asarray(unpad_state(fa, z=32)))
+
+
+def test_fused_delta_vs_absolute_form():
+    """The increment-form (delta) and absolute-form back transforms are
+    the same algebra to rounding: one step agrees to ~1e-14 in f64."""
+    from ludwig_tpu.lb import LBConfig
+    from ludwig_tpu.ops.fused import (FusedPlan, fused_step, pad_state,
+                                      unpad_state)
+
+    cfg = LBConfig(size=(16, 16, 32), nvel=19, eta_shear=0.1,
+                   dtype="float64")
+    model, params = cfg.model, cfg.collision_params()
+    rng = np.random.default_rng(13)
+    f0 = jnp.asarray(
+        0.05 + 0.01 * rng.random((19, 16, 16, 32)), jnp.float64)
+    plan = FusedPlan(BX=4, BY=8)
+    fa = fused_step(pad_state(f0), model, params, plan, interpret=True,
+                    z=32, delta=True)
+    fb = fused_step(pad_state(f0), model, params, plan, interpret=True,
+                    z=32, delta=False)
+    np.testing.assert_allclose(np.asarray(unpad_state(fa, z=32)),
+                               np.asarray(unpad_state(fb, z=32)),
+                               rtol=0, atol=1e-13)
 
 
 def test_fused_lc_le_step_matches_jnp_path():
