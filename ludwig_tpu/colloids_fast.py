@@ -1352,6 +1352,39 @@ def seg_cols_cubes(cols: jnp.ndarray, ids: jnp.ndarray,
     return out.T
 
 
+def cubes_count_max(R, params: ColloidParams, size, cube: int) -> int:
+    """Eager (host) max candidate count over pillars for this
+    configuration - the cell-occupancy probe callers use to size
+    build_map_cubes' `cap` with headroom instead of silently dropping
+    candidates on overflow (the analogue of the reference's
+    cell-capacity sizing, colloids_rt.c:600)."""
+    R = np.asarray(R)
+    N = R.shape[0]
+    X, Y, Z = (int(s) for s in size)
+    ncx, ncy = X // cube, Y // cube
+    npil = ncx * ncy
+    rmax = int(np.ceil(float(np.max(params.a0))))
+    w = 2 * (rmax + 1) + 1
+    corner = np.floor(R).astype(np.int64) - (rmax + 1)
+    c0 = corner // cube
+    c1 = (corner + (w - 1)) // cube
+    cx0, cx1 = c0[:, 0] % ncx, c1[:, 0] % ncx
+    cy0, cy1 = c0[:, 1] % ncy, c1[:, 1] % ncy
+    counts = np.zeros(npil + 1, np.int64)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            cx = cx1 if dx else cx0
+            cy = cy1 if dy else cy0
+            pil = cx * ncy + cy
+            drop = np.zeros(N, bool)
+            if dx:
+                drop |= cx1 == cx0
+            if dy:
+                drop |= cy1 == cy0
+            np.add.at(counts, np.where(drop, npil, pil), 1)
+    return int(counts[:npil].max()) if npil else 0
+
+
 def build_map_cubes(R: jnp.ndarray, params: ColloidParams, size,
                     cube: int = 8, cap: int = 256,
                     return_cands: bool = False):
@@ -1396,12 +1429,34 @@ def build_map_cubes(R: jnp.ndarray, params: ColloidParams, size,
     corner = jnp.floor(R).astype(jnp.int32) - (rmax + 1)      # (N, 3)
     c0 = jnp.floor_divide(corner, cube)
     c1 = jnp.floor_divide(corner + (w - 1), cube)
+    # Dedup the 4 window corners per particle BEFORE binning: when the
+    # window does not straddle a pillar boundary on an axis (cube >
+    # w-1), or when it wraps onto the same pillar (ncx or ncy == 1),
+    # two corners land on one pillar and the particle would appear
+    # TWICE on that pillar's candidate list - seg_cols_cubes would then
+    # double-count its whole BBL reduction.  Compare WRAPPED pillar
+    # coords so both cases are caught; dropped corners get the npil
+    # sentinel, which sorts past every real pillar range.
+    cx0 = jnp.mod(c0[:, 0], ncx)
+    cx1 = jnp.mod(c1[:, 0], ncx)
+    cy0 = jnp.mod(c0[:, 1], ncy)
+    cy1 = jnp.mod(c1[:, 1], ncy)
+    dupx = cx1 == cx0
+    dupy = cy1 == cy0
     pillar_ids = []
     for dx in (0, 1):
         for dy in (0, 1):
-            cx = jnp.mod((c1 if dx else c0)[:, 0], ncx)
-            cy = jnp.mod((c1 if dy else c0)[:, 1], ncy)
-            pillar_ids.append(cx * ncy + cy)
+            cx = cx1 if dx else cx0
+            cy = cy1 if dy else cy0
+            pil = cx * ncy + cy
+            drop = False
+            if dx:
+                drop = dupx
+            if dy:
+                drop = jnp.logical_or(drop, dupy) if dx else dupy
+            if dx or dy:
+                pil = jnp.where(drop, jnp.int32(npil), pil)
+            pillar_ids.append(pil)
     cid = jnp.concatenate(pillar_ids)                         # (4N,)
     pid4 = jnp.tile(jnp.arange(N, dtype=jnp.int32), 4)
     order = jnp.argsort(cid)
