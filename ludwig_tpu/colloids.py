@@ -1159,11 +1159,18 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
         # whose tie-break order the bitwise contract was verified on
         _cube = (cubes_supported(params, size)
                  if cfg.dtype != "float64" else None)
+        # candidate capacity: sized with 2x headroom from the actual
+        # occupancy by prepare() (cubes_count_max) - silent overflow
+        # would drop the highest pids from the solid map and the BBL
+        # candidate lists (the reference sizes its cell capacity the
+        # same way, colloids_rt.c:600)
+        _capbox = [min(256, params.n)]
         if _cube is not None:
             def _bmap_prod(R_, p_, s_, _c=_cube):
                 # (pid, inside, cands): the candidate lists feed the
                 # cube-local BBL reduction (seg_cols_cubes)
                 return build_map_cubes(R_, p_, s_, cube=_c,
+                                       cap=_capbox[0],
                                        return_cands=True)
         else:
             def _bmap_prod(R_, p_, s_):
@@ -1366,10 +1373,23 @@ def make_colloid_step(cfg: LBConfig, params: ColloidParams,
                 gwall=jnp.zeros((3,), state.f.dtype))
         if state.pmap is None:
             if fast:
-                state = state._replace(
-                    pmap=_bmap_prod(state.Rmap, params, size))
+                if _cube is not None:
+                    # size the candidate capacity from the ACTUAL pillar
+                    # occupancy (2x headroom for particle motion between
+                    # chain entries); overflow would silently corrupt
+                    # the map (ADVICE r4) - shapes feed the jit cache,
+                    # so a resize simply retraces
+                    from ludwig_tpu.colloids_fast import cubes_count_max
+                    need = cubes_count_max(state.Rmap, params, size,
+                                           _cube)
+                    cap = min(params.n, max(64, -(-2 * need // 64) * 64))
+                    if cap > _capbox[0]:
+                        _capbox[0] = cap
+                state = state._replace(pmap=jax.jit(
+                    lambda R_: _bmap_prod(R_, params, size))(state.Rmap))
             else:
-                p_, i_ = build_map(state.Rmap, params, size)
+                p_, i_ = jax.jit(
+                    lambda R_: build_map(R_, params, size))(state.Rmap)
                 state = state._replace(pmap=(p_, i_, None))
         return state
 

@@ -2351,8 +2351,11 @@ def _make_stats_fn(sys_: System):
                   else jnp.logical_not(sys_.solid).astype(f.dtype))
             nfl = (float(np.prod(sys_.lb_cfg.size)) if sys_.solid is None
                    else jnp.sum(w_))
+            # guard rho == 0 at zeroed solid/porous sites: 0/0 = NaN
+            # survives the w_=0 weight (0*NaN = NaN)
+            rho_s = jnp.where(rho_f == 0.0, 1.0, rho_f)
             res["ktstats"] = tuple(
-                jnp.sum(w_ * g_f[a] * g_f[a] / rho_f) / nfl
+                jnp.sum(w_ * g_f[a] * g_f[a] / rho_s) / nfl
                 for a in range(3))
         return res
 
@@ -2623,6 +2626,15 @@ def run_text(text: str, out=sys.stdout) -> System:
                 if plan is None:
                     raise ValueError(
                         f"no fused block plan for local shard {local}")
+                if (size[2] % 128
+                        and rt.string("tpu_fused", "off") != "interpret"):
+                    # the sharded kernels take an unpadded state (no z
+                    # lane padding support yet); fail HERE so the
+                    # except below downgrades to an unsharded run
+                    # instead of a first-step trace error
+                    raise ValueError(
+                        f"sharded fused path needs Z % 128 == 0 "
+                        f"(got {size[2]})")
                 from ludwig_tpu.ops.fused import (
                     make_fused_sharded_nstep, unpad_state)
                 mesh = make_mesh(g)
@@ -2646,6 +2658,13 @@ def run_text(text: str, out=sys.stdout) -> System:
                 if plan is None:
                     raise ValueError(
                         f"no fused block plan for local shard {local}")
+                if (size[2] % 128
+                        and rt.string("tpu_fused", "off") != "interpret"):
+                    # sharded LE feeds _fused_call an unpadded state;
+                    # fail inside this try so the fallback catches it
+                    raise ValueError(
+                        f"sharded fused LE needs Z % 128 == 0 "
+                        f"(got {size[2]})")
                 for col in sys_.le_cfg.plane_cols:
                     if col % local[0] == local[0] - 1:
                         raise ValueError(
@@ -3238,31 +3257,58 @@ def run_text(text: str, out=sys.stdout) -> System:
                  and (not sys_.is_colloid
                       or rt.int("colloid_rebuild_freq", 1) == 1)
                  and ahydro is None)
-    _jnp_chain_cache = {}
+
+    # one step in the shape every event-step unpack below expects
+    # (state first, then the family's aux outputs)
+    if sys_.is_colloid:
+        def _step1(s, tt):
+            return tuple(sys_.step_fn(s, tt, True))
+    elif _plain_state1:
+        def _step1(s, tt):
+            f_, rho_, u_ = sys_.step_fn(s[0], tt)
+            return ((f_,), rho_, u_)
+    else:
+        def _step1(s, tt):
+            return tuple(sys_.step_fn(s, tt))
+
+    _chain_fn = [None]
 
     def _jnp_chain(state, n, t0):
+        """n steps as ONE jitted dynamic-trip fori_loop; returns the
+        full (state, *aux) result tuple of the LAST step.
+
+        Compiled exactly ONCE per run: n and t0 are traced scalars, so
+        every event gap - including the n=1 event step itself - reuses
+        the same executable.  (The earlier per-gap-length scan compiled
+        a fresh multi-minute program for each distinct gap on the big
+        colloid cases, plus the standalone step program - three ~2 min
+        XLA compiles where one suffices.)"""
         prep = getattr(sys_.step_fn, "prepare", None)
         if prep is not None:
             # stabilise the carry pytree (e.g. the colloid pmap cache)
-            # before tracing the scan
+            # before tracing the loop
             state = prep(state)
-        fn = _jnp_chain_cache.get(n)
+        fn = _chain_fn[0]
         if fn is None:
             from functools import partial as _p
 
-            @_p(jax.jit, donate_argnums=0)
-            def fn(st, t0_):
-                def body(s, tt):
-                    if sys_.is_colloid:
-                        return sys_.step_fn(s, tt, True)[0], ()
-                    if _plain_state1:
-                        return (sys_.step_fn(s[0], tt)[0],), ()
-                    return sys_.step_fn(s, tt)[0], ()
-                st, _ = jax.lax.scan(body, st, t0_ + jnp.arange(n))
-                return st
+            # aux carry seed with the step's output structure (shapes
+            # only - no compile)
+            res_sds = jax.eval_shape(_step1, state,
+                                     jax.ShapeDtypeStruct((), jnp.int32))
+            aux_sds = tuple(res_sds[1:])
 
-            _jnp_chain_cache[n] = fn
-        return fn(state, jnp.asarray(t0))
+            @_p(jax.jit, donate_argnums=0)
+            def fn(st, n_, t0_):
+                aux0 = jax.tree.map(
+                    lambda sd: jnp.zeros(sd.shape, sd.dtype), aux_sds)
+                def body(k, c):
+                    return _step1(c[0], t0_ + k)
+                return jax.lax.fori_loop(0, n_, body, (st,) + aux0)
+
+            _chain_fn[0] = fn
+        return fn(state, jnp.asarray(n, jnp.int32),
+                  jnp.asarray(t0, jnp.int32))
 
     def _fused_chain(state, n, t0):
         """n fused steps as ONE scanned program (per-step dispatch over
@@ -3319,12 +3365,22 @@ def run_text(text: str, out=sys.stdout) -> System:
         if _chain_ok:
             k = _event_gap(t)
             if k > 1:
-                state = _jnp_chain(state, k - 1, t)
+                state = _jnp_chain(state, k - 1, t)[0]
                 sys_.state = state
                 t += k - 1
         prev = _op_fields(state)
+        if _chain_ok:
+            # the event step reuses the SAME compiled chain (n=1)
+            res = _jnp_chain(state, 1, t)
+        elif sys_.is_colloid:
+            res = sys_.step_fn(state, t)
+        elif _plain_state1:
+            f, rho, u = sys_.step_fn(state[0], t)
+            res = ((f,), rho, u)
+        else:
+            res = sys_.step_fn(state, t)
         if sys_.is_colloid:
-            state, _aux = sys_.step_fn(state, t)
+            state, _aux = res
             if sys_.is_electro:
                 # electro-colloid step also reports its SOR convergence
                 rho, u = _aux[0], _aux[1]
@@ -3337,17 +3393,17 @@ def run_text(text: str, out=sys.stdout) -> System:
                                   jax.device_get(prev[0])[0], rel)
         elif (sys_.wallspec is not None and not sys_.is_binary
                 and not sys_.is_two_field and not sys_.is_binary_lb):
-            state, rho, u = sys_.step_fn(state, t)
+            state, rho, u = res
         elif sys_.is_electro:
-            state, (rho, _sor) = sys_.step_fn(state, t)
+            state, (rho, _sor) = res
             sys_._last_sor = _sor
             u = state[4] if sys_.es_cfg is not None else state[3]
         elif sys_.is_binary_lb:
-            state, (rho, _phi) = sys_.step_fn(state, t)
+            state, (rho, _phi) = res
             u = state[2]
         elif (sys_.is_binary or sys_.is_lc or sys_.is_two_field
                 or sys_.is_droplet or sys_.is_polar):
-            state, rho = sys_.step_fn(state, t)
+            state, rho = res
             if sys_.is_two_field:
                 u = state[3]
             elif (sys_.is_lc or sys_.le_cfg is not None
@@ -3355,12 +3411,9 @@ def run_text(text: str, out=sys.stdout) -> System:
                 u = state[2]
             else:
                 u = state[-1]
-        elif sys_.has_kiss:
-            # plain fluid + reference-exact KISS noise: (f, nstate)
-            state, rho, u = sys_.step_fn(state, t)
         else:
-            f, rho, u = sys_.step_fn(state[0], t)
-            state = (f,)
+            # plain fluid (incl. reference-exact KISS noise state)
+            state, rho, u = res
         sys_.state = state
         _acc("step", time.time() - ts0)
         _loop_outputs(t, state, u, prev)

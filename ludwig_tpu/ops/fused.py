@@ -685,7 +685,7 @@ def make_fused_le_step(cfg, le, plan: FusedPlan = FusedPlan(),
 
 def make_fused_nstep(model: LatticeModel, params: CollisionParams,
                      plan: FusedPlan = FusedPlan(), interpret: bool = False,
-                     z: int = None, noise=None):
+                     z: int = None, noise=None, delta: bool = True):
     """Jitted n-step driver on padded state (donated, scanned).  `z` is
     the live z extent for lane-padded states (zpad_len); with `noise`
     the steps are numbered t0 + k for the counter stream."""
@@ -695,7 +695,7 @@ def make_fused_nstep(model: LatticeModel, params: CollisionParams,
         def body(fp, k):
             return fused_step(fp, model, params, plan,
                               interpret=interpret, z=z, noise=noise,
-                              t=t0 + k), ()
+                              t=t0 + k, delta=delta), ()
         fpad, _ = jax.lax.scan(body, fpad, jnp.arange(n))
         return fpad
 

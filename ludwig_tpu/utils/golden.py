@@ -293,6 +293,17 @@ def run_case(name: str, workdir: Optional[str] = None,
         # "Ludwig finished normally." (truncated blessing); sniff it
         hints.append("_has_finish %d"
                      % int("Ludwig finished normally" in whole))
+        # which keys the blessing-era binary warned as unused is a
+        # property of ITS rt_* call sites (eras differ on e.g.
+        # vel_format/reduced_halo); pass the blessed block through
+        # verbatim ('-' = blessed run had no warning block)
+        mw = _re.search(r"Warning: key/value present in input but not "
+                        r"used:\n((?:\(Line \d+\): \S+\n)+)", whole)
+        if mw:
+            wkeys = _re.findall(r"\(Line \d+\): (\S+)", mw.group(1))
+            hints.append("_unused_keys " + ",".join(wkeys))
+        else:
+            hints.append("_unused_keys -")
         # config_at_end placement differs by era: v0.11-class logs
         # write AFTER "Completed cycle N" (phi/psi/vel lines only, no
         # distribution line); v0.7/v0.12 logs take the in-loop config

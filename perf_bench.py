@@ -120,11 +120,15 @@ def bench_electro():
 
     dt = measure(once) / 10.0
 
-    # SOR iteration count on the converged state (probe once)
+    # SOR iteration count on the converged state (probe once).
+    # poisson_sor_ref returns (psi, n, rnorm, which) with n the
+    # 0-based printed iteration index (ref psi_sor.c "at %d
+    # iterations"); iterations performed = n + 1.
     psi_up, psi_dn = make_psi_neighbours(size, cfg.e0, lb.dtype)
-    _, iters = jax.jit(lambda p, r: poisson_sor_ref(
+    _, it_idx, _, _ = jax.jit(lambda p, r: poisson_sor_ref(
         p, r, ek, psi_up, psi_dn, return_iters=True))(
         holder["s"][1], rho_elec(holder["s"][2], ek))
+    iters = int(it_idx) + 1
 
     # FFT Poisson production alternative (exact, one pass)
     import dataclasses

@@ -34,6 +34,10 @@ import sys
 import jax
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the big colloid/LC programs compile in
+# minutes on one CPU; identical reruns then load in seconds
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 name, mode, workdir = sys.argv[1:4]
 from ludwig_tpu.utils.golden import check_case
 try:
