@@ -122,12 +122,14 @@ def poisson_sor_ref(psi0: jnp.ndarray, rho_el: jnp.ndarray,
             s = s + psi_up(p, ax) + psi_dn(p, ax)
         return s
 
-    # rnorm0 is the residual norm of the INITIAL field, not ||rhs||:
-    # mid-run solves start from the previous step's psi, and the
-    # relative criterion (hence the iteration count the log reports)
-    # keys off that (ref: psi_sor.c:183-202)
-    res0 = eps * (neigh_sum(psi0) - 6.0 * psi0) + rhs
-    rnorm0 = jnp.sqrt(jnp.sum(res0 * res0))
+    # rnorm0 is the L2 norm of the RIGHT HAND SIDE (eunit*beta*rho),
+    # recomputed each solve - "This is just the L2 norm of the right
+    # hand side" (ref: psi_sor.c:184-200; the heterogeneous variant
+    # psi_sor.c:396-413 does the same).  A round-4 change keyed it off
+    # the initial-field residual instead, which flipped mid-run solves
+    # to earlier/absolute convergence and shifted the elec golden
+    # trajectories (elec-ep1: 105 iterations vs the blessed 100).
+    rnorm0 = jnp.sqrt(jnp.sum(rhs * rhs))
 
     def half_sweep(p, mask, omega):
         res = eps * (neigh_sum(p) - 6.0 * p) + rhs

@@ -90,9 +90,12 @@ def poisson_sor_var_eps_ref(psi0, rho_el, eps, cfg: ElectroConfig,
             acc = acc + 0.25 * (eps_up[ax] - eps_dn[ax]) * (pu - pd)
         return eps * lap + acc
 
-    # initial-field residual norm (ref: psi_sor.c:398-413), not ||rhs||
-    res0 = depsi(psi0) + rhs
-    rnorm0 = jnp.sqrt(jnp.sum(res0 * res0))
+    # rnorm0 is the L2 norm of the RIGHT HAND SIDE, recomputed each
+    # solve (ref: psi_sor.c:396-413 "Compute the initial norm of the
+    # right hand side"); a round-4 change used the initial-field
+    # residual, flipping dr1/dr2 mid-run solves to earlier/absolute
+    # convergence (131 its vs the blessed 169)
+    rnorm0 = jnp.sqrt(jnp.sum(rhs * rhs))
 
     def half_sweep(p, mask, omega):
         res = depsi(p) + rhs

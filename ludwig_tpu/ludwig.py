@@ -2362,33 +2362,50 @@ def _make_stats_fn(sys_: System):
     return compute
 
 
+def compute_stats_res(sys_: System, tstep: int, u, stats_fn,
+                      in_loop=True, prev=()):
+    """Evaluate the statistics program and pull the results host-side
+    (shared by the particle block and the scalar blocks so the step is
+    only synced once when their emission points differ)."""
+    return jax.device_get(stats_fn(sys_.state, u, prev,
+                                   1.0 if in_loop else 0.0,
+                                   jnp.asarray(tstep, jnp.float32)))
+
+
+def report_particle_block(sys_: System, res, out=sys.stdout):
+    """The "Particle statistics:" section: interaction statistics +
+    colloid velocity minmax (ref: interaction.c:207-213 printed at the
+    START of the step's colloids_update, i.e. BEFORE the SOR report
+    and the io dump lines of the same step)."""
+    vmin, vmax = res["vcol"]
+    out.write("\nParticle statistics:\n")
+    cp = sys_.colloid_params
+    if cp is not None:
+        from ludwig_tpu.stats_extra import interact_stats_lines
+        R_now = jax.device_get(sys_.state[1])
+        for ln in interact_stats_lines(sys_.rt, cp, R_now,
+                                       sys_.lb_cfg.size):
+            out.write(ln)
+    out.write("\nColloid velocities - x y z\n")
+    out.write(f"[minimum ] {float(vmin[0]):14.7e} "
+              f"{float(vmin[1]):14.7e} {float(vmin[2]):14.7e}\n")
+    out.write(f"[maximum ] {float(vmax[0]):14.7e} "
+              f"{float(vmax[1]):14.7e} {float(vmax[2]):14.7e}\n\n")
+
+
 def report_statistics(sys_: System, tstep: int, u, stats_fn,
                       with_velocity=True, out=sys.stdout,
-                      in_loop=True, prev=()):
+                      in_loop=True, prev=(), res=None, particle=True):
     """One statistics block set, reference formats.  The 'Completed
     cycle' trailer only appears inside the time loop (ref:
-    ludwig.c:961)."""
-    res = jax.device_get(stats_fn(sys_.state, u, prev,
-                                  1.0 if in_loop else 0.0,
-                                  jnp.asarray(tstep, jnp.float32)))
+    ludwig.c:961).  `res`/`particle` let the caller hoist the particle
+    block ahead of the SOR/dump lines (full-log ordering)."""
+    if res is None:
+        res = compute_stats_res(sys_, tstep, u, stats_fn,
+                                in_loop=in_loop, prev=prev)
 
-    if "vcol" in res and in_loop:
-        vmin, vmax = res["vcol"]
-        out.write("\nParticle statistics:\n")
-        # interaction statistics (ref: interaction.c:226-340
-        # interact_stats between the header and the velocity minmax)
-        cp = sys_.colloid_params
-        if cp is not None:
-            from ludwig_tpu.stats_extra import interact_stats_lines
-            R_now = jax.device_get(sys_.state[1])
-            for ln in interact_stats_lines(sys_.rt, cp, R_now,
-                                           sys_.lb_cfg.size):
-                out.write(ln)
-        out.write("\nColloid velocities - x y z\n")
-        out.write(f"[minimum ] {float(vmin[0]):14.7e} "
-                  f"{float(vmin[1]):14.7e} {float(vmin[2]):14.7e}\n")
-        out.write(f"[maximum ] {float(vmax[0]):14.7e} "
-                  f"{float(vmax[1]):14.7e} {float(vmax[2]):14.7e}\n\n")
+    if "vcol" in res and in_loop and particle:
+        report_particle_block(sys_, res, out=out)
     out.write(stats.format_rho_block(*res["rho"]))
     if sys_.is_electro:
         def _3(tot, mn, mx):
@@ -3125,6 +3142,18 @@ def run_text(text: str, out=sys.stdout) -> System:
     def _loop_outputs(t, state, u, prev):
         _ek = getattr(sys_.electro_cfg, "ek", sys_.electro_cfg) \
             if sys_.is_electro else None
+        # colloid runs print the particle-statistics section at the
+        # START of the step's outputs - before the SOR report and the
+        # dump lines (ref: interaction.c:207 in colloids_update vs
+        # ludwig.c:866-948 io; e.g. serial-rest-c01.log:98-110,
+        # serial-rest-ec1.log:107-116).  Compute the stats ONCE here
+        # and hand them to report_statistics below.
+        _res = None
+        if (t % freq == 0 and sys_.is_colloid
+                and sys_.fused_mode is None):
+            _res = compute_stats_res(sys_, t, u, stats_fn, prev=prev)
+            if "vcol" in _res:
+                report_particle_block(sys_, _res, out=out)
         _nfreq = rt.int("freq_psi_resid", freq) if sys_.is_electro else 0
         if (sys_.is_electro and _nfreq and t % _nfreq == 0
                 and getattr(sys_, "_last_sor", None) is not None
@@ -3219,7 +3248,8 @@ def run_text(text: str, out=sys.stdout) -> System:
                 sys_.state = state
             else:
                 report_statistics(sys_, t, u, stats_fn, out=out,
-                                  with_velocity=sys_.hydro_on, prev=prev)
+                                  with_velocity=sys_.hydro_on, prev=prev,
+                                  res=_res, particle=_res is None)
             _acc("stats", time.time() - ts0)
         if freq_phi or freq_vel or freq_psi:
             ts0 = time.time()

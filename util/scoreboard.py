@@ -7,7 +7,7 @@ committed reference log (ref: tests/test-diff.sh semantics).  Writes
 SCOREBOARD.json and prints a summary table.
 
 Usage: python util/scoreboard.py [--suite d3q19-short] [--only PREFIX]
-                                 [--timeout SECS] [--mode stats|full]
+                                 [--timeout SECS] [--mode full(default)|stats]
 """
 
 import argparse
@@ -82,7 +82,7 @@ def main():
     ap.add_argument("--suite", default="d3q19-short")
     ap.add_argument("--only", default="")
     ap.add_argument("--timeout", type=int, default=300)
-    ap.add_argument("--mode", default="stats")
+    ap.add_argument("--mode", default="full")
     ap.add_argument("--out", default=os.path.join(REPO, "SCOREBOARD.json"))
     ap.add_argument("--rerun", action="store_true",
                     help="re-run cases already on the scoreboard")
