@@ -407,6 +407,34 @@ def make_electro_step(cfg: ElectroSimConfig,
     m = cfg.ek.multisteps
     dt = 1.0 / m
 
+    # f32 production fast paths (ops/fused_electro.py): the whole-field
+    # VMEM SOR kernel and the blocked NP+grad-mu kernel replace the
+    # roll-bound jnp phases; the f64 golden tier keeps the
+    # reference-bitwise jnp path.  Both are mean-invariant consumers of
+    # psi, so the zero-mean shift folds into the solve.
+    from ludwig_tpu.ops.fused_electro import (np_gradmu_fused,
+                                              np_supported,
+                                              sor_solve_fused,
+                                              sor_supported)
+    use_fsor = (lb.dtype == "float32" and cfg.ek.solver != "fft"
+                and sor_supported(size, cfg.e0))
+    use_fnp = (lb.dtype == "float32" and cfg.stencil not in (19, 27)
+               and np_supported(size, cfg, cfg.e0))
+    # fused LB sub-step with in-kernel solid bounce-back (collide +
+    # stream + momentum accounting in ONE HBM pass; the jnp pipeline
+    # is ~12 roll-bound passes of f)
+    def _flb_plan():
+        for bx in (16, 8, 4):
+            if size[0] % bx == 0:
+                for by in (32, 16, 8):
+                    if size[1] % by == 0:
+                        from ludwig_tpu.ops.fused import FusedPlan
+                        return FusedPlan(bx, by)
+        return None
+    _plan = _flb_plan()
+    use_flb = (lb.dtype == "float32" and cfg.hydrodynamics
+               and size[2] % 128 == 0 and _plan is not None)
+
     @partial(jax.jit, donate_argnums=0)
     def step(state, t=0):
         f, psi, rho, u, gwall = state
@@ -415,6 +443,10 @@ def make_electro_step(cfg: ElectroSimConfig,
         if cfg.ek.solver == "fft":
             psi = poisson_fft(rho_elec(rho, cfg.ek) / cfg.ek.e, cfg.ek)
             sor = (jnp.int32(0), jnp.zeros((), dtype), jnp.int32(0))
+        elif use_fsor:
+            psi, s_n, s_r, s_w = sor_solve_fused(
+                psi, rho_elec(rho, cfg.ek), cfg.ek, zero_mean=True)
+            sor = (s_n, s_r, s_w)
         else:
             psi, s_n, s_r, s_w = poisson_sor_ref(
                 psi, rho_elec(rho, cfg.ek), cfg.ek, psi_up, psi_dn,
@@ -422,27 +454,54 @@ def make_electro_step(cfg: ElectroSimConfig,
             sor = (s_n, s_r, s_w)
 
         # 2. grad-mu force (once per LB step), 3. NP sub-cycles
-        force = gradmu_force(psi, rho, cfg, psi_up, psi_dn, n_sites)
         fl = jnp.ones(size, bool) if fluid is None else fluid
-        for _ in range(m):
-            if cfg.stencil in (19, 27):
-                rho = np_step_d3qx(rho, psi,
-                                   u if cfg.hydrodynamics else None,
-                                   fl, cfg, psi_up, psi_dn, dt,
-                                   npoints=cfg.stencil)
-            else:
-                rho = np_step(rho, psi, u if cfg.hydrodynamics else None,
-                              fl, cfg, psi_up, psi_dn, dt)
+        if use_fnp:
+            u_np = u if cfg.hydrodynamics else None
+            rho, force, fsum = np_gradmu_fused(psi, rho, u_np, fl,
+                                               cfg, dt)
+            force = force - (fsum / n_sites)[:, None, None, None]
+            for _ in range(m - 1):
+                rho = np_gradmu_fused(psi, rho, u_np, fl, cfg, dt)[0]
+        else:
+            force = gradmu_force(psi, rho, cfg, psi_up, psi_dn, n_sites)
+            for _ in range(m):
+                if cfg.stencil in (19, 27):
+                    rho = np_step_d3qx(rho, psi,
+                                       u if cfg.hydrodynamics else None,
+                                       fl, cfg, psi_up, psi_dn, dt,
+                                       npoints=cfg.stencil)
+                else:
+                    rho = np_step(rho, psi,
+                                  u if cfg.hydrodynamics else None,
+                                  fl, cfg, psi_up, psi_dn, dt)
 
         # 4. zero-mean potential (site-order scan in f64 for the
         # golden-log contract; in f32 production that scan is a
         # 262k-element serial chain - ~200 ms/step at 64^3 on TPU, the
-        # whole step budget - so site_sum drops to a tree reduction)
-        from ludwig_tpu.stats import site_sum
-        psi = psi - site_sum(psi) / n_sites
+        # whole step budget - so site_sum drops to a tree reduction).
+        # The fused SOR already applied it in-kernel.
+        if cfg.ek.solver == "fft" or not use_fsor:
+            from ludwig_tpu.stats import site_sum
+            psi = psi - site_sum(psi) / n_sites
 
         # 5. LB update
-        if cfg.hydrodynamics:
+        if use_flb:
+            from ludwig_tpu.ops.fused import (fused_force_step,
+                                              pad_state, unpad_state)
+            # collision-time density for the statistics row (the jnp
+            # collide returns it; one cheap reduction here)
+            rho_lb = jnp.sum(f, axis=0)
+            fpad = pad_state(f, zpad=False)
+            if solid is not None:
+                fpad, u, gw = fused_force_step(
+                    fpad, force.astype(f.dtype), model, params, _plan,
+                    solid=solid)
+                gwall = gwall + gw
+            else:
+                fpad, u = fused_force_step(
+                    fpad, force.astype(f.dtype), model, params, _plan)
+            f = unpad_state(fpad, z=size[2])
+        elif cfg.hydrodynamics:
             f, rho_lb, u = collide(f, params, force=force.astype(f.dtype),
                                    fluid_mask=fluid)
             if solid is not None:

@@ -1067,26 +1067,48 @@ def make_fusedn_nstep(model: LatticeModel, params: CollisionParams,
 
 
 def _fused_force_kernel(model: LatticeModel, params: CollisionParams,
-                        X, Y, Z, BX, BY,
-                        fpad_hbm, force_hbm, out_hbm, u_hbm,
-                        inbuf, fbuf, outbuf, ubuf,
-                        insem, fsem, outsem, usem):
+                        X, Y, Z, BX, BY, with_solid,
+                        *refs):
     """Force-coupled collide+stream: extra per-site force input (padded
     like f: (3, X+2, Y+16, Z)) and a hydro-velocity output (the next
-    Q-kernel's advection input)."""
+    Q-kernel's advection input).
+
+    With `with_solid`, an extra 0/1 mask input (padded (X+2, Y+16, Z))
+    selects in-lattice solid sites: streaming applies half-way
+    bounce-back exactly like ops.stream.stream_bounce_back - a link
+    whose source site is solid receives the receiver's own
+    post-collision antipode population, and solid sites keep their
+    PRE-collision values (the masked-collide semantics of the jnp
+    path).  This is the reference's porous/plate geometry
+    (ref: map.c status, propagation.c + bounce-back in lb_bbl)."""
+    if with_solid:
+        (fpad_hbm, force_hbm, solid_hbm, out_hbm, u_hbm, gw_out,
+         inbuf, fbuf, sbuf, outbuf, ubuf, wacc,
+         insem, fsem, ssem, outsem, usem) = refs
+    else:
+        (fpad_hbm, force_hbm, out_hbm, u_hbm,
+         inbuf, fbuf, outbuf, ubuf,
+         insem, fsem, outsem, usem) = refs
     nvel = model.nvel
     nbx, nby = X // BX, Y // BY
     nblocks = nbx * nby
+    anti, _par = _eo_tables(model)
 
     def in_dma(slot, k):
         i, j = k // nby, k % nby
-        return (pltpu.make_async_copy(
+        dmas = [pltpu.make_async_copy(
             fpad_hbm.at[:, pl.ds(i * BX, BX + 2), pl.ds(j * BY, BY + 16), :],
             inbuf.at[slot], insem.at[slot]),
             pltpu.make_async_copy(
             force_hbm.at[:, pl.ds(i * BX, BX + 2),
                          pl.ds(j * BY, BY + 16), :],
-            fbuf.at[slot], fsem.at[slot]))
+            fbuf.at[slot], fsem.at[slot])]
+        if with_solid:
+            dmas.append(pltpu.make_async_copy(
+                solid_hbm.at[pl.ds(i * BX, BX + 2),
+                             pl.ds(j * BY, BY + 16), :],
+                sbuf.at[slot], ssem.at[slot]))
+        return dmas
 
     def out_dma(slot, k):
         i, j = k // nby, k % nby
@@ -1101,6 +1123,12 @@ def _fused_force_kernel(model: LatticeModel, params: CollisionParams,
 
     for d in in_dma(0, 0):
         d.start()
+
+    if with_solid:
+        wacc[...] = jnp.zeros_like(wacc)
+
+    cvs = [(int(model.cv[q][0]), int(model.cv[q][1]), int(model.cv[q][2]))
+           for q in range(nvel)]
 
     def body(k, _):
         slot = k % 2
@@ -1124,10 +1152,48 @@ def _fused_force_kernel(model: LatticeModel, params: CollisionParams,
             for d in out_dma(slot, k - 2):
                 d.wait()
 
-        def store(q, blk):
-            outbuf[slot, q] = blk
-        _assemble_eo_deltas(model, fl, modes,
-                            _make_stream_emit(model, Z, BX, BY, store))
+        if not with_solid:
+            def store(q, blk):
+                outbuf[slot, q] = blk
+            _assemble_eo_deltas(model, fl, modes,
+                                _make_stream_emit(model, Z, BX, BY,
+                                                  store))
+        else:
+            sol = sbuf[slot][:, HY - 1:HY + BY + 1, :]  # (BX+2,BY+2,Z)
+            solc = sol[1:1 + BX, 1:1 + BY, :]
+            # centre post-collision values (for the bounce-back
+            # replacement and the solid-keeps-pre rule)
+            post = [None] * nvel
+
+            def sinkc(acc, q):
+                post[q] = acc
+            _assemble_eo_deltas(model, fl, modes, sinkc)
+
+            def store(q, blk):
+                cx, cy, cz = cvs[q]
+                ss = sol[1 - cx:1 - cx + BX, 1 - cy:1 - cy + BY, :]
+                if cz:
+                    ss = pltpu.roll(ss, cz % Z, 2)
+                bb = post[anti[q]][1:1 + BX, 1:1 + BY, :]
+                live = jnp.logical_and(ss > 0.5, solc <= 0.5)
+                out = jnp.where(ss > 0.5, bb, blk)
+                outbuf[slot, q] = jnp.where(
+                    solc > 0.5, fl[q][1:1 + BX, 1:1 + BY, :], out)
+                if cx or cy or cz:
+                    # momentum handed to the wall by this link,
+                    # accumulated into per-component VMEM fields (one
+                    # scalar reduce at the very end; per-link scalar
+                    # sums would serialise the whole pipeline)
+                    # (ref: wall.c:1279-1299; -2 sum f*_qbar c_q)
+                    lv = jnp.where(live, bb, jnp.zeros((), bb.dtype))
+                    for a, c in enumerate((cx, cy, cz)):
+                        if c == 1:
+                            wacc[a] = wacc[a] + lv
+                        elif c == -1:
+                            wacc[a] = wacc[a] - lv
+            _assemble_eo_deltas(model, fl, modes,
+                                _make_stream_emit(model, Z, BX, BY,
+                                                  store))
         for a in range(3):
             ubuf[slot, a] = u[a][1:1 + BX, 1:1 + BY, :]
 
@@ -1144,19 +1210,26 @@ def _fused_force_kernel(model: LatticeModel, params: CollisionParams,
         for d in out_dma(nblocks % 2, nblocks - 2):
             d.wait()
 
+    if with_solid:
+        for a in range(3):
+            gw_out[0, a] = -2.0 * jnp.sum(wacc[a])
+
 
 def fused_force_step(fpad: jnp.ndarray, force: jnp.ndarray,
                      model: LatticeModel, params: CollisionParams,
                      plan: FusedPlan = FusedPlan(),
                      interpret: bool = False, pad_force_fn=None,
-                     refresh_fn=None):
+                     refresh_fn=None, solid=None):
     """(fpad', u): fused collide+stream with a per-site body force.
 
     force is unpadded (3, X, Y, Z); u returned at (3, X, Y, Z) is the
     post-collision hydrodynamic velocity (half-force corrected).
     pad_force_fn/refresh_fn override the single-shard periodic force
     padding / output pad refresh (the sharded path substitutes
-    ppermute face exchanges)."""
+    ppermute face exchanges).  `solid` is an optional unpadded bool
+    mask of in-lattice solid sites: streaming then applies half-way
+    bounce-back and solid sites keep their pre-collision values,
+    matching collide(fluid_mask) + ops.stream.stream_bounce_back."""
     nvel, Xp, Yp, Z = fpad.shape
     X, Y = Xp - 2 * HX, Yp - 2 * HY
     BX = min(plan.BX, X)
@@ -1170,30 +1243,52 @@ def fused_force_step(fpad: jnp.ndarray, force: jnp.ndarray,
     else:
         fpad_force = pad_force_fn(force)
 
-    kernel = partial(_fused_force_kernel, model, params, X, Y, Z, BX, BY)
-    out, u = pl.pallas_call(
+    with_solid = solid is not None
+    kernel = partial(_fused_force_kernel, model, params, X, Y, Z,
+                     BX, BY, with_solid)
+    scratch = [
+        pltpu.VMEM((2, nvel, BX + 2, BY + 16, Z), fpad.dtype),
+        pltpu.VMEM((2, 3, BX + 2, BY + 16, Z), fpad.dtype),
+    ]
+    sems = [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
+    inputs = [fpad, fpad_force]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+    out_shape = [jax.ShapeDtypeStruct(fpad.shape, fpad.dtype),
+                 jax.ShapeDtypeStruct((3, X, Y, Z), fpad.dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pl.ANY)]
+    if with_solid:
+        spad = jnp.pad(solid.astype(fpad.dtype),
+                       ((HX, HX), (HY, HY), (0, 0)), mode="wrap")
+        inputs.append(spad)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch.append(pltpu.VMEM((2, BX + 2, BY + 16, Z), fpad.dtype))
+        sems.append(pltpu.SemaphoreType.DMA((2,)))
+        out_shape.append(jax.ShapeDtypeStruct((1, 3), fpad.dtype))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    scratch += [
+        pltpu.VMEM((2, nvel, BX, BY, Z), fpad.dtype),
+        pltpu.VMEM((2, 3, BX, BY, Z), fpad.dtype),
+    ]
+    if with_solid:
+        scratch.append(pltpu.VMEM((3, BX, BY, Z), fpad.dtype))
+    sems += [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
+    res = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct(fpad.shape, fpad.dtype),
-                   jax.ShapeDtypeStruct((3, X, Y, Z), fpad.dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pl.ANY)),
-        scratch_shapes=[
-            pltpu.VMEM((2, nvel, BX + 2, BY + 16, Z), fpad.dtype),
-            pltpu.VMEM((2, 3, BX + 2, BY + 16, Z), fpad.dtype),
-            pltpu.VMEM((2, nvel, BX, BY, Z), fpad.dtype),
-            pltpu.VMEM((2, 3, BX, BY, Z), fpad.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch + sems,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(fpad, fpad_force)
-    return (_pad_refresh if refresh_fn is None else refresh_fn)(out), u
+    )(*inputs)
+    refresh = _pad_refresh if refresh_fn is None else refresh_fn
+    if with_solid:
+        out, u, gw = res
+        return refresh(out), u, gw[0]
+    out, u = res
+    return refresh(out), u
 
 
 def _pad_exchange(fpad: jnp.ndarray, nx: int, ny: int,

@@ -83,21 +83,23 @@ def bench_suspension():
     }
 
 
-def bench_electro():
+def bench_electro(L=64):
     """Gouy-Chapman electrokinetics: SOR Poisson + Nernst-Planck + LB
     (ref: psi_sor.c:55, nernst_planck.c; config shaped like
-    tests/regression/d3q19-elec/serial-elec-gc1 scaled to 64^3)."""
+    tests/regression/d3q19-elec/serial-elec-gc1 scaled to L^3).  At
+    L = 128 the f32 fused kernels engage (ops/fused_electro.py:
+    whole-field VMEM SOR + blocked NP/grad-mu pass)."""
     from ludwig_tpu.electro import ElectroConfig, rho_elec
     from ludwig_tpu.electro_sim import (ElectroSimConfig, electroneutral,
                                         init_gouy_chapman,
                                         make_electro_step,
                                         make_psi_neighbours,
                                         poisson_sor_ref)
-    size = (64, 64, 64)
+    size = (L, L, L)
     from ludwig_tpu.lb import LBConfig
     lb = LBConfig(size=size, nvel=19, eta_shear=0.1, dtype="float32")
     ek = ElectroConfig(valency=(1, -1), diffusivity=(0.01, 0.01),
-                       e=1.0, beta=3.0e4, epsilon=3.3e3,
+                       e=1.0, beta=3.0e4, epsilon=3.3e3, solver="sor",
                        rel_tol=1e-8, abs_tol=1e-15, max_its=10000)
     psi0, rho_k, boundary = init_gouy_chapman(size, 1.04e-3, 3.125e-2)
     rho_k = electroneutral(rho_k, ek.valency, boundary)
@@ -146,7 +148,7 @@ def bench_electro():
     dt_fft = measure(once_fft) / 10.0
     nsites = float(np.prod(size))
     return {
-        "metric": "Gouy-Chapman 64^3 full step (SOR Poisson + "
+        "metric": f"Gouy-Chapman {L}^3 full step (SOR Poisson + "
                   "Nernst-Planck + LB)",
         "value": round(dt * 1e3, 2), "unit": "ms/step",
         "sor_iters_per_step": int(iters),
@@ -280,6 +282,7 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "suspension"
     fn = {"suspension": bench_suspension,
           "electro": bench_electro,
+          "electro128": lambda: bench_electro(128),
           "squirmers": bench_squirmers,
           "lcle": bench_lc_le,
           "lcle256": lambda: bench_lc_le(256),
